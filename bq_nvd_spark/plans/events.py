@@ -1,0 +1,177 @@
+"""Event-time windowing and incremental-dedup surface (SURVEY.md §2.9).
+
+The reference's "streaming" is a 20-minute CronJob re-running a batch
+pipeline with first-write-wins dedup (reference cronjob.yml:6,
+bq_nvd/etl.py:80-92). Here the same semantics are expressed with Spark's
+event-time operators — tumbling/sliding/session windows and keyed
+first-row dedup — in batch form so the DuckDB oracle can verify them;
+``bq_nvd_spark.streaming`` carries the readStream formulations of the
+same plans.
+
+All window aggregations shuffle once on (window, key) — at 100 TB the
+watermark (streaming variant) bounds state, and AQE handles key skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# T4: tumbling event-time window.
+@query(
+    "tumbling_window_hourly",
+    oracle="""
+    SELECT
+      DATE_TRUNC('hour', ts)        AS window_start,
+      event_type,
+      COUNT(*)                      AS n_events,
+      ROUND(SUM(value), 2)          AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# T4: sliding window (1h length, 30m slide) — each event lands in exactly
+# two windows. Oracle formulation: a window starting at trunc30(ts) and one
+# 30 minutes earlier both satisfy start <= ts < start + 1h.
+@query(
+    "sliding_window_hourly_30m",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n_events
+    FROM (
+      SELECT UNNEST([
+        DATE_TRUNC('hour', ts) + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                                      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+        DATE_TRUNC('hour', ts) + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                                      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+          - INTERVAL 30 MINUTE
+      ]) AS window_start
+      FROM events
+    )
+    GROUP BY window_start
+    """,
+)
+def sliding_window_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# T4: session window (30-minute gap) per user. Oracle: classic
+# gaps-and-islands — a new session starts when the gap from the previous
+# event exceeds 30 minutes; session_start is the first event's timestamp.
+@query(
+    "session_window_per_user",
+    oracle="""
+    SELECT user_id,
+           MIN(ts)              AS session_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# T3: first-write-wins keyed dedup — the reference's idempotent re-run
+# semantics (existing ID wins, bq_nvd/etl.py:87-88) as a deterministic
+# first-row-per-key plan (streaming variant: dropDuplicates with state).
+@query(
+    "first_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+    FROM (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# F6: JSON extraction from a string column (the reference round-trips JSON
+# at every stage — etl.py:43,110; here the in-query from_json equivalent).
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)

@@ -1,0 +1,476 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.11, E1–E5).
+
+Driver-mandated extensions over ``documents(doc_id, text, lang, source,
+n_chars)`` and ``embeddings(vec_id, embedding: array<float>, label)``:
+
+- E1 exact dedup        — hash-groupBy on sha2(text, 256)
+- E2 near-dedup         — MinHash+LSH (md5-keyed, deterministic), word-bigram
+                          Jaccard, SimHash — all SQL-expressible so the
+                          DuckDB oracle hash-checks them
+- E3 similarity search  — brute-force cosine top-k via HOF fold (baseline);
+                          LSH/IVF scale path in operators/similarity.py
+- E4 text analysis      — token counts, quality stats, rolling-hash
+                          fingerprint, language distribution
+- E5 multimodal columns — binary payload + typed metadata
+
+Cross-engine determinism rules used throughout:
+- hashes are md5/sha2 (identical lowercase hex in Spark and DuckDB);
+- float reductions are sequential left-folds in BOTH engines
+  (Spark ``aggregate`` with 0.0 init == DuckDB ``list_reduce``, since
+  ``0.0 + x == x`` exactly in IEEE-754);
+- every float output is rounded identically on both sides;
+- integer math (rolling hash, SimHash bits) is exact by construction.
+
+Scale notes (100 TB): MinHash signatures are computed per-row with
+higher-order functions (no shuffle); the only shuffle is the band-bucket
+groupBy, whose keys are uniformly distributed by construction (hashes).
+Brute-force cosine broadcasts the query set — the candidate side never
+shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# E1: exact dedup by content hash.
+@query(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT sha256(text)  AS content_sha,
+           MIN(doc_id)   AS doc_id,
+           COUNT(*)      AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_sha")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E2a: MinHash + LSH. K=16 md5-keyed hash functions, 4 bands x 4 rows.
+# Deterministic: h_i(tok) = md5('{i}:' || tok); minhash_i = lexicographic min
+# over the doc's distinct tokens; band signature = concat of its 4 minhashes.
+# Docs sharing any band signature are near-duplicate candidates.
+N_HASHES = 16
+BAND_SIZE = 4
+N_BANDS = N_HASHES // BAND_SIZE
+
+_DUCK_TOKS = "list_distinct(string_split(text, ' '))"
+
+
+def _duck_minhash(i: int) -> str:
+    return f"list_min(list_transform({_DUCK_TOKS}, t -> md5('{i}:' || t))) AS mh{i}"
+
+
+def _duck_band_cte() -> str:
+    sig = ",\n        ".join(_duck_minhash(i) for i in range(N_HASHES))
+    bands = "\n      UNION ALL ".join(
+        f"SELECT {b} AS band_idx, "
+        + " || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + " AS band_sig, doc_id FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+        {sig}
+      FROM documents
+    ),
+    bands AS (
+      {bands}
+    )
+    """
+
+
+def _spark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    sig = docs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(toks, lambda t, i=i: F.md5(F.concat(F.lit(f"{i}:"), t)))
+            ).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    bands = None
+    for b in range(N_BANDS):
+        one = sig.select(
+            F.lit(b).alias("band_idx"),
+            F.concat(*[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]).alias(
+                "band_sig"
+            ),
+            "doc_id",
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    return bands
+
+
+@query(
+    "minhash_lsh_buckets",
+    oracle=_duck_band_cte()
+    + """
+    SELECT band_idx, band_sig, COUNT(*) AS n_docs
+    FROM bands
+    GROUP BY band_idx, band_sig
+    HAVING COUNT(*) > 1
+    """,
+)
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket census: bucket cardinalities, not materialized pairs —
+    the aggregate stays linear in |docs| even when buckets are huge."""
+    bands = _spark_bands(spark, sf_dir)
+    return (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "minhash_candidate_pairs",
+    oracle=_duck_band_cte()
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 50 = 0 AND b.doc_id % 50 = 0
+    """,
+)
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized candidate pairs on a doc_id-sampled subset (bounded
+    output for the oracle check; the full-scale path is the bucket census
+    + per-bucket pair generation with a bucket-size cap)."""
+    bands = _spark_bands(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# E2b: word-bigram-shingle Jaccard over adjacent doc-id pairs (the Jaccard
+# kernel itself, demonstrated on a bounded, deterministic pair set).
+@query(
+    "ngram_jaccard_adjacent",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1])) AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           ROUND(
+             CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+             4) AS jaccard
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    shingled = with_toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+            )
+        ).alias("sh"),
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E2c: SimHash — 32-bit signature; bit i of a token is the parity of the
+# i-th hex char of md5(token) (deterministic in both engines); the doc bit
+# is the sign of the token-vote sum. Integer math throughout → exact match.
+@query(
+    "simhash_signatures",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN ascii(substr(md5(tok), i, 1)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS w
+      FROM toks, (SELECT UNNEST(range(1, 33)) AS i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN w > 0
+                         THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    positions = spark.range(1, 33).select(F.col("id").alias("i"))
+    votes = (
+        toks.crossJoin(positions)
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("ascii(substring(md5(tok), cast(i as int), 1)) % 2 = 1"), 1
+                ).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("w") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(i - 1 as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# E3: brute-force cosine top-k — query set broadcast against the candidate
+# corpus; dot/norm are sequential left-folds so both engines produce
+# bit-identical doubles (embeddings are 64-dim float32, cast to double).
+_DUCK_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _spark_fold_dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, SQRT({_DUCK_DOT.format(a='v', b='v')}) AS nrm FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+    c AS (SELECT vec_id, v AS cv, nrm AS cn FROM n WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             ROUND({_DUCK_DOT.format(a='qv', b='cv')} / (qn * cn), 4) AS sim
+      FROM c CROSS JOIN q
+    )
+    SELECT q_id, vec_id, sim
+    FROM (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= 10
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    normed = emb.select(
+        "vec_id", "v", F.sqrt(_spark_fold_dot("v", "v")).alias("nrm")
+    )
+    q = normed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = normed.filter(F.col("vec_id") >= 5).select(
+        "vec_id", F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            _spark_fold_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", "sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# E4a: per-document quality stats.
+@query(
+    "text_quality_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT)                 AS n_chars_actual,
+           ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)     AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('the', 'a'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)     AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(
+            (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(stop_hits.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E4b: corpus token frequencies, deterministic top 20.
+@query(
+    "token_counts_top20",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def token_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# E4c: language distribution (the lang-id *evaluation* surface; the n-gram
+# classifier itself lives in operators/text.py).
+@query(
+    "lang_distribution",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*)                 AS n_docs,
+           ROUND(AVG(n_chars), 2)   AS avg_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E4d: document fingerprint — polynomial rolling hash over characters
+# (h = h*31 + code mod 1e9+7), exact integer math in both engines.
+@query(
+    "doc_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+             (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            F.split("text", ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(1000000007).cast("long"),
+        ).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E5: multimodal column plumbing — opaque binary payload + typed metadata.
+# (Real decode/feature-extraction is a Pandas-UDF stub in
+# operators/multimodal.py; this query verifies the binary-column plumbing.)
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text)                               AS content_sha,
+           lang                                       AS media_lang
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    media = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(F.col("lang").alias("media_lang"), F.col("source")).alias("meta"),
+    )
+    return media.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("content_sha"),
+        F.col("meta.media_lang").alias("media_lang"),
+    )

@@ -1,0 +1,206 @@
+"""Nested-data query surface — the reference's centerpiece semantics.
+
+The reference's flagship documented query (reference README.md:41-59) is a
+doubly-nested ``EXISTS (SELECT ... FROM UNNEST(arr) WHERE ... LIKE ...)``
+over arrays-of-structs (``configurations.nodes[].cpe_match[]``), plus
+dotted-path projection through struct levels (``cve.CVE_data_meta.ID`` —
+reference bq_nvd/bq.py:156-158). The driver's oracle tables are flat, so
+these queries first build the nested shape (collect_list of structs — the
+inverse of UNNEST), then exercise the exact operators: higher-order
+``exists``/``filter``/``transform``/``aggregate``, ``explode``, and dotted
+``col`` paths. HOF predicates evaluate per-row with NO shuffle — at 100 TB
+this is why J2 compiles to a scan, not a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+
+def _orders_with_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders + items: array<struct> per order — the nvd `configurations.nodes`
+    shape. collect_list order is nondeterministic; consumers must be
+    order-insensitive (exists/filter/size) or sort the array first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "l_returnflag", "l_extendedprice", "l_quantity")
+        ).alias("items")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(items, orders.o_orderkey == items.l_orderkey, "left")
+
+
+# --------------------------------------------------------------------------
+# J2: EXISTS over an array-of-structs via higher-order function — the Spark
+# port of the reference flagship (README.md:41-59: EXISTS + UNNEST + LIKE).
+@query(
+    "nested_exists_returned_items",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_returnflag = 'R' AND l.l_extendedprice > 4000
+    )
+    """,
+)
+def nested_exists_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = _orders_with_item_arrays(spark, sf_dir)
+    return nested.filter(
+        F.exists(
+            "items",
+            lambda it: (it["l_returnflag"] == "R") & (it["l_extendedprice"] > 4000),
+        )
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# J2 doubly-nested: customer -> orders[] -> items[] mirrors the reference's
+# configurations.nodes[].cpe_match[] two-level EXISTS (README.md:41-59).
+@query(
+    "doubly_nested_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+        )
+    )
+    """,
+)
+def doubly_nested_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_quantity")).alias("items")
+    )
+    orders_nested = (
+        orders.join(items, orders.o_orderkey == items.l_orderkey, "left")
+        .groupBy("o_custkey")
+        .agg(F.collect_list(F.struct("o_orderkey", "items")).alias("cust_orders"))
+    )
+    nested = cust.join(orders_nested, cust.c_custkey == orders_nested.o_custkey, "inner")
+    return nested.filter(
+        F.exists(
+            "cust_orders",
+            lambda o: F.exists(o["items"], lambda it: it["l_quantity"] >= 49),
+        )
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# P2: dotted-path projection through struct levels with alias — the Spark
+# port of SELECT cve.CVE_data_meta.ID AS ID (reference bq_nvd/bq.py:156-158).
+@query(
+    "nested_projection_dotted_path",
+    oracle="SELECT c_name AS ID, c_mktsegment AS ASSIGNER FROM customer",
+)
+def nested_projection_dotted_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    # Build the two-level struct (cve.CVE_data_meta.{ID,ASSIGNER} shape),
+    # then project back out through dotted column paths.
+    nested = cust.select(
+        F.struct(
+            F.struct(
+                F.col("c_name").alias("ID"), F.col("c_mktsegment").alias("ASSIGNER")
+            ).alias("CVE_data_meta")
+        ).alias("cve")
+    )
+    return nested.select(
+        F.col("cve.CVE_data_meta.ID").alias("ID"),
+        F.col("cve.CVE_data_meta.ASSIGNER").alias("ASSIGNER"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 over a nested field: COUNT(struct.field) is null-skipping, like the
+# reference's COUNT(cve.CVE_data_meta.ID) (bq_nvd/bq.py:125-127).
+@query(
+    "count_nested_field",
+    oracle="SELECT COUNT(c_name) AS Count FROM customer",
+)
+def count_nested_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nested = cust.select(
+        F.struct(F.col("c_name").alias("ID")).alias("CVE_data_meta")
+    )
+    return nested.agg(F.count("CVE_data_meta.ID").alias("Count"))
+
+
+# --------------------------------------------------------------------------
+# F7: explode == UNNEST round-trip — build arrays, UNNEST them back out,
+# aggregate. Exercises explode (drops null/empty arrays, like BQ/DuckDB
+# UNNEST of NULL yielding zero rows).
+@query(
+    "explode_unnest_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def explode_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arrays = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_returnflag")).alias("items")
+    )
+    exploded = arrays.select(F.explode("items").alias("item"))
+    return exploded.groupBy(F.col("item.l_returnflag").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+
+
+# --------------------------------------------------------------------------
+# F7 HOFs: filter + transform + aggregate (fold) over a sorted array —
+# per-row computation with no shuffle beyond the array build.
+@query(
+    "hof_filter_transform_fold",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS high_value_revenue,
+           COUNT(*) AS n_high
+    FROM lineitem
+    WHERE l_quantity > 25
+    GROUP BY l_orderkey
+    """,
+)
+def hof_filter_transform_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arrays = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+            )
+        ).alias("items")
+    )
+    filtered = arrays.select(
+        "l_orderkey",
+        F.filter("items", lambda it: it["l_quantity"] > 25).alias("high_items"),
+    ).filter(F.size("high_items") > 0)
+    # transform -> per-item discounted price; aggregate -> sequential fold.
+    return filtered.select(
+        "l_orderkey",
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "high_items",
+                    lambda it: it["l_extendedprice"] * (1 - it["l_discount"]),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            2,
+        ).alias("high_value_revenue"),
+        F.size("high_items").cast("long").alias("n_high"),
+    )

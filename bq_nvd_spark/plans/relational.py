@@ -1,0 +1,410 @@
+"""Relational query surface over the driver star schema.
+
+Covers SURVEY.md §2 rows: J1 (anti join), J2-analog (semi join), J3
+(equi/broadcast joins), A1 (scalar count), A4 (grouped aggregates,
+distinct counts), §2.5 window functions, §2.6 sorts/limits/distinct,
+§2.7 set ops, P4 (LIKE), P6 (LIMIT).
+
+Scale notes (100 TB): every query here is a declarative plan — Catalyst
+pushes filters into the parquet scan, prunes columns, and picks broadcast
+hash joins for the dimension sides (region/nation/customer/supplier/part),
+so the only shuffles left are the ones the semantics require (grouping on
+the agg keys, sort-merge for fact-fact joins). AQE coalesces shuffle
+partitions and splits skewed keys at runtime.
+
+Float determinism: every computed float column is rounded identically in
+the Spark plan and the oracle so the driver's value-hash is stable across
+engines (summation order differs; the rounding absorbs the ulp noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# A4 / TPC-H Q1 shape: grouped aggregation with map-side partial aggregation.
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                 AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                            AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
+      ROUND(AVG(l_quantity), 4)                                 AS avg_qty,
+      ROUND(AVG(l_extendedprice), 4)                            AS avg_price,
+      ROUND(AVG(l_discount), 4)                                 AS avg_disc,
+      COUNT(*)                                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 + top-k: fact-fact join, grouped revenue, deterministic top 10.
+@query(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT
+      o.o_orderkey,
+      o.o_orderdate,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 star join: 5-way join through the dimension chain, grouped by nation.
+@query(
+    "q5_revenue_by_nation",
+    oracle="""
+    SELECT
+      n.n_name,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J1: left anti join — the reference pipeline's one real relational operator
+# (bq_nvd/etl.py:80-92 does this as an O(n*m) driver-side membership loop;
+# here it is a distributed broadcast anti-join, the 100 TB-safe formulation).
+@query(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 relational analog: EXISTS correlated subquery == left semi join.
+@query(
+    "semi_join_customers_with_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def semi_join_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# A1: scalar COUNT(col) — null-skipping count, the reference's bootstrap
+# check (SELECT COUNT(cve.CVE_data_meta.ID) AS Count — bq_nvd/bq.py:125-127).
+@query(
+    "agg_count_scalar",
+    oracle="SELECT COUNT(o_custkey) AS Count FROM orders",
+)
+def agg_count_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(F.count("o_custkey").alias("Count"))
+
+
+# --------------------------------------------------------------------------
+# A4: grouped multi-aggregate with exact distinct count.
+@query(
+    "group_agg_order_stats",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*)                              AS n_orders,
+      COUNT(DISTINCT o_custkey)             AS n_customers,
+      ROUND(SUM(o_totalprice), 2)           AS sum_price,
+      ROUND(AVG(o_totalprice), 4)           AS avg_price,
+      ROUND(MIN(o_totalprice), 2)           AS min_price,
+      ROUND(MAX(o_totalprice), 2)           AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def group_agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P4/F3: LIKE predicate pushed into the parquet scan.
+@query(
+    "like_filter_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%widget%'
+    """,
+)
+def like_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%widget%")).select("p_partkey", "p_name", "p_brand")
+
+
+# --------------------------------------------------------------------------
+# §2.6 + P6: global top-k — TakeOrderedAndProject, no full sort at scale.
+@query(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6: DISTINCT.
+@query(
+    "distinct_market_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_market_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.5 window: ranking (row_number) per partition with deterministic order.
+@query(
+    "window_top3_customers_per_nation",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    )
+    WHERE rnk <= 3
+    """,
+)
+def window_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 window: analytic running total over an ordered frame.
+@query(
+    "window_running_order_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 set ops.
+@query(
+    "set_intersect_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersect(done_keys)
+
+
+@query(
+    "set_except_custkeys",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    open_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.subtract(open_keys)
+
+
+@query(
+    "set_union_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    pending = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.union(pending).distinct()
+
+
+# --------------------------------------------------------------------------
+# J3 broadcast chain: orders per region through two broadcast dims.
+@query(
+    "orders_per_region",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

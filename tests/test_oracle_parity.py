@@ -1,0 +1,80 @@
+"""Mirror of the driver's correctness gate: run every registered Spark
+query and its DuckDB oracle on the same parquet tables and require an
+exact (order-insensitive) match on row count, column names, and values.
+
+Runs at sf0.001 for speed; the driver repeats this at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from bq_nvd_spark.plans import ORACLES, QUERIES
+from bq_nvd_spark.sources.tables import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def normalize(rows, colnames):
+    """Columns sorted by name, rows sorted by repr — order-insensitive."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def canon(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return repr(v)
+        return repr(v)
+
+    return sorted(tuple(canon(row[i]) for i in order) for row in rows)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    assert name in ORACLES, f"{name} has no oracle (rows-only check)"
+    con = duck_connection(sf_dir)
+    rel = con.sql(ORACLES[name])
+    duck_cols = rel.columns
+    duck_rows = rel.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_norm = normalize([tuple(r) for r in spark_rows], spark_cols)
+    d_norm = normalize(duck_rows, duck_cols)
+    mismatches = [
+        (i, s, d) for i, (s, d) in enumerate(zip(s_norm, d_norm)) if s != d
+    ]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_registry_consistency():
+    assert QUERIES, "no queries registered"
+    orphan_oracles = set(ORACLES) - set(QUERIES)
+    assert not orphan_oracles
