@@ -92,29 +92,34 @@ def _duck_band_cte() -> str:
     """
 
 
+def _minhash(toks, i: int):
+    """i-th md5-keyed minhash of a token array.
+
+    NOTE: the inner lambda must stay unary — PySpark treats a two-parameter
+    lambda as an (element, index) binary HOF lambda, which would rebind the
+    salt to the array-index Column instead of the captured Python int.
+    """
+    salt = f"{i}:"
+    return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(salt), t))))
+
+
 def _spark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → (band_idx, band_sig) pairs, computed in ONE pass: the 16
+    minhashes fold into an array of 4 band signatures which posexplode
+    unrolls — the signature subtree is scanned once, not once per band."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split("text", " "))
-    sig = docs.select(
-        "doc_id",
+    band_sigs = F.array(
         *[
-            F.array_min(
-                F.transform(toks, lambda t, i=i: F.md5(F.concat(F.lit(f"{i}:"), t)))
-            ).alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ],
+            F.concat(
+                *[_minhash(toks, b * BAND_SIZE + j) for j in range(BAND_SIZE)]
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    bands = None
-    for b in range(N_BANDS):
-        one = sig.select(
-            F.lit(b).alias("band_idx"),
-            F.concat(*[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]).alias(
-                "band_sig"
-            ),
-            "doc_id",
-        )
-        bands = one if bands is None else bands.unionAll(one)
-    return bands
+    return docs.select(
+        "doc_id", F.posexplode(band_sigs).alias("band_idx", "band_sig")
+    ).select("band_idx", "band_sig", "doc_id")
 
 
 @query(
@@ -163,6 +168,59 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# E2a at scale: per-bucket pair emission with a bucket-size cap. This is the
+# 100 TB candidate-pair path: group docs by (band_idx, band_sig), drop
+# pathological buckets (> PAIR_BUCKET_CAP members — a giant bucket of
+# near-identical boilerplate would emit O(n²) pairs), then emit each
+# bucket's pairs from its sorted member array with index-aware HOFs.
+# Output is bounded by cap²/2 × n_buckets; no all-pairs join ever happens.
+PAIR_BUCKET_CAP = 20
+
+
+@query(
+    "minhash_pairs_capped",
+    oracle=_duck_band_cte()
+    + f"""
+    , sized AS (
+      SELECT band_idx, band_sig
+      FROM bands
+      GROUP BY band_idx, band_sig
+      HAVING COUNT(*) BETWEEN 2 AND {PAIR_BUCKET_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+    JOIN sized s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
+    """,
+)
+def minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _spark_bands(spark, sf_dir)
+    buckets = (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs").between(2, PAIR_BUCKET_CAP))
+    )
+    # flatten(transform(docs, (a, i) -> transform(suffix after i, b -> (a, b))))
+    # — the two-parameter lambda here is the *intentional* (element, index)
+    # form of HOF lambdas (contrast _minhash, where it must be avoided).
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda a, i: F.transform(
+                F.slice("docs", i + F.lit(2), F.size("docs")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 
@@ -245,30 +303,37 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row formulation: token md5s once, then a fold over the 32
+    bit positions, each position folding the per-token parity votes. Zero
+    shuffle, zero row blowup — the signature stage is a projection, which
+    is the plan you want when `documents` is 100 TB (contrast the
+    crossJoin(32 positions) + two wide groupBys this replaces)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    positions = spark.range(1, 33).select(F.col("id").alias("i"))
-    votes = (
-        toks.crossJoin(positions)
-        .groupBy("doc_id", "i")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr("ascii(substring(md5(tok), cast(i as int), 1)) % 2 = 1"), 1
-                ).otherwise(-1)
-            ).alias("w")
+    hashes = F.transform(F.array_distinct(F.split("text", " ")), F.md5)
+
+    def votes_at(i):  # i: lambda-variable Column (1-based hex position)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.ascii(h.substr(i, F.lit(1))) % 2 == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
         )
+
+    # 2^(i-1) via pow: exact in a double up to 2^53, and i <= 32 here
+    # (shiftleft needs a literal shift amount, so it can't consume a
+    # lambda variable).
+    sig = F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            votes_at(i) > 0,
+            F.pow(F.lit(2.0), (i - 1).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("w") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(i - 1 as int))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    return docs.select("doc_id", sig.alias("simhash"))
 
 
 # --------------------------------------------------------------------------

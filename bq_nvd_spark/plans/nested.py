@@ -79,23 +79,24 @@ def nested_exists_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doubly_nested_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained LEFT SEMI joins — the scale-safe plan for two-level
+    EXISTS. A nested-array build (collect_list per customer, then HOF
+    exists) gives the same rows but materializes an unbounded array per
+    key: OOM/skew bait at 100 TB. The single-level HOF form lives in
+    nested_exists_returned_items; here the semi-join chain pushes the
+    l_quantity filter into the lineitem scan and never widens a row."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    items = li.groupBy("l_orderkey").agg(
-        F.collect_list(F.struct("l_linenumber", "l_quantity")).alias("items")
+    qualifying_orders = orders.join(
+        li.filter(F.col("l_quantity") >= 49).select("l_orderkey"),
+        orders.o_orderkey == F.col("l_orderkey"),
+        "left_semi",
     )
-    orders_nested = (
-        orders.join(items, orders.o_orderkey == items.l_orderkey, "left")
-        .groupBy("o_custkey")
-        .agg(F.collect_list(F.struct("o_orderkey", "items")).alias("cust_orders"))
-    )
-    nested = cust.join(orders_nested, cust.c_custkey == orders_nested.o_custkey, "inner")
-    return nested.filter(
-        F.exists(
-            "cust_orders",
-            lambda o: F.exists(o["items"], lambda it: it["l_quantity"] >= 49),
-        )
+    return cust.join(
+        qualifying_orders.select("o_custkey"),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_semi",
     ).select("c_custkey", "c_name")
 
 
@@ -164,15 +165,34 @@ def explode_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # F7 HOFs: filter + transform + aggregate (fold) over a sorted array —
 # per-row computation with no shuffle beyond the array build.
+# Oracle mirrors the Spark plan EXACTLY: same linenumber sort, same
+# filter, same sequential left-fold with 0.0 init (list_reduce over the
+# 0.0-prepended list), and the same *rounding algorithm* —
+# floor(x*100 + 0.5)/100 evaluates bit-identically in IEEE-754 doubles
+# on both engines, whereas Spark's ROUND (BigDecimal on the exact double)
+# and DuckDB's ROUND (round(x*100)/100) disagree at half-cent boundaries
+# like 49574.424999999996 (x*100 lands exactly on ....5 in double).
 @query(
     "hof_filter_transform_fold",
     oracle="""
+    WITH arrays AS (
+      SELECT l_orderkey,
+             list_transform(
+               list_filter(
+                 list_sort(list(struct_pack(
+                   ln := l_linenumber, q := l_quantity,
+                   ep := l_extendedprice, d := l_discount))),
+                 it -> it.q > 25),
+               it -> it.ep * (1 - it.d)) AS vals
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS high_value_revenue,
-           COUNT(*) AS n_high
-    FROM lineitem
-    WHERE l_quantity > 25
-    GROUP BY l_orderkey
+           FLOOR(list_reduce(list_prepend(0.0, vals), (a, x) -> a + x)
+                 * 100 + 0.5) / 100 AS high_value_revenue,
+           CAST(len(vals) AS BIGINT) AS n_high
+    FROM arrays
+    WHERE len(vals) > 0
     """,
 )
 def hof_filter_transform_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,19 +208,18 @@ def hof_filter_transform_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.filter("items", lambda it: it["l_quantity"] > 25).alias("high_items"),
     ).filter(F.size("high_items") > 0)
-    # transform -> per-item discounted price; aggregate -> sequential fold.
+    # transform -> per-item discounted price; aggregate -> sequential fold;
+    # floor(x*100+0.5)/100 is the cross-engine-deterministic 2-dp rounding.
+    fold = F.aggregate(
+        F.transform(
+            "high_items",
+            lambda it: it["l_extendedprice"] * (1 - it["l_discount"]),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return filtered.select(
         "l_orderkey",
-        F.round(
-            F.aggregate(
-                F.transform(
-                    "high_items",
-                    lambda it: it["l_extendedprice"] * (1 - it["l_discount"]),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            2,
-        ).alias("high_value_revenue"),
+        (F.floor(fold * 100 + 0.5) / 100).alias("high_value_revenue"),
         F.size("high_items").cast("long").alias("n_high"),
     )

@@ -9,9 +9,12 @@ identically on both sides to make the hash deterministic.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from bq_nvd_spark.session import tune_session
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -24,12 +27,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
     Pass ``oracle=None`` only for genuinely non-SQL-expressible operators
     (the driver then records a weaker rows-only check).
+
+    The registered callable tunes the provided session first (AQE + the
+    nanos-parquet legacy flag) — the driver hands us an externally-built
+    SparkSession, and session prep belongs at the plan entry point, not
+    as a hidden side effect inside the scan layer.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapper
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapper
 
     return deco

@@ -41,6 +41,11 @@ def get_spark(
         # shuffle. 64 MiB is safe for 128 GiB executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver testdata's events.ts carries parquet TIMESTAMP(NANOS),
+        # which Spark rejects by default; with this flag it scans as
+        # epoch-nanos longs and the scan layer converts to microseconds.
+        # Set once here — never as a side effect of a table read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -54,6 +59,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
             spark.conf.set(key, value)

@@ -27,20 +27,22 @@ TABLES = (
 
 
 # Parquet columns that carry TIMESTAMP(NANOS) physical type, which Spark
-# rejects by default. With spark.sql.legacy.parquet.nanosAsLong they scan
-# as epoch-nanos longs; we convert to microsecond timestamps at the scan
-# (the test data has no sub-microsecond components, so this is lossless
-# and matches DuckDB's value semantics).
+# rejects by default. Session construction sets
+# spark.sql.legacy.parquet.nanosAsLong (see session.py) so they scan as
+# epoch-nanos longs; the scan layer converts to microsecond timestamps
+# with floor division (exact for pre-epoch values too; the test data has
+# no sub-microsecond components, so this matches DuckDB's semantics).
 _NANOS_TS_COLUMNS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name in _NANOS_TS_COLUMNS:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            # `div` truncates toward zero; for negative (pre-1970) nanos we
+            # need floor semantics, so shift negatives down by 999 first.
+            micros = F.expr(f"if({col} >= 0, {col} div 1000, ({col} - 999) div 1000)")
+            df = df.withColumn(col, F.timestamp_micros(micros))
     return df
 
 
