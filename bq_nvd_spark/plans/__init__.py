@@ -4,7 +4,7 @@ Importing this package populates the registry (``QUERIES`` / ``ORACLES``)
 with every declared operator from SURVEY.md §2.
 """
 
-from bq_nvd_spark.plans import events, llm, nested, relational  # noqa: F401
+from bq_nvd_spark.plans import events, llm, nested, nvd_ingest, relational  # noqa: F401
 from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

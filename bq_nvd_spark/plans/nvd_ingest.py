@@ -1,0 +1,181 @@
+"""Oracle-checked queries over the REAL NVD ingest path (Layer A).
+
+Unlike the star-schema analogs elsewhere in ``plans/``, these run the
+actual pipeline surface — explicit-schema gz-JSON feed read (S2),
+``CVE_Items`` wrapper projection (P1, reference bq_nvd/etl.py:77),
+dotted-path projection (P2, bq.py:156-158), nested-array EXISTS with
+LIKE (J2/P4, reference README.md:41-59), scalar COUNT of the nested ID
+(A1, bq.py:125-127), and first-write-wins anti-join dedup (J1,
+etl.py:80-92) — over committed NVD-1.1-shaped feed fixtures, with DuckDB
+reading the very same ``.json.gz`` bytes as the oracle.
+
+The fixtures are deterministic (tests/fixtures/nvd/make_fixtures.py) and
+include the nasty cases: empty ``nodes``, missing ``configurations``
+(NULL struct — EXISTS must drop, matching UNNEST-of-NULL semantics),
+doubly-nested ``children[].cpe_match[]``, unknown JSON keys that schema
+projection must discard, and overlapping IDs across feeds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.nvd.etl import ID_COL, cve_items, deltas_only, read_feed
+from bq_nvd_spark.plans.registry import query
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+YEAR_FEED = os.path.join(_REPO_ROOT, "tests", "fixtures", "nvd", "nvdcve-1.1-2024.json.gz")
+RECENT_FEED = os.path.join(
+    _REPO_ROOT, "tests", "fixtures", "nvd", "nvdcve-1.1-recent.json.gz"
+)
+
+# DuckDB twin of read_feed + cve_items over the same gz bytes.
+def _duck_items(path: str) -> str:
+    return (
+        f"SELECT UNNEST(CVE_Items) AS item FROM read_json('{path}', "
+        "format='unstructured', records=true, maximum_object_size=16777216)"
+    )
+
+
+_DUCK_TS = "strptime({col}, '%Y-%m-%dT%H:%MZ')"
+
+
+# --------------------------------------------------------------------------
+# S2+P1+P2+F4: feed ingest — explicit-schema gz read, wrapper projection,
+# dotted-path + timestamp-typed projection of every CVE.
+@query(
+    "nvd_feed_ingest",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)})
+    SELECT item.cve.CVE_data_meta.ID                           AS ID,
+           item.cve.CVE_data_meta.ASSIGNER                     AS ASSIGNER,
+           {_DUCK_TS.format(col='item.publishedDate')}         AS publishedDate,
+           {_DUCK_TS.format(col='item.lastModifiedDate')}      AS lastModifiedDate,
+           item.impact.baseMetricV3.cvssV3.baseSeverity        AS severity,
+           item.impact.baseMetricV3.cvssV3.baseScore           AS base_score,
+           len(item.configurations.nodes)                      AS n_nodes,
+           len(item.cve."references".reference_data)           AS n_refs
+    FROM feed
+    """,
+)
+def nvd_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    return items.select(
+        F.col("cve.CVE_data_meta.ID").alias("ID"),
+        F.col("cve.CVE_data_meta.ASSIGNER").alias("ASSIGNER"),
+        "publishedDate",
+        "lastModifiedDate",
+        F.col("impact.baseMetricV3.cvssV3.baseSeverity").alias("severity"),
+        F.col("impact.baseMetricV3.cvssV3.baseScore").alias("base_score"),
+        F.size("configurations.nodes").cast("long").alias("n_nodes"),
+        F.size("cve.references.reference_data").cast("long").alias("n_refs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1: the reference's own count query — SELECT COUNT(cve.CVE_data_meta.ID)
+# AS Count (bq_nvd/bq.py:125-127), null-skipping over the nested field.
+@query(
+    "nvd_count_cves",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)})
+    SELECT COUNT(item.cve.CVE_data_meta.ID) AS Count FROM feed
+    """,
+)
+def nvd_count_cves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    return items.agg(F.count(F.col(ID_COL)).alias("Count"))
+
+
+# --------------------------------------------------------------------------
+# J2+P4: the reference README's flagship — CVEs whose configuration tree
+# contains a linux cpe23Uri (README.md:41-59: doubly-nested EXISTS +
+# UNNEST + LIKE), extended one level to children[].cpe_match[] so the
+# full 4-deep nesting is exercised. Per-row HOFs: no shuffle, no UNNEST
+# blowup; NULL configurations rows drop exactly like UNNEST of NULL.
+@query(
+    "nvd_flagship_linux_cves",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)})
+    SELECT item.cve.CVE_data_meta.ID AS ID
+    FROM feed
+    WHERE len(list_filter(item.configurations.nodes,
+              n -> len(list_filter(n.cpe_match,
+                       m -> m.cpe23Uri LIKE '%linux%')) > 0
+                OR len(list_filter(n.children,
+                       c -> len(list_filter(c.cpe_match,
+                                m -> m.cpe23Uri LIKE '%linux%')) > 0)) > 0
+          )) > 0
+    """,
+)
+def nvd_flagship_linux_cves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    has_linux = lambda m: m["cpe23Uri"].like("%linux%")  # noqa: E731
+    return items.filter(
+        F.exists(
+            "configurations.nodes",
+            lambda n: F.exists(n["cpe_match"], has_linux)
+            | F.exists(
+                n["children"], lambda c: F.exists(c["cpe_match"], has_linux)
+            ),
+        )
+    ).select(F.col(ID_COL).alias("ID"))
+
+
+# --------------------------------------------------------------------------
+# J1+A3 shape: first-write-wins dedup across feeds — the recent feed minus
+# IDs already present in the year feed (existing rows win; the two
+# re-published entries with later lastModifiedDate must NOT survive).
+@query(
+    "nvd_first_write_wins",
+    oracle=f"""
+    WITH year_feed AS ({_duck_items(YEAR_FEED)}),
+         recent AS ({_duck_items(RECENT_FEED)})
+    SELECT r.item.cve.CVE_data_meta.ID                      AS ID,
+           {_DUCK_TS.format(col='r.item.lastModifiedDate')} AS lastModifiedDate
+    FROM recent r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM year_feed y
+      WHERE y.item.cve.CVE_data_meta.ID = r.item.cve.CVE_data_meta.ID
+    )
+    """,
+)
+def nvd_first_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = cve_items(read_feed(spark, YEAR_FEED)).select(
+        F.col(ID_COL).alias("ID")
+    )
+    incoming = cve_items(read_feed(spark, RECENT_FEED))
+    delta = deltas_only(incoming, existing)
+    return delta.select(F.col(ID_COL).alias("ID"), "lastModifiedDate")
+
+
+# --------------------------------------------------------------------------
+# Nested-projection analytics over the ingest: severity histogram from a
+# 4-deep dotted path, the mirror's raison d'être (count-by-anything over
+# the NVD, reference README.md:7).
+@query(
+    "nvd_severity_summary",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)})
+    SELECT item.impact.baseMetricV3.cvssV3.baseSeverity AS severity,
+           COUNT(*)                                     AS n_cves,
+           MIN(item.impact.baseMetricV3.cvssV3.baseScore) AS min_score,
+           MAX(item.impact.baseMetricV3.cvssV3.baseScore) AS max_score
+    FROM feed
+    GROUP BY 1
+    """,
+)
+def nvd_severity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    sev = F.col("impact.baseMetricV3.cvssV3.baseSeverity")
+    score = F.col("impact.baseMetricV3.cvssV3.baseScore")
+    return items.groupBy(sev.alias("severity")).agg(
+        F.count(F.lit(1)).alias("n_cves"),
+        F.min(score).alias("min_score"),
+        F.max(score).alias("max_score"),
+    )

@@ -1,0 +1,195 @@
+"""Golden-file tests for the Layer-A NVD ingest pipeline (SURVEY.md §5):
+schema port fidelity, first-write-wins dedup, empty-delta no-op, the
+bootstrap/incremental switch, and the NDJSON sink roundtrip.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from bq_nvd_spark.nvd import (
+    NvdStore,
+    cve_items,
+    ingest_feed,
+    nvd_schema,
+    parse_bq_json_schema,
+    read_cve_ndjson,
+    read_feed,
+    run,
+    write_ndjson,
+)
+from bq_nvd_spark.nvd.etl import ID_COL
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "nvd")
+YEAR_FEED = os.path.join(FIXTURES, "nvdcve-1.1-2024.json.gz")
+RECENT_FEED = os.path.join(FIXTURES, "nvdcve-1.1-recent.json.gz")
+
+
+# --------------------------------------------------------------------------
+# S7: schema loader semantics (reference bq_nvd/bq.py:24-82)
+def test_schema_loader_defaults():
+    """No ``type`` → STRING, no ``mode`` → NULLABLE (bq.py:51-52);
+    RECORD → struct, REPEATED → array."""
+    doc = [
+        {"name": "plain"},  # both defaults
+        {"name": "score", "type": "FLOAT"},
+        {"name": "when", "type": "TIMESTAMP"},
+        {"name": "tags", "mode": "REPEATED"},  # repeated string
+        {
+            "name": "rec",
+            "type": "RECORD",
+            "mode": "REPEATED",
+            "fields": [{"name": "inner"}],
+        },
+    ]
+    st = parse_bq_json_schema(doc)
+    assert st == StructType(
+        [
+            StructField("plain", StringType(), True),
+            StructField("score", DoubleType(), True),
+            StructField("when", TimestampType(), True),
+            StructField("tags", ArrayType(StringType(), True), True),
+            StructField(
+                "rec",
+                ArrayType(StructType([StructField("inner", StringType(), True)]), True),
+                True,
+            ),
+        ]
+    )
+
+
+def test_nvd_schema_shape():
+    """The ported schema exposes the reference's full 4-deep field tree."""
+    st = nvd_schema()
+    names = set(st.fieldNames())
+    assert names == {"lastModifiedDate", "impact", "configurations", "publishedDate", "cve"}
+    # 4 deep: configurations.nodes[].children[].cpe_match[].cpe23Uri
+    nodes = st["configurations"].dataType["nodes"].dataType.elementType
+    cpe = nodes["children"].dataType.elementType["cpe_match"].dataType.elementType
+    assert cpe["cpe23Uri"].dataType == StringType()
+    assert st["publishedDate"].dataType == TimestampType()
+
+
+# --------------------------------------------------------------------------
+# S2/P1/P3: explicit-schema gz read — lenient ingest drops unknown keys
+def test_feed_read_drops_unknown_keys(spark):
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    assert items.schema == nvd_schema()
+    # the fixture's items all carry sourceIdentifier/vendorComments —
+    # projection-to-schema must have discarded them silently
+    assert "sourceIdentifier" not in items.columns
+    assert items.count() == 8
+
+
+def test_feed_read_null_vs_empty_arrays(spark):
+    """Missing configurations → NULL struct; empty nodes list → []."""
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    by_id = {
+        r["ID"]: r
+        for r in items.select(
+            F.col(ID_COL).alias("ID"),
+            F.col("configurations").isNull().alias("conf_null"),
+            F.size("configurations.nodes").alias("n_nodes"),
+        ).collect()
+    }
+    assert by_id["CVE-2024-0005"]["conf_null"] is True
+    assert by_id["CVE-2024-0004"]["n_nodes"] == 1  # node present, empty cpe_match
+    assert by_id["CVE-2024-0001"]["n_nodes"] == 1
+
+
+# --------------------------------------------------------------------------
+# J1/A3/T2: store semantics through the full pipeline
+def test_bootstrap_then_incremental_first_write_wins(spark, tmp_path):
+    store = NvdStore(spark, str(tmp_path / "nvd_store"))
+
+    # Greenfield: count triggers create (S6) and reports 0 (bq.py:137-140)
+    assert store.count_cves() == 0
+
+    # Bootstrap (count < threshold) loads the year feed
+    results = run(spark, store, [YEAR_FEED], RECENT_FEED, bootstrap_threshold=5)
+    assert [r.loaded for r in results] == [8]
+    assert store.count_cves() == 8
+
+    # Brownfield now (8 >= 5): incremental loads only the 2 genuinely-new
+    results = run(spark, store, [YEAR_FEED], RECENT_FEED, bootstrap_threshold=5)
+    assert [(r.loaded, r.skipped) for r in results] == [(2, False)]
+    assert store.count_cves() == 10
+
+    # First-write-wins: the re-published CVE-2024-0002 kept its ORIGINAL
+    # lastModifiedDate (existing rows win, reference etl.py:87-88)
+    kept = (
+        store.read()
+        .filter(F.col(ID_COL) == "CVE-2024-0002")
+        .select("lastModifiedDate")
+        .collect()
+    )
+    assert len(kept) == 1
+    assert kept[0][0].isoformat() == "2024-01-06T09:00:00"
+
+    # Idempotent re-run: empty delta short-circuits, no write (etl.py:94-96)
+    results = run(spark, store, [YEAR_FEED], RECENT_FEED, bootstrap_threshold=5)
+    assert [(r.loaded, r.skipped) for r in results] == [(0, True)]
+    assert store.count_cves() == 10
+
+
+def test_store_partitioned_by_year(spark, tmp_path):
+    store = NvdStore(spark, str(tmp_path / "store"))
+    ingest_feed(spark, store, YEAR_FEED)
+    years = {n for n in os.listdir(store.path) if n.startswith("_pub_year=")}
+    assert years == {"_pub_year=2024"}
+
+
+# --------------------------------------------------------------------------
+# S3: NDJSON staging sink roundtrip (reference etl.py:98-116)
+def test_ndjson_sink_roundtrip(spark, tmp_path):
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    out = str(tmp_path / "staged")
+    write_ndjson(items, out)
+
+    # one compact JSON object per line
+    part_files = [
+        os.path.join(out, n) for n in os.listdir(out) if n.startswith("part-")
+    ]
+    lines = []
+    for p in part_files:
+        with open(p) as f:
+            lines.extend(line for line in f.read().splitlines() if line)
+    assert len(lines) == 8
+    assert all(json.loads(line)["cve"]["CVE_data_meta"]["ID"] for line in lines)
+
+    # and the roundtrip preserves rows
+    back = read_cve_ndjson(spark, out)
+    assert back.schema == nvd_schema()
+    orig_ids = {r[0] for r in items.select(ID_COL).collect()}
+    back_ids = {r[0] for r in back.select(ID_COL).collect()}
+    assert back_ids == orig_ids
+
+
+# --------------------------------------------------------------------------
+# within-batch dedup determinism
+def test_dedup_within_batch(spark, tmp_path):
+    """A feed carrying the same ID twice loads exactly one row."""
+    feed = json.loads(gzip.open(YEAR_FEED).read())
+    feed["CVE_Items"].append(dict(feed["CVE_Items"][0]))  # duplicate ID
+    dup_path = str(tmp_path / "dup.json.gz")
+    with gzip.open(dup_path, "wt") as f:
+        json.dump(feed, f)
+
+    store = NvdStore(spark, str(tmp_path / "store"))
+    result = ingest_feed(spark, store, dup_path)
+    assert result.loaded == 8
+    ids = [r[0] for r in store.read().select(ID_COL).collect()]
+    assert len(ids) == len(set(ids)) == 8
