@@ -1,0 +1,116 @@
+"""E3 similarity search — the bucketed ANN scale path.
+
+Brute-force cosine top-k (``plans/llm.py::cosine_topk``) is exact but
+O(N·Q): every query batch rescans the full corpus. This module adds the
+100 TB path: **sign-LSH (random-hyperplane) bucketing**.
+
+- ``N_BITS`` deterministic ±1 hyperplanes are generated from md5 (pure
+  Python at plan-build time) and embedded as literals in BOTH the Spark
+  plan and the DuckDB oracle, so the two engines compute identical
+  signatures — no RNG, no state.
+- Each vector's bits (sign of vector·hyperplane) fold into
+  ``N_BANDS`` band-bucket ids (banding trades precision for recall the
+  same way MinHash-LSH does).
+- Candidates = (query, corpus) pairs sharing ANY band bucket — an
+  equi-join on (band, bucket), which shuffles on uniformly-distributed
+  hash-like keys instead of cross-joining the corpus.
+- Candidates are re-ranked with the exact fold-ordered cosine and
+  windowed to top-k.
+
+At 100 TB the corpus side computes signatures in a single projection
+(no shuffle), the bucket join replaces the O(N·Q) scan, and bucket
+occupancy is tunable via N_BITS (more bits → smaller buckets → fewer
+candidates per query).
+
+All float reductions are sequential left-folds with 0.0 init in both
+engines; similarity is rounded with floor(x*1e4+0.5)/1e4, which
+evaluates bit-identically in IEEE-754 doubles (see plans/nested.py for
+why ROUND is not cross-engine-safe).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DIM = 64
+N_BANDS = 4
+BITS_PER_BAND = 8
+N_BITS = N_BANDS * BITS_PER_BAND
+
+
+def _plane_component(bit: int, i: int) -> float:
+    """Deterministic ±1: parity of the first hex nibble of
+    md5('plane:{bit}:{i}')."""
+    h = hashlib.md5(f"plane:{bit}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 1 else -1.0
+
+
+def hyperplanes() -> list[list[float]]:
+    """N_BITS hyperplanes of DIM ±1 components, fixed for all time."""
+    return [
+        [_plane_component(bit, i) for i in range(DIM)] for bit in range(N_BITS)
+    ]
+
+
+_PLANES = hyperplanes()
+
+
+# -- Spark side ------------------------------------------------------------
+def fold_dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-fold dot product — deterministic float order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _plane_lit(bit: int) -> Column:
+    return F.array(*[F.lit(c) for c in _PLANES[bit]])
+
+
+def band_buckets(vec: Column | str) -> Column:
+    """array<int> of N_BANDS bucket ids for a double-array column.
+
+    Bit j of band b is sign(vec · plane[b*BITS_PER_BAND + j]); the band
+    bucket is the little-endian integer of its bits. Pure per-row
+    projection: zero shuffle, and whole columns of it pipeline inside
+    one stage.
+    """
+    bands = []
+    for b in range(N_BANDS):
+        bucket = F.lit(0)
+        for j in range(BITS_PER_BAND):
+            bit = b * BITS_PER_BAND + j
+            bucket = bucket + F.when(
+                fold_dot(vec, _plane_lit(bit)) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        bands.append(bucket)
+    return F.array(*bands)
+
+
+# -- DuckDB oracle side ----------------------------------------------------
+def duck_fold_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {DIM + 1}), "
+        f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def duck_band_buckets(vec: str) -> str:
+    """DuckDB twin of band_buckets — identical plane literals, identical
+    fold order."""
+    bands = []
+    for b in range(N_BANDS):
+        bits = []
+        for j in range(BITS_PER_BAND):
+            bit = b * BITS_PER_BAND + j
+            plane = "[" + ", ".join(
+                f"{c:.1f}" for c in _PLANES[bit]
+            ) + "]"
+            bits.append(
+                f"CASE WHEN {duck_fold_dot(vec, plane)} > 0 THEN {1 << j} ELSE 0 END"
+            )
+        bands.append(" + ".join(bits))
+    return "[" + ", ".join(bands) + "]"

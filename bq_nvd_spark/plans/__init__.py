@@ -4,7 +4,14 @@ Importing this package populates the registry (``QUERIES`` / ``ORACLES``)
 with every declared operator from SURVEY.md §2.
 """
 
-from bq_nvd_spark.plans import events, llm, nested, nvd_ingest, relational  # noqa: F401
+from bq_nvd_spark.plans import (  # noqa: F401
+    events,
+    llm,
+    nested,
+    nvd_ingest,
+    relational,
+    similarity_search,
+)
 from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,119 @@
+"""E3 queries: LSH-bucketed approximate nearest neighbor (scale path).
+
+The exactness baseline is ``plans/llm.py::cosine_topk`` (brute force,
+O(N·Q)); here the same query/candidate split runs through the sign-LSH
+bucket join from ``operators/similarity.py``. The result is the exact
+cosine top-k *restricted to bucket-sharing candidates* — deterministic
+in both engines because the hyperplanes are fixed literals and every
+float reduction is a sequential fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.operators.similarity import (
+    band_buckets,
+    duck_band_buckets,
+    duck_fold_dot,
+    fold_dot,
+)
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+TOP_K = 10
+_QUERY_MAX_ID = 5  # vec_id < 5 are the query set, the rest the corpus
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, v,
+             SQRT({duck_fold_dot('v', 'v')}) AS nrm,
+             {duck_band_buckets('v')}        AS bands
+      FROM e
+    ),
+    buckets AS (
+      SELECT vec_id, v, nrm, b.band_idx, bands[b.band_idx + 1] AS bucket
+      FROM sig, (SELECT UNNEST(range(0, 4)) AS band_idx) b
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, band_idx, bucket
+          FROM buckets WHERE vec_id < {_QUERY_MAX_ID}),
+    c AS (SELECT vec_id, v AS cv, nrm AS cn, band_idx, bucket
+          FROM buckets WHERE vec_id >= {_QUERY_MAX_ID}),
+    cand AS (
+      SELECT DISTINCT q.q_id, q.qv, q.qn, c.vec_id, c.cv, c.cn
+      FROM q JOIN c ON q.band_idx = c.band_idx AND q.bucket = c.bucket
+    ),
+    scored AS (
+      SELECT q_id, vec_id,
+             FLOOR({duck_fold_dot('qv', 'cv')} / (qn * cn) * 10000 + 0.5)
+               / 10000 AS sim
+      FROM cand
+    )
+    SELECT q_id, vec_id, sim
+    FROM (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k: signatures are a per-row projection, candidate
+    generation is an equi-join on (band, bucket) — never a corpus cross
+    join — and only bucket-sharing pairs pay the exact cosine."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sig = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(fold_dot("v", "v")).alias("nrm"),
+        band_buckets("v").alias("bands"),
+    )
+    buckets = sig.select(
+        "vec_id", "v", "nrm", F.posexplode("bands").alias("band_idx", "bucket")
+    )
+    q = buckets.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "band_idx",
+        "bucket",
+    )
+    c = buckets.filter(F.col("vec_id") >= _QUERY_MAX_ID).select(
+        "vec_id",
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "band_idx",
+        "bucket",
+    )
+    cand = (
+        c.join(F.broadcast(q), ["band_idx", "bucket"])
+        .select("q_id", "qv", "qn", "vec_id", "cv", "cn")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        (
+            F.floor(fold_dot("qv", "cv") / (F.col("qn") * F.col("cn")) * 10000 + 0.5)
+            / 10000
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", "sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
