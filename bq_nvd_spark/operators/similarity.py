@@ -66,28 +66,47 @@ def fold_dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def _plane_lit(bit: int) -> Column:
-    return F.array(*[F.lit(c) for c in _PLANES[bit]])
+def _planes_lit() -> Column:
+    """All N_BITS hyperplanes as ONE array<array<double>> literal.
+
+    A single nested literal keeps the expression tree small: the naive
+    form (one expanded dot product per bit, each with its own 64-literal
+    plane) blows past Janino's method-size limit, knocking the whole
+    projection out of whole-stage codegen into interpreted eval.
+    """
+    return F.array(
+        *[F.array(*[F.lit(c) for c in row]) for row in _PLANES]
+    )
 
 
 def band_buckets(vec: Column | str) -> Column:
     """array<int> of N_BANDS bucket ids for a double-array column.
 
     Bit j of band b is sign(vec · plane[b*BITS_PER_BAND + j]); the band
-    bucket is the little-endian integer of its bits. Pure per-row
-    projection: zero shuffle, and whole columns of it pipeline inside
-    one stage.
+    bucket is the little-endian integer of its bits. One ``transform``
+    over the plane array computes every bit, then each band folds its
+    slice of bits against a weight vector. Pure per-row projection:
+    zero shuffle, codegen-sized expressions.
     """
-    bands = []
-    for b in range(N_BANDS):
-        bucket = F.lit(0)
-        for j in range(BITS_PER_BAND):
-            bit = b * BITS_PER_BAND + j
-            bucket = bucket + F.when(
-                fold_dot(vec, _plane_lit(bit)) > 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
-        bands.append(bucket)
-    return F.array(*bands)
+    bits = F.transform(
+        _planes_lit(),
+        lambda p: F.when(fold_dot(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    weights = F.array(*[F.lit(1 << j) for j in range(BITS_PER_BAND)])
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(bits, b * BITS_PER_BAND + 1, BITS_PER_BAND),
+                    weights,
+                    lambda x, w: x * w,
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            for b in range(N_BANDS)
+        ]
+    )
 
 
 # -- DuckDB oracle side ----------------------------------------------------

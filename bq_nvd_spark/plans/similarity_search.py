@@ -98,18 +98,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_idx",
         "bucket",
     )
-    cand = (
+    # Score straight off the broadcast join, THEN distinct: the score is
+    # deterministic per (q, c) pair, so band-duplicate matches collapse in
+    # a distinct over three scalar columns — no 64-double vector payload
+    # ever enters a shuffle.
+    scored = (
         c.join(F.broadcast(q), ["band_idx", "bucket"])
-        .select("q_id", "qv", "qn", "vec_id", "cv", "cn")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.floor(
+                    fold_dot("qv", "cv") / (F.col("qn") * F.col("cn")) * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("sim"),
+        )
         .distinct()
-    )
-    scored = cand.select(
-        "q_id",
-        "vec_id",
-        (
-            F.floor(fold_dot("qv", "cv") / (F.col("qn") * F.col("cn")) * 10000 + 0.5)
-            / 10000
-        ).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
