@@ -9,6 +9,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     llm,
     nested,
     nvd_ingest,
+    python_udfs,
     relational,
     similarity_search,
 )

@@ -1,0 +1,182 @@
+"""§2.10 Python extension surface — pandas_udf / applyInPandas / mapInPandas.
+
+The reference delegates everything non-SQL to its host warehouse; this
+engine's equivalent escape hatch is Arrow-batched Python. These queries
+exercise each of the three shapes over the ``documents`` table:
+
+- scalar ``pandas_udf``             — language ID, BPE-ish token counts
+  (``operators/text.py``)
+- grouped-map ``applyInPandas``     — per-language corpus profile
+- ``mapInPandas`` (1:1 and 1:N)     — multimodal decode + frame sampling
+  (``operators/multimodal.py``)
+
+Every computation is exact integer math (or carried values), so despite
+running in Python the results hash-match a pure-SQL DuckDB oracle — the
+correctness gate covers the UDF plumbing itself: Arrow schema mapping,
+batch iteration, grouped-map key handling, and 1:N fan-out.
+
+Scale notes (100 TB): all five are per-row or per-group projections with
+no shuffle beyond the one grouped-map exchange; payloads are projected
+down to scalars inside the Python stage so no binary column ever enters
+a shuffle. ``applyInPandas`` materializes each group in one pandas frame
+— fine for bounded groups (languages), never for unbounded keys.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from bq_nvd_spark.operators.multimodal import decode_media, frame_sample
+from bq_nvd_spark.operators.text import (
+    bpe_token_count,
+    langid_predict,
+    langid_predict_sql,
+)
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# E5a: mapInPandas decode — one feature row per media row.
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                        AS n_bytes,
+           16 + ascii(substr(text, 1, 1)) % 16                 AS width,
+           16 + ascii(substr(text, CAST(length(text) AS INTEGER), 1)) % 16
+                                                               AS height,
+           (list_reduce(
+              list_transform(range(1, length(text) + 1),
+                             i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+              (a, c) -> a + c) * 100) // length(text)          AS mean_byte_x100
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → typed features via Arrow-batched fake decode.
+
+    The payload is the UTF-8 encoding of ASCII text, so byte values equal
+    character codes and the oracle can recompute every feature in SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return decode_media(media)
+
+
+# --------------------------------------------------------------------------
+# E5b: mapInPandas frame sampling — 1:N fan-out.
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(ascii(substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 1)) AS BIGINT)
+                                     AS frame_val
+    FROM (
+      SELECT doc_id, text,
+             UNNEST(range(0, (length(text) + 31) // 32)) AS frame_idx
+      FROM documents
+      WHERE length(text) > 0
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return frame_sample(media)
+
+
+# --------------------------------------------------------------------------
+# E4e: scalar pandas_udf language ID, evaluated against the labels.
+@query(
+    "langid_ngram_pred",
+    oracle=f"""
+    SELECT lang, {langid_predict_sql("text")} AS pred_lang, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def langid_ngram_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", langid_predict("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# E4f: scalar pandas_udf BPE-ish token counting.
+@query(
+    "bpe_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+# --------------------------------------------------------------------------
+# §2.10 grouped-map: applyInPandas per-language corpus profile.
+_PROFILE_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("total_chars", LongType()),
+        StructField("max_chars", LongType()),
+        StructField("top_doc", LongType()),
+    ]
+)
+
+
+def _lang_profile(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One profile row per language group; top_doc is the smallest doc_id
+    among the longest documents (deterministic tie-break)."""
+    mx = int(pdf["n_chars"].max())
+    top = int(pdf.loc[pdf["n_chars"] == mx, "doc_id"].min())
+    return pd.DataFrame(
+        [
+            (
+                pdf["lang"].iloc[0],
+                len(pdf),
+                int(pdf["n_chars"].sum()),
+                mx,
+                top,
+            )
+        ],
+        columns=[f.name for f in _PROFILE_SCHEMA.fields],
+    )
+
+
+@query(
+    "lang_group_profile",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             COUNT(*)                     AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             MAX(n_chars)                 AS max_chars
+      FROM documents
+      GROUP BY lang
+    )
+    SELECT g.lang, g.n_docs, g.total_chars, g.max_chars,
+           MIN(d.doc_id) AS top_doc
+    FROM g
+    JOIN documents d ON d.lang = g.lang AND d.n_chars = g.max_chars
+    GROUP BY g.lang, g.n_docs, g.total_chars, g.max_chars
+    """,
+)
+def lang_group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return docs.groupBy("lang").applyInPandas(_lang_profile, _PROFILE_SCHEMA)
