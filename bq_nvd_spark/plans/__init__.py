@@ -13,6 +13,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     relational,
     similarity_search,
 )
+from bq_nvd_spark import streaming  # noqa: F401  (registers streaming queries)
 from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,9 @@
+"""Structured Streaming surface: readStream twins of the batch plans."""
+
+from bq_nvd_spark.streaming.micro_batch import (  # noqa: F401
+    EVENTS_STREAM_SCHEMA,
+    run_available_now,
+    stream_events,
+    streaming_dedup_keys,
+    streaming_tumbling_counts,
+)

@@ -1,0 +1,141 @@
+"""Structured Streaming formulations of the incremental plans (SURVEY §2.9).
+
+The reference's incremental mode is a 20-minute CronJob re-running a batch
+job (reference cronjob.yml:6, bq-nvd.py:70-104). Spark's native shape for
+exactly that contract is a **file-source stream with
+``Trigger.AvailableNow``**: each activation drains whatever landed since
+the last checkpoint in bounded micro-batches, then exits — a scheduled
+batch job with streaming's bookkeeping (exactly-once file tracking,
+keyed state) for free.
+
+Two plans run here in streaming form, each equivalent to its batch twin:
+
+- ``streaming_tumbling_counts`` — event-time tumbling window aggregation
+  (T4). Complete output mode: with AvailableNow every activation ends
+  with the full corrected aggregate, mirroring the reference's
+  re-run-and-overwrite semantics.
+- ``streaming_dedup_keys`` — keyed first-write-wins dedup (T3,
+  reference etl.py:87-88) via ``dropDuplicates`` state. Projected to the
+  key columns so the emitted row-set is deterministic (which *row* wins
+  under arrival order is not; which *keys* exist is).
+
+Both are registered queries: the callable runs the stream to completion
+against a memory sink and returns the result as a plain DataFrame, so
+the driver's DuckDB oracle hash-checks the streaming path end to end.
+
+Scale notes (100 TB): the file source lists and checkpoints incremental
+files only — a steady-state activation reads the delta, not the lake.
+Window/dedup state shuffles once on its key; in an unbounded deployment
+the dedup would be ``dropDuplicatesWithinWatermark`` and the window agg
+would carry ``withWatermark`` + append mode to bound state — with
+AvailableNow's finite runs, complete/global forms keep results exact.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bq_nvd_spark.plans.registry import query
+
+#: Streaming file sources require an explicit schema (no inference at
+#: plan time). ``ts`` is physically TIMESTAMP(NANOS), scanned as
+#: epoch-nanos long under spark.sql.legacy.parquet.nanosAsLong — the
+#: same contract as the batch scan layer (sources/tables.py).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_SINK_IDS = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with nanos→timestamp repair."""
+    # The file source derives basePath from the path and requires a
+    # directory; the store lays tables out as single files, so glob the
+    # events file (a glob makes the source anchor basePath at sf_dir).
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet*")
+    )
+    micros = F.expr("if(ts >= 0, ts div 1000, (ts - 999) div 1000)")
+    return raw.withColumn("ts", F.timestamp_micros(micros))
+
+
+def run_available_now(
+    df: DataFrame, *, output_mode: str, name_prefix: str
+) -> DataFrame:
+    """Drain a streaming DataFrame with Trigger.AvailableNow into a memory
+    sink and return the materialized result as a batch DataFrame."""
+    name = f"{name_prefix}_{next(_SINK_IDS)}"
+    with tempfile.TemporaryDirectory(prefix="bq_nvd_ckpt_") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+# --------------------------------------------------------------------------
+# T4 streaming: tumbling event-time window over the stream.
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT
+      DATE_TRUNC('hour', ts)  AS window_start,
+      event_type,
+      COUNT(*)                AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    return run_available_now(
+        agg, output_mode="complete", name_prefix="stream_tumbling"
+    )
+
+
+# --------------------------------------------------------------------------
+# T3 streaming: keyed dedup via dropDuplicates state.
+@query(
+    "streaming_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_available_now(
+        deduped, output_mode="append", name_prefix="stream_dedup"
+    )

@@ -1,0 +1,61 @@
+"""Batch-equivalence of the Structured Streaming plans.
+
+The oracle-parity suite already hash-checks the streaming queries against
+DuckDB; these tests additionally pin the *streaming vs batch* contract —
+an AvailableNow drain of the file stream must produce exactly the batch
+plan's result — and that the stream really runs through the streaming
+engine (isStreaming, bounded trigger)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.sources.tables import load_table
+from bq_nvd_spark.streaming import (
+    run_available_now,
+    stream_events,
+    streaming_dedup_keys,
+    streaming_tumbling_counts,
+)
+
+
+def _as_set(df):
+    return {tuple(map(repr, row)) for row in df.collect()}
+
+
+def test_stream_events_is_streaming(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    assert ev.isStreaming
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    streamed = streaming_tumbling_counts(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert _as_set(streamed) == _as_set(batch)
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
+    streamed = streaming_dedup_keys(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).distinct()
+    assert _as_set(streamed) == _as_set(batch)
+
+
+def test_available_now_rerun_is_stable(spark, sf_dir):
+    """Two activations over the same files agree (fresh checkpoints)."""
+    first = run_available_now(
+        stream_events(spark, sf_dir).select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        ),
+        output_mode="append",
+        name_prefix="stability",
+    )
+    second = streaming_dedup_keys(spark, sf_dir)
+    assert _as_set(first) == _as_set(second)
