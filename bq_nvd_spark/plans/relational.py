@@ -239,6 +239,30 @@ def like_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F2: string normalization — regexp_replace + literal replace (the
+# reference rewrites strings the same way during ETL, etl.py:72). Spark's
+# regexp_replace is global by default; DuckDB needs the 'g' flag.
+@query(
+    "regex_normalize_parts",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           replace(p_brand, 'Brand#', 'B')             AS brand_code
+    FROM part
+    """,
+)
+def regex_normalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias(
+            "brand_code"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.6 + P6: global top-k — TakeOrderedAndProject, no full sort at scale.
 @query(
     "topk_orders_by_price",
