@@ -1,5 +1,11 @@
 """Layer A — the NVD ingest pipeline (SURVEY.md §2.1–§2.2, §2.9)."""
 
+from bq_nvd_spark.nvd.download import (
+    download_feed,
+    download_feeds,
+    feed_names,
+    feed_url,
+)
 from bq_nvd_spark.nvd.etl import (
     NvdStore,
     cve_items,
@@ -19,7 +25,11 @@ __all__ = [
     "cve_items",
     "dedup_within",
     "deltas_only",
+    "download_feed",
+    "download_feeds",
+    "feed_names",
     "feed_schema",
+    "feed_url",
     "ingest_feed",
     "nvd_schema",
     "parse_bq_json_schema",

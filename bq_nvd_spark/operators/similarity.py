@@ -32,8 +32,12 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
 
 DIM = 64
 N_BANDS = 4
@@ -107,6 +111,37 @@ def band_buckets(vec: Column | str) -> Column:
             for b in range(N_BANDS)
         ]
     )
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def band_buckets_np(vecs: pd.Series) -> pd.Series:
+    """Vectorized twin of ``band_buckets`` — one numpy matmul per Arrow
+    batch instead of ~4k interpreted lambda evaluations per row.
+
+    Higher-order functions never enter whole-stage codegen, so the HOF
+    formulation pays interpreted-eval overhead per element; at 2048
+    multiply-adds per row that overhead IS the signature stage's cost.
+    This is the sanctioned escape hatch (§2.10): batch the rows through
+    Arrow and let BLAS do the arithmetic.
+
+    Sign agreement with the fold-ordered formulation (and the DuckDB
+    oracle) holds whenever no |dot| falls within float-reorder error
+    (~1e-13) of zero — with ±1 planes and unit-scale vectors the dots
+    are O(0.1), and ``tests/test_similarity_ops.py`` pins exact
+    equality of both formulations on the test corpus.
+    """
+    planes_t = np.asarray(_PLANES).T  # (DIM, N_BITS)
+    weights = 1 << np.arange(BITS_PER_BAND)
+    mat = np.vstack(vecs.to_numpy())  # (n, DIM)
+    bits = (mat @ planes_t) > 0  # (n, N_BITS)
+    bands = np.stack(
+        [
+            bits[:, b * BITS_PER_BAND : (b + 1) * BITS_PER_BAND] @ weights
+            for b in range(N_BANDS)
+        ],
+        axis=1,
+    ).astype("int32")
+    return pd.Series(list(bands))
 
 
 # -- DuckDB oracle side ----------------------------------------------------

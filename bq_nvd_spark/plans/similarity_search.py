@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bq_nvd_spark.operators.similarity import (
-    band_buckets,
+    band_buckets_np,
     duck_band_buckets,
     duck_fold_dot,
     fold_dot,
@@ -75,11 +75,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # Signatures via the Arrow/numpy twin of band_buckets: one matmul per
+    # batch instead of ~4k interpreted HOF lambda evaluations per row
+    # (HOFs never codegen; see operators/similarity.py::band_buckets_np).
     sig = emb.select(
         "vec_id",
         "v",
         F.sqrt(fold_dot("v", "v")).alias("nrm"),
-        band_buckets("v").alias("bands"),
+        band_buckets_np("v").alias("bands"),
     )
     buckets = sig.select(
         "vec_id", "v", "nrm", F.posexplode("bands").alias("band_idx", "bucket")

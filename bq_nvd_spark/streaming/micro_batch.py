@@ -80,22 +80,45 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_available_now(
-    df: DataFrame, *, output_mode: str, name_prefix: str
+    df: DataFrame,
+    *,
+    output_mode: str,
+    name_prefix: str,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with Trigger.AvailableNow into a memory
-    sink and return the materialized result as a batch DataFrame."""
+    sink and return the materialized result as a batch DataFrame.
+
+    ``state_partitions`` sizes the stateful-operator parallelism: a
+    streaming query pins its state-store count to
+    ``spark.sql.shuffle.partitions`` at first start, and each store
+    commits its own snapshot files per batch — so a query whose state is
+    thousands of keys wants a handful of stores, not the session's
+    batch-shuffle width (32 stores × file I/O dominates small-state
+    micro-batches; a 100 TB keyspace would instead size this UP). The
+    conf is restored once the stream terminates: micro-batches plan
+    asynchronously after ``start()``, and the stream runs synchronously
+    to completion here, so nothing else compiles plans in between.
+    """
+    spark = df.sparkSession
     name = f"{name_prefix}_{next(_SINK_IDS)}"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory(prefix="bq_nvd_ckpt_") as ckpt:
-        q = (
+        sink = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination()
-    return df.sparkSession.table(name)
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            sink.start().awaitTermination()
+        finally:
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name)
 
 
 # --------------------------------------------------------------------------
@@ -121,7 +144,10 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(
-        agg, output_mode="complete", name_prefix="stream_tumbling"
+        agg,
+        output_mode="complete",
+        name_prefix="stream_tumbling",
+        state_partitions=8,
     )
 
 
@@ -137,5 +163,8 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return run_available_now(
-        deduped, output_mode="append", name_prefix="stream_dedup"
+        deduped,
+        output_mode="append",
+        name_prefix="stream_dedup",
+        state_partitions=8,
     )

@@ -193,3 +193,32 @@ def test_dedup_within_batch(spark, tmp_path):
     assert result.loaded == 8
     ids = [r[0] for r in store.read().select(ID_COL).collect()]
     assert len(ids) == len(set(ids)) == 8
+
+
+# --------------------------------------------------------------------------
+# S1: feed acquisition (driver-side fetch; file:// stands in for HTTPS)
+def test_download_feed_from_file_url(spark, tmp_path):
+    from bq_nvd_spark.nvd import download_feeds, feed_names, feed_url
+
+    fixture_dir = os.path.dirname(YEAR_FEED)
+    base = f"file://{fixture_dir}/"
+    landing = str(tmp_path / "landing")
+    paths = download_feeds(["2024", "recent"], landing, url_base=base)
+    assert all(os.path.exists(p) for p in paths)
+
+    # the landing dir is directly scannable as a distributed feed read
+    feed = read_feed(spark, landing)
+    assert cve_items(feed).count() > 0
+
+    assert feed_url("recent").endswith("nvdcve-1.1-recent.json.gz")
+    names = feed_names(2004)
+    assert names == ["2002", "2003", "2004", "recent", "modified"]
+
+
+def test_download_feed_retries_then_fails(tmp_path):
+    from bq_nvd_spark.nvd import download_feed
+
+    with pytest.raises(RuntimeError, match="after 3 tries"):
+        download_feed(
+            "2024", str(tmp_path / "landing"), url_base=f"file://{tmp_path}/missing/"
+        )

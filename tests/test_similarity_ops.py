@@ -1,0 +1,30 @@
+"""The two band-bucket formulations must agree bit-for-bit.
+
+``band_buckets`` (higher-order functions, fold-ordered — mirrored by the
+DuckDB oracle) is the semantic definition; ``band_buckets_np`` (Arrow +
+numpy matmul) is the production fast path. They can only disagree if
+some |vector·plane| sits within float-reorder error of zero; this test
+pins exact equality on the test corpus, which also certifies the margin
+assumption the fast path documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.operators.similarity import band_buckets, band_buckets_np
+from bq_nvd_spark.sources.tables import load_table
+
+
+def test_band_bucket_formulations_agree(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    both = emb.select(
+        "vec_id",
+        band_buckets("v").alias("hof"),
+        band_buckets_np("v").alias("np"),
+    )
+    diff = both.filter(F.col("hof") != F.col("np")).count()
+    assert diff == 0
+    assert both.count() > 0
