@@ -32,7 +32,7 @@ _QUERY_MAX_ID = 5  # vec_id < 5 are the query set, the rest the corpus
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT vec_id, v,
              SQRT({duck_fold_dot('v', 'v')}) AS nrm,
              {duck_band_buckets('v')}        AS bands
@@ -126,3 +126,93 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+SIMILAR_COS = 0.40
+
+
+@query(
+    "embedding_similar_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS MATERIALIZED (
+      SELECT vec_id, v,
+             SQRT({duck_fold_dot('v', 'v')}) AS nrm,
+             {duck_band_buckets('v')}        AS bands
+      FROM e
+    ),
+    buckets AS (
+      SELECT vec_id, v, nrm, b.band_idx, bands[b.band_idx + 1] AS bucket
+      FROM sig, (SELECT UNNEST(range(0, 4)) AS band_idx) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             FLOOR({duck_fold_dot('a.v', 'b.v')} / (a.nrm * b.nrm) * 10000 + 0.5)
+               / 10000 AS sim
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= {SIMILAR_COS}
+    """,
+)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: embedding-cosine near-dup pairs — the vector-space twin of
+    MinHash near-dedup. Candidates are corpus self-pairs sharing any LSH
+    band bucket (equi-join on (band, bucket), id_a < id_b halves the
+    pair space); only candidates pay the exact fold-ordered cosine, and
+    pairs at or above the threshold survive. The threshold is the only
+    dedup parameter: this corpus contains no true near-duplicates (max
+    pairwise cosine ~0.51), so the registered query runs the identical
+    plan at 0.40 to keep the correctness signal non-vacuous.
+
+    At 100 TB the bucket join is the whole story: the corpus never
+    cross-joins itself, shuffle keys are hash-uniform, and the cosine
+    threshold prunes before anything aggregates. Near-identical vectors
+    agree on all bands, so recall at 0.99 cosine is near-exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sig = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(fold_dot("v", "v")).alias("nrm"),
+        band_buckets_np("v").alias("bands"),
+    )
+    buckets = sig.select(
+        "vec_id", "v", "nrm", F.posexplode("bands").alias("band_idx", "bucket")
+    )
+    left = buckets.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "band_idx",
+        "bucket",
+    )
+    right = buckets.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "band_idx",
+        "bucket",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.floor(
+                    fold_dot("va", "vb") / (F.col("na") * F.col("nb")) * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("sim"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("sim") >= SIMILAR_COS)
