@@ -128,6 +128,141 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16  # centroid count; cells ≈ corpus/16
+IVF_NPROBE = 4  # cells probed per query
+_CENT_MAX_ID = _QUERY_MAX_ID + IVF_CELLS
+
+
+@query(
+    "ivf_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n WHERE vec_id >= {_QUERY_MAX_ID} AND vec_id < {_CENT_MAX_ID}
+    ),
+    assign AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT a.vec_id, a.v, a.nrm, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {duck_fold_dot('a.v', 'c.cv')} / (a.nrm * c.cnrm) DESC,
+                          c.cent_id) AS rn
+        FROM n a, cents c
+        WHERE a.vec_id >= {_QUERY_MAX_ID}
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, qv, qn, cell FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {duck_fold_dot('q.v', 'c.cv')} / (q.nrm * c.cnrm) DESC,
+                          c.cent_id) AS rn
+        FROM n q, cents c
+        WHERE q.vec_id < {_QUERY_MAX_ID}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             FLOOR({duck_fold_dot('p.qv', 'a.v')} / (p.qn * a.nrm) * 10000 + 0.5)
+               / 10000 AS sim
+      FROM probes p JOIN assign a ON a.cell = p.cell
+    )
+    SELECT q_id, vec_id, sim
+    FROM (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: IVF-bucketed top-k — the coarse-quantizer alternative to sign-
+    LSH. Centroids are a fixed, deterministic subset of the corpus (a
+    real deployment k-means-trains them offline; the index structure,
+    not the training, is what this plan exercises). Every corpus vector
+    is assigned to its nearest centroid (argmax cosine, ties to the
+    smallest centroid id), queries probe their ``IVF_NPROBE`` best
+    cells, and only vectors in probed cells pay the exact re-rank.
+
+    All-declarative: centroid assignment is a broadcast cross join over
+    ``IVF_CELLS`` rows + a per-vector argmax window — centroids never
+    touch the driver. At 100 TB the assignment is one map-side pass
+    (broadcast centroids), the probe join shuffles candidates on cell
+    id, and cell sizes are corpus/IVF_CELLS by construction — tunable
+    against executor memory the same way N_BITS tunes LSH buckets.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = emb.select("vec_id", "v", F.sqrt(fold_dot("v", "v")).alias("nrm"))
+    cents = (
+        n.filter(
+            (F.col("vec_id") >= _QUERY_MAX_ID) & (F.col("vec_id") < _CENT_MAX_ID)
+        )
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cent_cos = fold_dot("v", "cv") / (F.col("nrm") * F.col("cnrm"))
+    rank_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_cos"), F.asc("cent_id")
+    )
+
+    def nearest_cells(side: DataFrame, keep: int) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "v", "nrm", "cent_id", cent_cos.alias("cent_cos")
+            )
+            .select(
+                "vec_id",
+                "v",
+                "nrm",
+                F.col("cent_id").alias("cell"),
+                F.row_number().over(rank_w).alias("rn"),
+            )
+            .filter(F.col("rn") <= keep)
+            .drop("rn")
+        )
+
+    assign = nearest_cells(n.filter(F.col("vec_id") >= _QUERY_MAX_ID), 1)
+    probes = nearest_cells(n.filter(F.col("vec_id") < _QUERY_MAX_ID), IVF_NPROBE).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    scored = assign.join(F.broadcast(probes), "cell").select(
+        "q_id",
+        "vec_id",
+        (
+            F.floor(
+                fold_dot("qv", "v") / (F.col("qn") * F.col("nrm")) * 10000 + 0.5
+            )
+            / 10000
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", "sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
 SIMILAR_COS = 0.40
 
 
