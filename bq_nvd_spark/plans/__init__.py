@@ -12,6 +12,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     python_udfs,
     relational,
     similarity_search,
+    skew_scale,
     temporal_joins,
 )
 from bq_nvd_spark import streaming  # noqa: F401  (registers streaming queries)
