@@ -193,12 +193,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest centroid id), queries probe their ``IVF_NPROBE`` best
     cells, and only vectors in probed cells pay the exact re-rank.
 
-    All-declarative: centroid assignment is a broadcast cross join over
-    ``IVF_CELLS`` rows + a per-vector argmax window — centroids never
-    touch the driver. At 100 TB the assignment is one map-side pass
-    (broadcast centroids), the probe join shuffles candidates on cell
-    id, and cell sizes are corpus/IVF_CELLS by construction — tunable
-    against executor memory the same way N_BITS tunes LSH buckets.
+    All-declarative and shuffle-free until the candidate join: the
+    centroid set folds into ONE broadcast row holding a sorted
+    array<struct>, and each vector picks its cells with a per-row
+    higher-order argmax / top-nprobe over that array — no 16× cross-join
+    row blowup, no argmax window, no exchange touches the corpus before
+    candidates exist. Cell sizes are corpus/IVF_CELLS by construction —
+    tunable against executor memory the same way N_BITS tunes LSH
+    buckets.
     """
     from pyspark.sql.window import Window
 
@@ -206,44 +208,71 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     n = emb.select("vec_id", "v", F.sqrt(fold_dot("v", "v")).alias("nrm"))
-    cents = (
+    # One row: every centroid in an array sorted by cent_id
+    # (collect_list order is nondeterministic; sort_array on the leading
+    # struct field restores it — the argmax tie-break relies on it).
+    cent_arr = (
         n.filter(
             (F.col("vec_id") >= _QUERY_MAX_ID) & (F.col("vec_id") < _CENT_MAX_ID)
         )
         .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            ).alias("c")
         )
-    )
-    cent_cos = fold_dot("v", "cv") / (F.col("nrm") * F.col("cnrm"))
-    rank_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), F.asc("cent_id")
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
 
-    def nearest_cells(side: DataFrame, keep: int) -> DataFrame:
-        return (
-            side.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id", "v", "nrm", "cent_id", cent_cos.alias("cent_cos")
-            )
-            .select(
-                "vec_id",
-                "v",
-                "nrm",
-                F.col("cent_id").alias("cell"),
-                F.row_number().over(rank_w).alias("rn"),
-            )
-            .filter(F.col("rn") <= keep)
-            .drop("rn")
-        )
+    def cent_cos(c):
+        return fold_dot("v", c["cv"]) / (F.col("nrm") * c["cnrm"])
 
-    assign = nearest_cells(n.filter(F.col("vec_id") >= _QUERY_MAX_ID), 1)
-    probes = nearest_cells(n.filter(F.col("vec_id") < _QUERY_MAX_ID), IVF_NPROBE).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "cell",
+    # Per-row argmax: strictly-greater keeps the first (= smallest
+    # cent_id) on exact ties, matching the oracle's
+    # (cos DESC, cent_id ASC) row_number.
+    best_cell = F.aggregate(
+        "cents",
+        F.struct(
+            F.lit(-2.0).cast("double").alias("cos"),
+            F.lit(None).cast("long").alias("cell"),
+        ),
+        lambda acc, c: F.when(
+            cent_cos(c) > acc["cos"],
+            F.struct(cent_cos(c).alias("cos"), c["cent_id"].alias("cell")),
+        ).otherwise(acc),
+    )["cell"]
+    # Per-row top-nprobe: negate cos so ascending sort_array yields
+    # (cos DESC, cent_id ASC); IEEE negation is exact, so ties resolve
+    # identically to the oracle.
+    probe_cells = F.slice(
+        F.sort_array(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (-cent_cos(c)).alias("neg_cos"), c["cent_id"].alias("cell")
+                ),
+            )
+        ),
+        1,
+        IVF_NPROBE,
+    )
+
+    assign = (
+        n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
+        .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "v", "nrm", best_cell.alias("cell"))
+    )
+    probes = (
+        n.filter(F.col("vec_id") < _QUERY_MAX_ID)
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(probe_cells).alias("p"),
+        )
+        .select("q_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
     scored = assign.join(F.broadcast(probes), "cell").select(
         "q_id",
