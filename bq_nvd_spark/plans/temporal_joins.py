@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bq_nvd_spark.operators.temporal import asof_join, banded_range_join
 from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.sources.tables import load_table
 
@@ -78,39 +79,15 @@ def asof_last_error_per_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = _deduped_errors(ev).select(
         "user_id",
         "ts",
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("event_id"),
         F.col("ts").alias("err_ts"),
         F.col("value").alias("err_val"),
     )
     clk = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        "event_id",
-        F.lit(None).cast("timestamp").alias("err_ts"),
-        F.lit(None).cast("double").alias("err_val"),
+        "user_id", "ts", "event_id"
     )
-    # side=0 sorts errors before clicks at equal ts, so an error AT the
-    # click's timestamp is visible to it (ASOF's <= semantics).
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        err.unionByName(clk)
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "side",
-            F.last("err_ts", ignorenulls=True).over(w).alias("last_err_ts"),
-            F.last("err_val", ignorenulls=True).over(w).alias("last_err_val"),
-        )
-        .filter(F.col("side") == 1)
-        .drop("side")
-    )
+    return asof_join(
+        clk, err, on=["user_id"], ts="ts", payload=["err_ts", "err_val"]
+    ).select("event_id", "user_id", "ts", "last_err_ts", "last_err_val")
 
 
 # --------------------------------------------------------------------------
@@ -131,27 +108,19 @@ def asof_last_error_per_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_join_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    bucket = lambda c: F.floor(F.col(c).cast("double") / 3600)  # noqa: E731
-    err = (
-        ev.filter(F.col("event_type") == "error")
-        .select("event_id", "user_id", "ts")
-        # A (ts, ts+1h] band spans at most two 1-hour buckets: fan
-        # the probe side out to both so every true pair shares a key.
-        .withColumn(
-            "bkt", F.explode(F.array(bucket("ts"), bucket("ts") + 1))
-        )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
     )
     clk = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("c_ts"),
-        bucket("ts").alias("bkt"),
+        "user_id", F.col("ts").alias("c_ts")
     )
-    return (
-        err.join(clk, ["user_id", "bkt"])
-        .filter(
-            (F.col("c_ts") > F.col("ts"))
-            & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
-        )
-        .groupBy("event_id")
-        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    pairs = banded_range_join(
+        err,
+        clk,
+        on=["user_id"],
+        probe_ts="ts",
+        build_ts="c_ts",
+        lower_s=0.0,
+        upper_s=3600.0,
     )
+    return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks"))
