@@ -1,5 +1,38 @@
-"""Reusable operator library (EXT surface, SURVEY.md §2.11).
+"""Reusable operator library (EXT surface, SURVEY.md §2.10–§2.11).
 
-Implementation modules for the LLM-data-pipeline operators; the
+Implementation modules for operators Spark lacks as built-ins; the
 oracle-checked queries that exercise them live in ``bq_nvd_spark.plans``.
+
+- ``similarity``  — sign-LSH band buckets (HOF + Arrow/numpy twins),
+  fold-ordered dot products, DuckDB oracle twins
+- ``temporal``    — generic as-of join and bucket-banded range join
+- ``skew``        — salted join / salted two-stage aggregation
+- ``text``        — n-gram language ID, BPE-ish token counting
+  (vectorized pandas_udfs)
+- ``multimodal``  — Arrow-batched binary decode / frame sampling
+  (mapInPandas; real decoders stubbed)
 """
+
+from bq_nvd_spark.operators.multimodal import decode_media, frame_sample
+from bq_nvd_spark.operators.similarity import (
+    band_buckets,
+    band_buckets_np,
+    fold_dot,
+)
+from bq_nvd_spark.operators.skew import salted_agg, salted_join
+from bq_nvd_spark.operators.temporal import asof_join, banded_range_join
+from bq_nvd_spark.operators.text import bpe_token_count, langid_predict
+
+__all__ = [
+    "asof_join",
+    "band_buckets",
+    "band_buckets_np",
+    "banded_range_join",
+    "bpe_token_count",
+    "decode_media",
+    "fold_dot",
+    "frame_sample",
+    "langid_predict",
+    "salted_agg",
+    "salted_join",
+]
