@@ -118,3 +118,84 @@ def test_banded_range_join_matches_bruteforce(spark, probe, build, lower, width)
         if bu == u and t + lower < bt <= t + upper
     )
     assert got == expected
+
+
+_KV = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # skewed key
+        st.integers(min_value=0, max_value=50),  # value / user
+    ),
+    max_size=16,
+)
+
+
+@given(rows=_KV, dim=st.lists(st.integers(min_value=0, max_value=2), max_size=4))
+@_SETTINGS
+def test_salted_join_matches_naive(spark, rows, dim):
+    from bq_nvd_spark.operators.skew import salted_join
+
+    dim_rows = [(k, float(k * 10)) for k in sorted(set(dim))]
+    fact_rows = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    fact = spark.createDataFrame(
+        fact_rows,
+        StructType(
+            [
+                StructField("k", LongType()),
+                StructField("v", LongType()),
+                StructField("row_id", LongType()),
+            ]
+        ),
+    )
+    dimdf = spark.createDataFrame(
+        dim_rows,
+        StructType([StructField("k", LongType()), StructField("w", DoubleType())]),
+    )
+    got = sorted(
+        (r.row_id, r.w)
+        for r in salted_join(
+            fact, dimdf, ["k"], id_col="row_id", n_salts=4
+        ).collect()
+    )
+    expected = sorted(
+        (i, w) for (k, v, i) in fact_rows for (dk, w) in dim_rows if dk == k
+    )
+    assert got == expected
+
+
+@given(rows=_KV)
+@_SETTINGS
+def test_salted_agg_distinct_matches_naive(spark, rows):
+    from pyspark.sql import functions as F
+
+    from bq_nvd_spark.operators.skew import salted_agg
+
+    fact = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        StructType(
+            [
+                StructField("k", LongType()),
+                StructField("u", LongType()),
+                StructField("row_id", LongType()),
+            ]
+        ),
+    )
+    got = {
+        (r.k, r.n)
+        for r in salted_agg(
+            fact,
+            ["k"],
+            partial_aggs=[F.collect_set("u").alias("us")],
+            final_aggs=[
+                F.size(F.array_distinct(F.flatten(F.collect_list("us"))))
+                .cast("long")
+                .alias("n")
+            ],
+            id_col="row_id",
+            n_salts=4,
+        ).collect()
+    }
+    expected = {
+        (k, len({u for (kk, u) in rows if kk == k}))
+        for k in {k for (k, _) in rows}
+    }
+    assert got == expected
