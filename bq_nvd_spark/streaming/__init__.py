@@ -3,6 +3,7 @@
 from bq_nvd_spark.streaming.micro_batch import (  # noqa: F401
     EVENTS_STREAM_SCHEMA,
     run_available_now,
+    stream_cve_ingest,
     stream_events,
     streaming_dedup_keys,
     streaming_tumbling_counts,

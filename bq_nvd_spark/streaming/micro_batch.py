@@ -152,6 +152,28 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# T1+T3 streaming, NVD form: the reference's CronJob loop as a stream.
+def stream_cve_ingest(spark: SparkSession, staging_dir: str) -> DataFrame:
+    """The NVD incremental loop (reference bq-nvd.py:98-104) in streaming
+    form: watch an NDJSON staging dir, keep the first row per CVE ID
+    (``dropDuplicates`` state = the first-write-wins contract of
+    etl.py:87-88, held across every file the stream ever reads), drain
+    with AvailableNow per activation. Returns the deduped ID stream;
+    callers sink it with ``run_available_now`` or ``foreachBatch`` into
+    an ``NvdStore``.
+    """
+    from bq_nvd_spark.nvd.etl import ID_COL, NVD_TIMESTAMP_FORMAT
+    from bq_nvd_spark.nvd.schema import nvd_schema
+
+    raw = (
+        spark.readStream.schema(nvd_schema())
+        .option("timestampFormat", NVD_TIMESTAMP_FORMAT)
+        .json(staging_dir)
+    )
+    return raw.withColumn("ID", F.col(ID_COL)).dropDuplicates(["ID"])
+
+
+# --------------------------------------------------------------------------
 # T3 streaming: keyed dedup via dropDuplicates state.
 @query(
     "streaming_dedup_keys",
