@@ -8,3 +8,7 @@ from bq_nvd_spark.streaming.micro_batch import (  # noqa: F401
     streaming_dedup_keys,
     streaming_tumbling_counts,
 )
+from bq_nvd_spark.streaming.stateful import (  # noqa: F401
+    running_user_totals,
+    stateful_user_totals,
+)

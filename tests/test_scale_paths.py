@@ -1,0 +1,134 @@
+"""Scale-path mechanics that the oracle gate can't see directly:
+watermark-driven window finalization in append mode, and bucketed
+co-located joins that pre-exchange data at write time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _write_hours(tmp_path, name, hours):
+    """One parquet file of events at the given hour marks (ts in
+    epoch-micros timestamps; one event per (hour, user))."""
+    base = 1_700_000_000  # fixed epoch anchor, second precision
+    rows = [
+        {"event_id": i, "ts": pd.Timestamp((base + h * 3600) * 10**9), "user_id": u}
+        for i, (h, u) in enumerate(hours)
+    ]
+    path = str(tmp_path / name)
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(path)
+    return path
+
+
+def test_watermark_finalizes_windows_append_mode(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: only windows the final
+    watermark has closed are emitted; still-open windows are withheld.
+
+    Two staged files processed one per micro-batch: the second file's
+    later timestamps advance the watermark past the first file's
+    windows, finalizing them.
+    """
+    import tempfile
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    _write_hours(stage, "f1.parquet", [(0, 1), (0, 2), (1, 1)])
+    _write_hours(stage, "f2.parquet", [(10, 1), (10, 2)])
+
+    stream = (
+        spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wm_windows")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {(r.ws, r.n) for r in spark.table("wm_windows").collect()}
+
+    # Final watermark = max(ts) - 30min = hour-10 mark - 30min, which
+    # closes the hour-0 and hour-1 windows but NOT the hour-10 window.
+    batch = spark.read.parquet(f"{stage}/*.parquet")
+    closed = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .orderBy("ws")
+        .collect()
+    )
+    expected = {(r.ws, r.n) for r in closed[:-1]}  # all but the open last window
+    assert got == expected
+    assert len(got) == 2
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Tables bucketed on the join key at write time join without any
+    shuffle: the bucketed scan satisfies the join's distribution
+    requirement, so the sort-merge join plans with zero Exchange nodes —
+    the 'pay the shuffle once at write, never at read' contract."""
+    sf = "/root/testdata/sf0.001"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable("orders_b")
+        )
+        (
+            spark.read.parquet(f"{sf}/customer.parquet")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable("customer_b")
+        )
+        joined = (
+            spark.table("orders_b")
+            .join(
+                spark.table("customer_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        # and the result is still correct
+        naive = (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .join(
+                spark.read.parquet(f"{sf}/customer.parquet"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
