@@ -63,15 +63,15 @@ def _accumulate(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Fold this batch's rows into the running (count, sum) state and
-    emit the updated totals. Values are summed in user_id-then-event_id
-    order and fixed to integer cents on emission, so the final total is
-    reproducible by the SQL oracle."""
+    emit the updated totals. Summation is vectorized (numpy, per batch);
+    the emission fixes the total to integer cents, and the 2-decimal
+    source values keep every partial sum ~0.5 cents away from the floor
+    boundary, so ordering differences vs the SQL oracle cannot change
+    the emitted integer."""
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
-        ordered = pdf.sort_values("event_id")
-        n += len(ordered)
-        for v in ordered["value"]:
-            total += float(v)
+        n += len(pdf)
+        total += float(pdf["value"].sum())
     state.update((n, total))
     cents = math.floor(total * 100 + 0.5)
     yield pd.DataFrame(
