@@ -179,3 +179,83 @@ def nvd_severity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(score).alias("min_score"),
         F.max(score).alias("max_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# F7 through the full nesting: explode nodes and children[].cpe_match,
+# split the cpe23Uri, count affected products — the "join/count by
+# anything" analytics the mirror exists for, over the deepest arrays.
+@query(
+    "nvd_cpe_product_counts",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)}),
+    nodes AS (
+      SELECT item.cve.CVE_data_meta.ID AS ID,
+             UNNEST(item.configurations.nodes) AS nd
+      FROM feed
+    ),
+    matches AS (
+      SELECT ID, m.cpe23Uri AS uri
+      FROM (SELECT ID, UNNEST(nd.cpe_match) AS m FROM nodes)
+      UNION ALL
+      SELECT ID, m.cpe23Uri AS uri
+      FROM (
+        SELECT ID, UNNEST(ch.cpe_match) AS m
+        FROM (SELECT ID, UNNEST(nd.children) AS ch FROM nodes)
+      )
+    )
+    SELECT split_part(uri, ':', 4) AS vendor,
+           split_part(uri, ':', 5) AS product,
+           COUNT(*)                AS n_matches,
+           COUNT(DISTINCT ID)      AS n_cves
+    FROM matches
+    GROUP BY 1, 2
+    """,
+)
+def nvd_cpe_product_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    nodes = items.select(
+        F.col(ID_COL).alias("ID"), F.explode("configurations.nodes").alias("nd")
+    )
+    direct = nodes.select("ID", F.explode("nd.cpe_match").alias("m"))
+    via_children = nodes.select(
+        "ID", F.explode("nd.children").alias("ch")
+    ).select("ID", F.explode("ch.cpe_match").alias("m"))
+    parts = F.split(F.col("m.cpe23Uri"), ":")
+    return (
+        direct.unionByName(via_children)
+        .select("ID", parts[3].alias("vendor"), parts[4].alias("product"))
+        .groupBy("vendor", "product")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("ID").alias("n_cves"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 over the ingest: per-assigner CVE stats (null-safe nested paths).
+@query(
+    "nvd_assigner_stats",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)})
+    SELECT item.cve.CVE_data_meta.ASSIGNER AS assigner,
+           COUNT(*)                        AS n_cves,
+           CAST(SUM(len(item.cve."references".reference_data)) AS BIGINT)
+                                           AS total_refs,
+           MAX(item.impact.baseMetricV3.cvssV3.baseScore) AS max_score
+    FROM feed
+    GROUP BY 1
+    """,
+)
+def nvd_assigner_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    return items.groupBy(
+        F.col("cve.CVE_data_meta.ASSIGNER").alias("assigner")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cves"),
+        F.sum(F.size("cve.references.reference_data").cast("long")).alias(
+            "total_refs"
+        ),
+        F.max(F.col("impact.baseMetricV3.cvssV3.baseScore")).alias("max_score"),
+    )
