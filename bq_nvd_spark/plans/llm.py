@@ -8,7 +8,8 @@ n_chars)`` and ``embeddings(vec_id, embedding: array<float>, label)``:
                           Jaccard, SimHash — all SQL-expressible so the
                           DuckDB oracle hash-checks them
 - E3 similarity search  — brute-force cosine top-k via HOF fold (baseline);
-                          LSH/IVF scale path in operators/similarity.py
+                          LSH + IVF scale paths in plans/similarity_search.py
+                          over operators/similarity.py
 - E4 text analysis      — token counts, quality stats, rolling-hash
                           fingerprint, language distribution
 - E5 multimodal columns — binary payload + typed metadata
@@ -538,4 +539,66 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("n_bytes"),
         F.sha2("payload", 256).alias("content_sha"),
         F.col("meta.media_lang").alias("media_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E4e: quality filtering — the pipeline step the stats exist FOR. A doc
+# survives when it clears minimum length, bounded mean token length, and
+# a stopword floor; integer/ratio thresholds keep the gate exact.
+@query(
+    "quality_filtered_docs",
+    oracle="""
+    SELECT doc_id, n_tokens
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             length(text)                                 AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a')))     AS stop_hits
+      FROM documents
+    )
+    WHERE n_tokens >= 10
+      AND n_chars <= 12 * n_tokens
+      AND stop_hits * 20 >= n_tokens
+    """,
+)
+def quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+            stop_hits.alias("stop_hits"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_chars") <= 12 * F.col("n_tokens"))
+            & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
+        )
+        .select("doc_id", "n_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
+# E4f: token-length histogram — corpus shape at a glance; fixed-width
+# integer buckets so the hash check is exact.
+@query(
+    "token_length_histogram",
+    oracle="""
+    SELECT CAST(len(string_split(text, ' ')) // 5 AS BIGINT) AS bucket,
+           COUNT(*)                                          AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.size(F.split("text", " ")) / 5).cast("long")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
     )

@@ -222,3 +222,18 @@ def test_download_feed_retries_then_fails(tmp_path):
         download_feed(
             "2024", str(tmp_path / "landing"), url_base=f"file://{tmp_path}/missing/"
         )
+
+
+# --------------------------------------------------------------------------
+# store partition pruning: a _pub_year filter must reach the scan as a
+# partition filter, not a post-scan predicate
+def test_store_partition_pruning(spark, tmp_path):
+    store = NvdStore(spark, str(tmp_path / "store"))
+    ingest_feed(spark, store, YEAR_FEED)
+
+    pruned = store.read().filter(F.col("_pub_year") == 2024)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_pub_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert pruned.count() > 0
+    assert store.read().filter(F.col("_pub_year") == 1999).count() == 0
