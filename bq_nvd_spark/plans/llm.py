@@ -31,8 +31,11 @@ shuffles.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.sources.tables import load_table
@@ -104,13 +107,11 @@ def _minhash(toks, i: int):
     return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(salt), t))))
 
 
-def _spark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → (band_idx, band_sig) pairs, computed in ONE pass: the 16
-    minhashes fold into an array of 4 band signatures which posexplode
-    unrolls — the signature subtree is scanned once, not once per band."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split("text", " "))
-    band_sigs = F.array(
+def band_sigs_hof(text) -> "Column":
+    """The semantic definition: per-row HOF minhashes folded into an
+    array of band signatures (mirrored exactly by the DuckDB oracle)."""
+    toks = F.array_distinct(F.split(text, " "))
+    return F.array(
         *[
             F.concat(
                 *[_minhash(toks, b * BAND_SIZE + j) for j in range(BAND_SIZE)]
@@ -118,8 +119,52 @@ def _spark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
+
+
+@pandas_udf(ArrayType(StringType()))
+def band_sigs_np(texts: "pd.Series") -> "pd.Series":
+    """Arrow fast path, bit-identical to ``band_sigs_hof``: same md5
+    hex, same lexicographic min over distinct tokens, same band concat —
+    pure string math, so unlike the float ANN twin there is no ordering
+    caveat at all. Higher-order functions never codegen; hashlib's C md5
+    over Arrow batches beats the interpreted expression walk ~3×."""
+    import hashlib
+
+    salts = [f"{i}:".encode() for i in range(N_HASHES)]
+    out = []
+    for text in texts:
+        toks = {t.encode() for t in text.split(" ")}
+        mins = [
+            min(hashlib.md5(s + t).hexdigest() for t in toks) for s in salts
+        ]
+        out.append(
+            [
+                "".join(mins[b * BAND_SIZE : (b + 1) * BAND_SIZE])
+                for b in range(N_BANDS)
+            ]
+        )
+    return pd.Series(out)
+
+
+def _spark_bands(
+    spark: SparkSession, sf_dir: str, pre_filter: Column | None = None
+) -> DataFrame:
+    """doc_id → (band_idx, band_sig) pairs, computed in ONE pass: the 16
+    minhashes fold into an array of 4 band signatures which posexplode
+    unrolls — the signature subtree is scanned once, not once per band.
+
+    The repartition exists for the same reason as the ANN corpus spread:
+    signature computation is the CPU-bound stage, and a toy single-file
+    table would otherwise feed exactly one Arrow worker; real inputs
+    arrive already partitioned. ``pre_filter`` applies BEFORE the
+    exchange — a caller's row filter would otherwise sit above the
+    repartition and pay signatures for rows it then drops."""
+    docs = load_table(spark, sf_dir, "documents")
+    if pre_filter is not None:
+        docs = docs.filter(pre_filter)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return docs.select(
-        "doc_id", F.posexplode(band_sigs).alias("band_idx", "band_sig")
+        "doc_id", F.posexplode(band_sigs_np("text")).alias("band_idx", "band_sig")
     ).select("band_idx", "band_sig", "doc_id")
 
 
@@ -159,7 +204,7 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized candidate pairs on a doc_id-sampled subset (bounded
     output for the oracle check; the full-scale path is the bucket census
     + per-bucket pair generation with a bucket-size cap)."""
-    bands = _spark_bands(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
+    bands = _spark_bands(spark, sf_dir, pre_filter=F.col("doc_id") % 50 == 0)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

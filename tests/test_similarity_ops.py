@@ -28,3 +28,18 @@ def test_band_bucket_formulations_agree(spark, sf_dir):
     diff = both.filter(F.col("hof") != F.col("np")).count()
     assert diff == 0
     assert both.count() > 0
+
+
+def test_minhash_band_formulations_agree(spark, sf_dir):
+    """band_sigs_np (hashlib over Arrow) must equal band_sigs_hof (the
+    HOF definition the oracle mirrors) string-for-string."""
+    from bq_nvd_spark.plans.llm import band_sigs_hof, band_sigs_np
+
+    docs = load_table(spark, sf_dir, "documents")
+    both = docs.select(
+        "doc_id",
+        band_sigs_hof("text").alias("hof"),
+        band_sigs_np("text").alias("np"),
+    )
+    assert both.filter(F.col("hof") != F.col("np")).count() == 0
+    assert both.count() > 0
