@@ -23,6 +23,22 @@ from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.sources.tables import load_table
 
 TOP_K = 10
+
+
+def _spread_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<double>) spread across cores. The norm and
+    re-rank folds are interpreted HOFs (never codegen), so a toy
+    single-file corpus would otherwise run them on one core; real
+    inputs arrive already partitioned and skip straight through."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
 _QUERY_MAX_ID = 5  # vec_id < 5 are the query set, the rest the corpus
 
 
@@ -72,9 +88,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — and only bucket-sharing pairs pay the exact cosine."""
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    emb = _spread_embeddings(spark, sf_dir)
     # Signatures via the Arrow/numpy twin of band_buckets: one matmul per
     # batch instead of ~4k interpreted HOF lambda evaluations per row
     # (HOFs never codegen; see operators/similarity.py::band_buckets_np).
@@ -204,9 +218,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    emb = _spread_embeddings(spark, sf_dir)
     n = emb.select("vec_id", "v", F.sqrt(fold_dot("v", "v")).alias("nrm"))
     # One row: every centroid in an array sorted by cent_id
     # (collect_list order is nondeterministic; sort_array on the leading
@@ -337,9 +349,7 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold prunes before anything aggregates. Near-identical vectors
     agree on all bands, so recall at 0.99 cosine is near-exact.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    emb = _spread_embeddings(spark, sf_dir)
     sig = emb.select(
         "vec_id",
         "v",
