@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.sources.tables import load_table
@@ -646,4 +646,133 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.floor(F.size(F.split("text", " ")) / 5).cast("long")
     return docs.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# E2d: SimHash near-dup pairs — byte-banded candidates, bucket-size cap,
+# exact hamming. Splitting the 32-bit signature into 4 bytes makes band
+# agreement a pigeonhole guarantee for distance <= 3 (4 bands can't all
+# differ); buckets above SIMHASH_BUCKET_CAP are dropped before pair
+# generation (this synthetic corpus is duplicate-dense — an uncapped
+# byte bucket holding half the corpus would emit O(n^2) pairs, the same
+# failure minhash_pairs_capped guards against); the exact popcount then
+# keeps pairs within HAM_MAX. Both engines compute the identical capped
+# candidate set, so the hash check stays exact.
+HAM_MAX = 2
+SIMHASH_BUCKET_CAP = 20
+
+
+@pandas_udf(LongType())
+def _simhash_np(texts: "pd.Series") -> "pd.Series":
+    """hashlib twin of the simhash_signatures HOF fold — identical
+    integer by construction (same md5 hex, same per-position parity
+    votes, same >0 bit rule). Exists because the pairs query references
+    the signature inside a 4-element band array on BOTH sides of a
+    self-join: the HOF expression tree gets duplicated ~10x per row,
+    while a Python UDF is extracted into its own eval node and runs
+    once per row per side."""
+    import hashlib
+
+    import numpy as np
+
+    out = []
+    for text in texts:
+        votes = np.zeros(32, dtype=np.int64)
+        for t in set(text.split(" ")):
+            h = hashlib.md5(t.encode()).hexdigest().encode()
+            votes += np.where(np.frombuffer(h, dtype=np.uint8) % 2 == 1, 1, -1)
+        bits = np.where(votes > 0, 1 << np.arange(32, dtype=np.int64), 0)
+        out.append(int(bits.sum()))
+    return pd.Series(out)
+
+_DUCK_SIMHASH = """
+    toks AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN ascii(substr(md5(tok), i, 1)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS w
+      FROM toks, (SELECT UNNEST(range(1, 33)) AS i)
+      GROUP BY doc_id, i
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN w > 0
+                           THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH},
+    bands AS (
+      SELECT doc_id, simhash, b.band_idx,
+             (simhash >> CAST(8 * b.band_idx AS INTEGER)) & 255 AS byte
+      FROM sigs, (SELECT UNNEST(range(0, 4)) AS band_idx) b
+    ),
+    sized AS (
+      SELECT band_idx, byte FROM bands
+      GROUP BY 1, 2
+      HAVING COUNT(*) BETWEEN 2 AND {SIMHASH_BUCKET_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.byte = b.byte
+                AND a.doc_id < b.doc_id
+    JOIN sized s ON s.band_idx = a.band_idx AND s.byte = a.byte
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX}
+    """,
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sigs = docs.select("doc_id", _simhash_np("text").alias("simhash"))
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "byte"),
+    )
+    sized = (
+        bands.groupBy("band_idx", "byte")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= SIMHASH_BUCKET_CAP))
+        .select("band_idx", "byte")
+    )
+    capped = bands.join(F.broadcast(sized), ["band_idx", "byte"])
+    a = capped.alias("a")
+    b = capped.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAM_MAX)
+        .distinct()
     )
