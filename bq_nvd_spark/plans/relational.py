@@ -432,3 +432,129 @@ def orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q10 analog: returned-item revenue by customer — fact⋈fact⋈dim
+# with a date-range filter, revenue agg, deterministic top 20.
+@query(
+    "q10_returned_item_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+                AS BIGINT) AS revenue_cents,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1996-07-01'
+    GROUP BY 1, 2, 4
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join shuffles on orderkey; both dims broadcast; the
+    date filter pushes into the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.floor(rev * 100 + 0.5).cast("bigint").alias("revenue_cents"))
+        .select("c_custkey", "c_name", "revenue_cents", "nation")
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 widening: PIVOT — order counts per market segment by priority.
+# Spark's relational pivot vs the oracle's conditional aggregation.
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@query(
+    "pivot_priority_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) FILTER (o.o_orderpriority = '1-URGENT')        AS p1_urgent,
+           COUNT(*) FILTER (o.o_orderpriority = '2-HIGH')          AS p2_high,
+           COUNT(*) FILTER (o.o_orderpriority = '3-MEDIUM')        AS p3_medium,
+           COUNT(*) FILTER (o.o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+           COUNT(*) FILTER (o.o_orderpriority = '5-LOW')           AS p5_low
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot values keep the plan a single pass (no distinct-
+    values pre-query) and pin the output schema for the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    wide = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_not_specified",
+        "5-LOW": "p5_low",
+    }
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot leaves absent combinations null; the oracle's filtered COUNT
+    # yields 0 — align.
+    return out.select(
+        "segment",
+        *[F.coalesce(F.col(n), F.lit(0)).cast("long").alias(n) for n in renames.values()],
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 widening: UNPIVOT — the inverse, melting per-flag lineitem
+# measures into (measure, value) rows via stack().
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_linestatus, 'qty' AS measure,
+           CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS total
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_linestatus, 'price' AS measure,
+           CAST(FLOOR(SUM(l_extendedprice) * 100 + 0.5) AS BIGINT) AS total
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_linestatus, 'discount' AS measure,
+           CAST(FLOOR(SUM(l_discount) * 100 + 0.5) AS BIGINT) AS total
+    FROM lineitem GROUP BY 1
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_linestatus",
+        F.expr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) AS (measure, value)"
+        ),
+    )
+    return melted.groupBy("l_linestatus", "measure").agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("bigint").alias("total")
+    )
