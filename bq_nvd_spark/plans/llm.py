@@ -469,18 +469,15 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bq_nvd_spark.functions import avg_token_len, stopword_ratio, token_count
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
     return docs.select(
         "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
+        token_count("text").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
-        F.round(
-            (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens, 4
-        ).alias("avg_token_len"),
-        F.round(stop_hits.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.round(avg_token_len("text"), 4).alias("avg_token_len"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
     )
 
 
@@ -546,14 +543,11 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bq_nvd_spark.functions import rolling_fingerprint
+
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     return docs.select(
-        "doc_id",
-        F.aggregate(
-            F.split("text", ""),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(1000000007).cast("long"),
-        ).alias("fingerprint"),
+        "doc_id", rolling_fingerprint("text").alias("fingerprint")
     )
 
 

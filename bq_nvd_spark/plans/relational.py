@@ -558,3 +558,79 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.groupBy("l_linestatus", "measure").agg(
         F.floor(F.sum("value") * 100 + 0.5).cast("bigint").alias("total")
     )
+
+
+# --------------------------------------------------------------------------
+# A4 + HAVING / TPC-H q18 shape: large orders — aggregate over the fact,
+# HAVING threshold, join back for customer context.
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(FLOOR(SUM(l.l_quantity) * 100 + 0.5) AS BIGINT) AS total_qty_x100
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2, 3
+    HAVING SUM(l.l_quantity) > 220
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING compiles to a post-aggregation filter; the fact-fact join
+    shuffles once on orderkey, the customer dim broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum("l_quantity").alias("_qty"),
+            F.floor(F.sum("l_quantity") * 100 + 0.5)
+            .cast("bigint")
+            .alias("total_qty_x100"),
+        )
+        .filter(F.col("_qty") > 220)
+        .drop("_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery shape: each order vs its customer's average
+# order value — decorrelated as a window over the customer partition
+# (the 100 TB form: one shuffle on custkey, no per-row subquery).
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    WHERE o_totalprice > cust_avg
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.avg("o_totalprice").over(w).alias("cust_avg"),
+        )
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
