@@ -175,3 +175,35 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+# --------------------------------------------------------------------------
+# F5: date arithmetic — ship delay per order month (datediff between the
+# fact's two date columns, date_trunc bucketing, integer-day stats).
+@query(
+    "ship_delay_by_month",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) AS order_month,
+           COUNT(*)                           AS n_lines,
+           MIN(DATE_DIFF('day', o.o_orderdate, l.l_shipdate)) AS min_delay_days,
+           MAX(DATE_DIFF('day', o.o_orderdate, l.l_shipdate)) AS max_delay_days,
+           CAST(FLOOR(AVG(DATE_DIFF('day', o.o_orderdate, l.l_shipdate)) * 100 + 0.5)
+                AS BIGINT) AS avg_delay_x100
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def ship_delay_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(delay).alias("min_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+            F.floor(F.avg(delay) * 100 + 0.5).cast("bigint").alias("avg_delay_x100"),
+        )
+    )

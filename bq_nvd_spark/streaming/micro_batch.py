@@ -190,3 +190,40 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_prefix="stream_dedup",
         state_partitions=8,
     )
+
+
+# --------------------------------------------------------------------------
+# T4 streaming: sliding event-time window over the stream.
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n_events
+    FROM (
+      SELECT UNNEST([
+        DATE_TRUNC('hour', ts) + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                                      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+        DATE_TRUNC('hour', ts) + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                                      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+          - INTERVAL 30 MINUTE
+      ]) AS window_start
+      FROM events
+    )
+    GROUP BY window_start
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows double the per-event state writes (each event
+    lands in two windows); complete mode keeps the AvailableNow drain
+    equal to the batch aggregate, same as the tumbling twin."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_available_now(
+        agg,
+        output_mode="complete",
+        name_prefix="stream_sliding",
+        state_partitions=8,
+    )
