@@ -770,3 +770,97 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAM_MAX)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# E2 end-to-end: the textbook near-dup pipeline — MinHash-banded
+# candidates (capped buckets), then EXACT bigram-shingle Jaccard
+# verification, keeping pairs at or above the threshold. This is the
+# composition minhash_pairs_capped and ngram_jaccard_adjacent exist to
+# feed: candidates come from the LSH index (never all-pairs), and only
+# candidates pay the exact set intersection.
+JACCARD_MIN = 0.8
+
+
+@query(
+    "jaccard_verified_pairs",
+    oracle=_duck_band_cte()
+    + f"""
+    , sized AS (
+      SELECT band_idx, band_sig
+      FROM bands
+      GROUP BY band_idx, band_sig
+      HAVING COUNT(*) BETWEEN 2 AND {PAIR_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                  AND a.doc_id < b.doc_id
+      JOIN sized s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+             )) AS sh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(
+             CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+             4) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+          / (len(a.sh) + len(b.sh)
+             - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+          >= {JACCARD_MIN}
+    """,
+)
+def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _spark_bands(spark, sf_dir)
+    sized = (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= PAIR_BUCKET_CAP))
+        .select("band_idx", "band_sig")
+    )
+    capped = bands.join(F.broadcast(sized), ["band_idx", "band_sig"])
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        .select("doc_id", shingles.alias("sh"))
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("a_sh")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("b_sh")), "doc_b")
+        .filter(jac >= JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
