@@ -634,3 +634,66 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A4 ordered-set aggregates: exact interpolated percentiles per group.
+@query(
+    "order_price_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(FLOOR(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) AS BIGINT)
+             AS median_cents,
+           CAST(FLOOR(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) AS BIGINT)
+             AS p90_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition in both
+    engines) per priority; a full sort within each group, which is why
+    approx_percentile exists for the 100 TB path when exactness is
+    negotiable. Cent-fixing absorbs interpolation float noise."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.floor(F.expr("percentile(o_totalprice, 0.5)") * 100 + 0.5)
+        .cast("bigint")
+        .alias("median_cents"),
+        F.floor(F.expr("percentile(o_totalprice, 0.9)") * 100 + 0.5)
+        .cast("bigint")
+        .alias("p90_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 multiset forms: INTERSECT ALL / EXCEPT ALL keep duplicate
+# cardinalities (bag semantics), unlike their set-form siblings above.
+@query(
+    "bag_intersect_order_dates",
+    oracle="""
+    SELECT o_orderdate FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_orderdate FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def bag_intersect_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderdate")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_orderdate")
+    return urgent.intersectAll(low)
+
+
+@query(
+    "bag_except_order_dates",
+    oracle="""
+    SELECT o_orderdate FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_orderdate FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def bag_except_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderdate")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_orderdate")
+    return urgent.exceptAll(low)
