@@ -4,15 +4,22 @@ Driver-mandated extensions over ``documents(doc_id, text, lang, source,
 n_chars)`` and ``embeddings(vec_id, embedding: array<float>, label)``:
 
 - E1 exact dedup        — hash-groupBy on sha2(text, 256)
-- E2 near-dedup         — MinHash+LSH (md5-keyed, deterministic), word-bigram
-                          Jaccard, SimHash — all SQL-expressible so the
-                          DuckDB oracle hash-checks them
+- E2 near-dedup         — MinHash+LSH (md5-keyed, deterministic; capped
+                          pair generation + exact-Jaccard verification),
+                          word-bigram Jaccard, SimHash (signatures +
+                          banded hamming pairs) — all SQL-expressible so
+                          the DuckDB oracle hash-checks them; the
+                          embedding-cosine flavor lives in
+                          plans/similarity_search.py
 - E3 similarity search  — brute-force cosine top-k via HOF fold (baseline);
                           LSH + IVF scale paths in plans/similarity_search.py
                           over operators/similarity.py
-- E4 text analysis      — token counts, quality stats, rolling-hash
-                          fingerprint, language distribution
-- E5 multimodal columns — binary payload + typed metadata
+- E4 text analysis      — token counts, quality stats + quality gate,
+                          rolling-hash fingerprint, language
+                          distribution, token-length histogram (the
+                          Column factories live in bq_nvd_spark.functions)
+- E5 multimodal columns — binary payload + typed metadata (Arrow decode
+                          in operators/multimodal.py via plans/python_udfs.py)
 
 Cross-engine determinism rules used throughout:
 - hashes are md5/sha2 (identical lowercase hex in Spark and DuckDB);

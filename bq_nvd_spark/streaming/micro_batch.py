@@ -8,18 +8,22 @@ the last checkpoint in bounded micro-batches, then exits — a scheduled
 batch job with streaming's bookkeeping (exactly-once file tracking,
 keyed state) for free.
 
-Two plans run here in streaming form, each equivalent to its batch twin:
+Streaming forms of the batch plans, each equivalent to its twin:
 
-- ``streaming_tumbling_counts`` — event-time tumbling window aggregation
-  (T4). Complete output mode: with AvailableNow every activation ends
-  with the full corrected aggregate, mirroring the reference's
-  re-run-and-overwrite semantics.
+- ``streaming_tumbling_counts`` / ``streaming_sliding_counts`` —
+  event-time window aggregations (T4). Complete output mode: with
+  AvailableNow every activation ends with the full corrected aggregate,
+  mirroring the reference's re-run-and-overwrite semantics.
 - ``streaming_dedup_keys`` — keyed first-write-wins dedup (T3,
   reference etl.py:87-88) via ``dropDuplicates`` state. Projected to the
   key columns so the emitted row-set is deterministic (which *row* wins
   under arrival order is not; which *keys* exist is).
+- ``stream_cve_ingest`` — the NVD staging-dir ingest loop as a stream
+  (tested for batch equality, not oracle-registered).
+- ``stateful.py`` (sibling module) — the applyInPandasWithState custom
+  stateful operator.
 
-Both are registered queries: the callable runs the stream to completion
+The registered queries run the stream to completion
 against a memory sink and returns the result as a plain DataFrame, so
 the driver's DuckDB oracle hash-checks the streaming path end to end.
 
