@@ -132,3 +132,20 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    """Predicate pushdown + column pruning: the LIKE filter lands in the
+    parquet scan's PushedFilters and the ReadSchema carries only the
+    projected columns — the difference between scanning kilobytes and
+    scanning the lake at 100 TB."""
+    from bq_nvd_spark.plans.relational import like_filter_parts
+
+    df = like_filter_parts(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :]
+    pushed = scan.split("PushedFilters: [")[1].split("]")[0]
+    assert "p_name" in pushed and "Contains" in pushed or "StringContains" in pushed
+    read_schema = scan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "p_name" in read_schema and "p_brand" in read_schema
+    assert "p_retailprice" not in read_schema  # unused column pruned
