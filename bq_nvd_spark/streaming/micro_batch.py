@@ -231,3 +231,42 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_prefix="stream_sliding",
         state_partitions=8,
     )
+
+
+# --------------------------------------------------------------------------
+# T4 streaming: session windows (30-minute gap) over the stream — the
+# stateful operator whose window boundaries depend on the data itself
+# (sessions merge as events arrive). Oracle: gaps-and-islands.
+@query(
+    "streaming_session_counts",
+    oracle="""
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+    return run_available_now(
+        agg,
+        output_mode="complete",
+        name_prefix="stream_session",
+        state_partitions=8,
+    )
