@@ -55,6 +55,17 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
+#: Fixed "thumbnail" size for the fake resize stage.
+THUMB_BYTES = 64
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("thumb_len", LongType()),
+        StructField("thumb_sum", LongType()),
+    ]
+)
+
 
 def decode_image_real(payload: bytes) -> dict:
     """Real image decode (PIL) — unavailable in this environment."""
@@ -98,6 +109,32 @@ def decode_media(media: DataFrame) -> DataFrame:
             ).astype("int64")
 
     return media.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def resize_thumb(media: DataFrame) -> DataFrame:
+    """Fake resize: stride-downsample each payload to at most
+    ``THUMB_BYTES`` bytes (the shape of a thumbnail/pooling pass — a
+    real implementation would interpolate pixels; the stride sample
+    keeps the arithmetic oracle-reproducible). Emits the thumb's length
+    and byte-sum as the verifiable digest."""
+
+    def batches(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                stride = max(buf.size // THUMB_BYTES, 1)
+                thumb = buf[::stride][:THUMB_BYTES]
+                rows.append(
+                    (doc_id, int(thumb.size), int(thumb.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            ).astype("int64")
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
 
 
 def frame_sample(media: DataFrame) -> DataFrame:

@@ -180,3 +180,35 @@ def lang_group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", "n_chars"
     )
     return docs.groupBy("lang").applyInPandas(_lang_profile, _PROFILE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# E5c: mapInPandas resize — stride-downsampled thumbnail digest.
+@query(
+    "multimodal_resize_thumb",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             greatest(length(text) // 64, 1) AS stride,
+             least(64, CAST(ceil(CAST(length(text) AS DOUBLE)
+                                 / greatest(length(text) // 64, 1)) AS BIGINT))
+                                             AS thumb_len
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           thumb_len,
+           CAST(list_reduce(
+                  list_transform(range(0, CAST(thumb_len AS INTEGER)),
+                    i -> CAST(ascii(substr(text, CAST(i * stride + 1 AS INTEGER), 1))
+                              AS BIGINT)),
+                  (a, c) -> a + c) AS BIGINT) AS thumb_sum
+    FROM m
+    """,
+)
+def multimodal_resize_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bq_nvd_spark.operators.multimodal import resize_thumb
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return resize_thumb(media)
