@@ -259,3 +259,153 @@ def nvd_assigner_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.col("impact.baseMetricV3.cvssV3.baseScore")).alias("max_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# F2 over the ingest: regexp-parse the CVSS v3 vectorString back into its
+# AV / UI codes (reference stores the raw string, bq_nvd/schema.json
+# impact.baseMetricV3.cvssV3.vectorString) and cross-check them against
+# the enum columns — a census of the (enum, parsed-code) combinations.
+# regexp_extract with a capture group is identical in Spark and DuckDB,
+# so this is a pure F2 parity exercise; codes_consistent must be true in
+# every output row on well-formed feeds.
+@query(
+    "nvd_cvss_vector_parse",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)}),
+    v3 AS (
+      SELECT item.impact.baseMetricV3.cvssV3.vectorString    AS vs,
+             item.impact.baseMetricV3.cvssV3.attackVector    AS attack_vector,
+             item.impact.baseMetricV3.cvssV3.userInteraction AS user_interaction
+      FROM feed
+    ),
+    parsed AS (
+      SELECT attack_vector, user_interaction,
+             regexp_extract(vs, '/AV:([A-Z])/', 1) AS av_code,
+             regexp_extract(vs, '/UI:([A-Z])/', 1) AS ui_code
+      FROM v3
+    )
+    SELECT attack_vector, user_interaction, av_code, ui_code,
+           COUNT(*) AS n_cves,
+           bool_and(
+             av_code = CASE attack_vector
+                         WHEN 'NETWORK' THEN 'N'
+                         WHEN 'ADJACENT_NETWORK' THEN 'A'
+                         WHEN 'LOCAL' THEN 'L'
+                         WHEN 'PHYSICAL' THEN 'P'
+                       END
+             AND ui_code = CASE user_interaction
+                             WHEN 'NONE' THEN 'N'
+                             WHEN 'REQUIRED' THEN 'R'
+                           END
+           ) AS codes_consistent
+    FROM parsed
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def nvd_cvss_vector_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    parsed = items.select(
+        F.col("impact.baseMetricV3.cvssV3.attackVector").alias("attack_vector"),
+        F.col("impact.baseMetricV3.cvssV3.userInteraction").alias(
+            "user_interaction"
+        ),
+        F.regexp_extract(
+            F.col("impact.baseMetricV3.cvssV3.vectorString"), r"/AV:([A-Z])/", 1
+        ).alias("av_code"),
+        F.regexp_extract(
+            F.col("impact.baseMetricV3.cvssV3.vectorString"), r"/UI:([A-Z])/", 1
+        ).alias("ui_code"),
+    )
+    av_expected = (
+        F.when(F.col("attack_vector") == "NETWORK", "N")
+        .when(F.col("attack_vector") == "ADJACENT_NETWORK", "A")
+        .when(F.col("attack_vector") == "LOCAL", "L")
+        .when(F.col("attack_vector") == "PHYSICAL", "P")
+    )
+    ui_expected = F.when(F.col("user_interaction") == "NONE", "N").when(
+        F.col("user_interaction") == "REQUIRED", "R"
+    )
+    return parsed.groupBy(
+        "attack_vector", "user_interaction", "av_code", "ui_code"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cves"),
+        F.bool_and(
+            (F.col("av_code") == av_expected) & (F.col("ui_code") == ui_expected)
+        ).alias("codes_consistent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F7+A4: double explode through cve.references.reference_data[].tags[] —
+# per-(refsource, tag) reference census. A CVE with an EMPTY
+# reference_data array (fixture CVE-2024-0005) must vanish under the
+# inner explode, matching DuckDB UNNEST semantics.
+@query(
+    "nvd_reference_tag_counts",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)}),
+    refs AS (
+      SELECT item.cve.CVE_data_meta.ID AS ID,
+             UNNEST(item.cve."references".reference_data) AS ref
+      FROM feed
+    ),
+    tagged AS (
+      SELECT ID, ref.refsource AS refsource, UNNEST(ref.tags) AS tag
+      FROM refs
+    )
+    SELECT refsource, tag,
+           COUNT(*)           AS n_refs,
+           COUNT(DISTINCT ID) AS n_cves
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def nvd_reference_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    refs = items.select(
+        F.col(ID_COL).alias("ID"),
+        F.explode("cve.references.reference_data").alias("ref"),
+    )
+    tagged = refs.select(
+        "ID",
+        F.col("ref.refsource").alias("refsource"),
+        F.explode("ref.tags").alias("tag"),
+    )
+    return tagged.groupBy("refsource", "tag").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("ID").alias("n_cves"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 cross-tab: attack-vector × severity matrix with an EXACT score sum.
+# base_score is summed as DECIMAL(4,1) in both engines (then cast to
+# double for a schema-stable column) so the hash cannot drift on float
+# summation order — the determinism rule the round-1 fold bug taught us.
+@query(
+    "nvd_av_severity_matrix",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)})
+    SELECT item.impact.baseMetricV3.cvssV3.attackVector  AS attack_vector,
+           item.impact.baseMetricV3.cvssV3.baseSeverity  AS severity,
+           COUNT(*)                                      AS n_cves,
+           CAST(SUM(CAST(item.impact.baseMetricV3.cvssV3.baseScore
+                         AS DECIMAL(4,1))) AS DOUBLE)    AS total_score
+    FROM feed
+    GROUP BY 1, 2
+    """,
+)
+def nvd_av_severity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    return items.groupBy(
+        F.col("impact.baseMetricV3.cvssV3.attackVector").alias("attack_vector"),
+        F.col("impact.baseMetricV3.cvssV3.baseSeverity").alias("severity"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cves"),
+        F.sum(
+            F.col("impact.baseMetricV3.cvssV3.baseScore").cast("decimal(4,1)")
+        )
+        .cast("double")
+        .alias("total_score"),
+    )

@@ -30,6 +30,12 @@ def _cpe(uri: str, vulnerable: bool = True, **versions: str) -> dict:
     return {"vulnerable": vulnerable, "cpe23Uri": uri, **versions}
 
 
+#: CVSS v3 enum → vectorString code (the analytics queries parse the
+#: vectorString back out with regexp and cross-check these fields).
+_AV_CODE = {"NETWORK": "N", "ADJACENT_NETWORK": "A", "LOCAL": "L", "PHYSICAL": "P"}
+_UI_CODE = {"NONE": "N", "REQUIRED": "R"}
+
+
 def _item(
     num: int,
     year: int = 2024,
@@ -43,6 +49,11 @@ def _item(
     base_score: float = 8.1,
     description: str = "A vulnerability was found.",
     cwe: str = "CWE-79",
+    attack_vector: str = "NETWORK",
+    user_interaction: str = "NONE",
+    refsource: str = "MISC",
+    tags: tuple[str, ...] = ("Patch", "Vendor Advisory"),
+    n_refs: int = 1,
 ) -> dict:
     cve_id = f"CVE-{year}-{num:04d}"
     item = {
@@ -59,11 +70,12 @@ def _item(
             "references": {
                 "reference_data": [
                     {
-                        "url": f"https://advisories.example.test/{cve_id}",
-                        "name": cve_id,
-                        "refsource": "MISC",
-                        "tags": ["Patch", "Vendor Advisory"],
+                        "url": f"https://advisories.example.test/{cve_id}/{i}",
+                        "name": f"{cve_id}-{i}",
+                        "refsource": refsource,
+                        "tags": list(tags),
                     }
+                    for i in range(n_refs)
                 ]
             },
             "description": {
@@ -95,11 +107,14 @@ def _item(
             "baseMetricV3": {
                 "cvssV3": {
                     "version": 3.1,
-                    "vectorString": "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:N",
-                    "attackVector": "NETWORK",
+                    "vectorString": (
+                        f"CVSS:3.1/AV:{_AV_CODE[attack_vector]}/AC:L/PR:N"
+                        f"/UI:{_UI_CODE[user_interaction]}/S:U/C:H/I:H/A:N"
+                    ),
+                    "attackVector": attack_vector,
                     "attackComplexity": "LOW",
                     "privilegesRequired": "NONE",
-                    "userInteraction": "NONE",
+                    "userInteraction": user_interaction,
                     "scope": "UNCHANGED",
                     "confidentialityImpact": "HIGH",
                     "integrityImpact": "HIGH",
@@ -153,6 +168,8 @@ def year_feed() -> dict:
             description="Flaw in the linux kernel scheduler.",
             published="2024-01-03T08:15Z",
             modified="2024-01-04T11:00Z",
+            refsource="CONFIRM",
+            n_refs=2,
         ),
         _item(
             2,
@@ -161,6 +178,9 @@ def year_feed() -> dict:
             cwe="CWE-89",
             published="2024-01-05T14:30Z",
             modified="2024-01-06T09:00Z",
+            user_interaction="REQUIRED",
+            refsource="MISC",
+            tags=("Exploit", "Third Party Advisory"),
         ),
         _item(
             3,
@@ -183,6 +203,10 @@ def year_feed() -> dict:
             modified="2024-02-02T12:45Z",
             severity_v3="CRITICAL",
             base_score=9.8,
+            attack_vector="LOCAL",
+            refsource="MLIST",
+            tags=("Mailing List", "Patch"),
+            n_refs=3,
         ),
         _item(
             4,
@@ -193,6 +217,9 @@ def year_feed() -> dict:
             modified="2024-02-11T10:30Z",
             severity_v3="MEDIUM",
             base_score=5.3,
+            attack_vector="ADJACENT_NETWORK",
+            refsource="FULLDISC",
+            tags=("Exploit",),
         ),
         _item(
             5,
@@ -202,6 +229,9 @@ def year_feed() -> dict:
             modified="2024-03-01T09:15Z",
             severity_v3="LOW",
             base_score=3.1,
+            attack_vector="PHYSICAL",
+            user_interaction="REQUIRED",
+            n_refs=0,  # empty reference_data: UNNEST/explode must drop it
         ),
         _item(
             6,
@@ -215,6 +245,10 @@ def year_feed() -> dict:
             modified="2024-03-16T07:00Z",
             severity_v3="HIGH",
             base_score=7.0,
+            attack_vector="LOCAL",
+            refsource="CONFIRM",
+            tags=("Patch",),
+            n_refs=2,
         ),
         _item(
             7,
@@ -225,6 +259,10 @@ def year_feed() -> dict:
             modified="2024-04-02T13:30Z",
             severity_v3="CRITICAL",
             base_score=9.1,
+            user_interaction="REQUIRED",
+            refsource="FULLDISC",
+            tags=("Exploit", "Mailing List"),
+            n_refs=2,
         ),
         _item(
             8,
@@ -235,6 +273,9 @@ def year_feed() -> dict:
             modified="2024-04-21T18:00Z",
             severity_v3="MEDIUM",
             base_score=6.5,
+            attack_vector="LOCAL",
+            refsource="MLIST",
+            tags=("Mailing List",),
         ),
     ]
     return _feed(items, "2024-05-01T00:00Z")
@@ -272,6 +313,9 @@ def recent_feed() -> dict:
             modified="2024-05-01T11:15Z",
             severity_v3="HIGH",
             base_score=7.8,
+            attack_vector="ADJACENT_NETWORK",
+            refsource="CONFIRM",
+            n_refs=2,
         ),
         _item(
             10,
@@ -282,6 +326,9 @@ def recent_feed() -> dict:
             modified="2024-05-01T22:15Z",
             severity_v3="MEDIUM",
             base_score=5.9,
+            user_interaction="REQUIRED",
+            refsource="FULLDISC",
+            tags=("Exploit",),
         ),
     ]
     return _feed(items, "2024-05-02T00:00Z")
