@@ -134,16 +134,28 @@ def band_sigs_np(texts: "pd.Series") -> "pd.Series":
     hex, same lexicographic min over distinct tokens, same band concat —
     pure string math, so unlike the float ANN twin there is no ordering
     caveat at all. Higher-order functions never codegen; hashlib's C md5
-    over Arrow batches beats the interpreted expression walk ~3×."""
+    over Arrow batches beats the interpreted expression walk ~3×.
+
+    Token digests are memoized per Arrow batch: natural-language token
+    frequency is Zipfian, so the same tokens recur across the batch's
+    documents and each unique token pays its N_HASHES md5s once (~8× on
+    the repetitive test corpus). The cache is batch-scoped, so its
+    footprint is bounded by the batch vocabulary, not the corpus."""
     import hashlib
 
     salts = [f"{i}:".encode() for i in range(N_HASHES)]
+    digests: dict[bytes, list[str]] = {}
     out = []
     for text in texts:
         toks = {t.encode() for t in text.split(" ")}
-        mins = [
-            min(hashlib.md5(s + t).hexdigest() for t in toks) for s in salts
-        ]
+        per_tok = []
+        for t in toks:
+            d = digests.get(t)
+            if d is None:
+                d = [hashlib.md5(s + t).hexdigest() for s in salts]
+                digests[t] = d
+            per_tok.append(d)
+        mins = [min(d[i] for d in per_tok) for i in range(N_HASHES)]
         out.append(
             [
                 "".join(mins[b * BAND_SIZE : (b + 1) * BAND_SIZE])
@@ -235,25 +247,13 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAIR_BUCKET_CAP = 20
 
 
-@query(
-    "minhash_pairs_capped",
-    oracle=_duck_band_cte()
-    + f"""
-    , sized AS (
-      SELECT band_idx, band_sig
-      FROM bands
-      GROUP BY band_idx, band_sig
-      HAVING COUNT(*) BETWEEN 2 AND {PAIR_BUCKET_CAP}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-                AND a.doc_id < b.doc_id
-    JOIN sized s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
-    """,
-)
-def minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _spark_bands(spark, sf_dir)
+def _capped_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidates from capped LSH buckets, with
+    the signature stage evaluated ONCE: group members per bucket, emit
+    each bucket's pairs from its sorted member array. The self-join
+    formulation (the oracle's shape) would re-run the Arrow signature
+    UDF on both join sides plus the bucket-size subtree — three full
+    signature passes for the same output."""
     buckets = (
         bands.groupBy("band_idx", "band_sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
@@ -276,6 +276,27 @@ def minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
+
+
+@query(
+    "minhash_pairs_capped",
+    oracle=_duck_band_cte()
+    + f"""
+    , sized AS (
+      SELECT band_idx, band_sig
+      FROM bands
+      GROUP BY band_idx, band_sig
+      HAVING COUNT(*) BETWEEN 2 AND {PAIR_BUCKET_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+    JOIN sized s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
+    """,
+)
+def minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _capped_pairs(_spark_bands(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -672,19 +693,28 @@ def _simhash_np(texts: "pd.Series") -> "pd.Series":
     the signature inside a 4-element band array on BOTH sides of a
     self-join: the HOF expression tree gets duplicated ~10x per row,
     while a Python UDF is extracted into its own eval node and runs
-    once per row per side."""
+    once per row per side.
+
+    Per-token vote vectors are memoized per Arrow batch (same Zipfian
+    argument as ``band_sigs_np``): each unique token pays its md5 and
+    parity expansion once per batch instead of once per document."""
     import hashlib
 
     import numpy as np
 
+    tok_votes: dict[str, "np.ndarray"] = {}
+    bit_vals = 1 << np.arange(32, dtype=np.int64)
     out = []
     for text in texts:
         votes = np.zeros(32, dtype=np.int64)
         for t in set(text.split(" ")):
-            h = hashlib.md5(t.encode()).hexdigest().encode()
-            votes += np.where(np.frombuffer(h, dtype=np.uint8) % 2 == 1, 1, -1)
-        bits = np.where(votes > 0, 1 << np.arange(32, dtype=np.int64), 0)
-        out.append(int(bits.sum()))
+            v = tok_votes.get(t)
+            if v is None:
+                h = hashlib.md5(t.encode()).hexdigest().encode()
+                v = np.where(np.frombuffer(h, dtype=np.uint8) % 2 == 1, 1, -1)
+                tok_votes[t] = v
+            votes += v
+        out.append(int(np.where(votes > 0, bit_vals, 0).sum()))
     return pd.Series(out)
 
 _DUCK_SIMHASH = """
@@ -831,25 +861,7 @@ JACCARD_MIN = 0.8
     """,
 )
 def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _spark_bands(spark, sf_dir)
-    sized = (
-        bands.groupBy("band_idx", "band_sig")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= PAIR_BUCKET_CAP))
-        .select("band_idx", "band_sig")
-    )
-    capped = bands.join(F.broadcast(sized), ["band_idx", "band_sig"])
-    a, b = capped.alias("a"), capped.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _capped_pairs(_spark_bands(spark, sf_dir))
     toks = F.split("text", " ")
     shingles = F.array_distinct(
         F.transform(
@@ -862,12 +874,25 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(F.split("text", " ")) >= 2)
         .select("doc_id", shingles.alias("sh"))
     )
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size("a_sh") + F.size("b_sh") - inter
-    jac = inter.cast("double") / union
-    return (
+    # Project the intersection size ONCE before filtering: referencing the
+    # array_intersect subtree from both the filter and the final select
+    # would re-evaluate it up to 4× per candidate pair (numerator + union,
+    # × filter + projection) — sizes collapse it to one evaluation.
+    sized_pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("a_sh")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("b_sh")), "doc_b")
-        .filter(jac >= JACCARD_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("a_sh", "b_sh")).alias("n_inter"),
+            F.size("a_sh").alias("n_a"),
+            F.size("b_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        sized_pairs.filter(jac >= JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
