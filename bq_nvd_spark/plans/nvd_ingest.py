@@ -409,3 +409,88 @@ def nvd_av_severity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# F7+A4: CWE census — double explode through problemtype_data[].description[]
+# (reference schema.json cve.problemtype), per-CWE CVE count and severity
+# profile.
+@query(
+    "nvd_cwe_counts",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)}),
+    pt AS (
+      SELECT item.cve.CVE_data_meta.ID AS ID,
+             item.impact.baseMetricV3.cvssV3.baseScore AS base_score,
+             UNNEST(item.cve.problemtype.problemtype_data) AS pd
+      FROM feed
+    ),
+    cwes AS (
+      SELECT ID, base_score, d.value AS cwe
+      FROM (SELECT ID, base_score, UNNEST(pd.description) AS d FROM pt)
+    )
+    SELECT cwe,
+           COUNT(DISTINCT ID) AS n_cves,
+           MAX(base_score)    AS max_score,
+           MIN(base_score)    AS min_score
+    FROM cwes
+    GROUP BY 1
+    """,
+)
+def nvd_cwe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    pt = items.select(
+        F.col(ID_COL).alias("ID"),
+        F.col("impact.baseMetricV3.cvssV3.baseScore").alias("base_score"),
+        F.explode("cve.problemtype.problemtype_data").alias("pd"),
+    )
+    cwes = pt.select(
+        "ID", "base_score", F.explode("pd.description").alias("d")
+    ).select("ID", "base_score", F.col("d.value").alias("cwe"))
+    return cwes.groupBy("cwe").agg(
+        F.countDistinct("ID").alias("n_cves"),
+        F.max("base_score").alias("max_score"),
+        F.min("base_score").alias("min_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 over the ingest: published→lastModified lag in days, profiled per
+# severity. The average divides an exact integer day-sum by the count in
+# BOTH engines (never the engines' own AVG, whose accumulation strategy
+# is unspecified), so the double result is bit-deterministic.
+@query(
+    "nvd_modification_lag",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)}),
+    lags AS (
+      SELECT item.impact.baseMetricV3.cvssV3.baseSeverity AS severity,
+             date_diff('day',
+                       CAST({_DUCK_TS.format(col='item.publishedDate')} AS DATE),
+                       CAST({_DUCK_TS.format(col='item.lastModifiedDate')} AS DATE))
+               AS lag_days
+      FROM feed
+    )
+    SELECT severity,
+           COUNT(*)                                   AS n_cves,
+           CAST(SUM(lag_days) AS DOUBLE) / COUNT(*)   AS avg_lag_days,
+           MAX(lag_days)                              AS max_lag_days
+    FROM lags
+    GROUP BY 1
+    """,
+)
+def nvd_modification_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    lags = items.select(
+        F.col("impact.baseMetricV3.cvssV3.baseSeverity").alias("severity"),
+        F.datediff(F.to_date("lastModifiedDate"), F.to_date("publishedDate"))
+        .cast("long")
+        .alias("lag_days"),
+    )
+    return lags.groupBy("severity").agg(
+        F.count(F.lit(1)).alias("n_cves"),
+        (F.sum("lag_days").cast("double") / F.count(F.lit(1))).alias(
+            "avg_lag_days"
+        ),
+        F.max("lag_days").alias("max_lag_days"),
+    )

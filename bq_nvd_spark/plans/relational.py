@@ -697,3 +697,44 @@ def bag_except_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderdate")
     low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_orderdate")
     return urgent.exceptAll(low)
+
+
+# --------------------------------------------------------------------------
+# §2.5 window: lag/lead — month-over-month revenue growth. Monthly revenue
+# is summed as DECIMAL(18,2) in both engines (exact, order-free) and only
+# cast to double at the end, so the lag subtraction is bit-deterministic;
+# the first month's growth is NULL by lag semantics in both engines.
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month, revenue,
+           revenue - LAG(revenue) OVER (ORDER BY month) AS growth
+    FROM monthly
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    # Single unpartitioned window over ~tens of month rows — the window
+    # input is the AGGREGATED series, never the raw fact table, so the
+    # one-partition sort is over |months|, not |orders|.
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("growth"),
+    )
