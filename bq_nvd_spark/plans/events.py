@@ -30,7 +30,7 @@ from bq_nvd_spark.sources.tables import load_table
       DATE_TRUNC('hour', ts)        AS window_start,
       event_type,
       COUNT(*)                      AS n_events,
-      ROUND(SUM(value), 2)          AS sum_value
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -41,7 +41,7 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -92,7 +92,7 @@ def sliding_window_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            MIN(ts)              AS session_start,
            COUNT(*)             AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM (
       SELECT user_id, ts, value,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -113,7 +113,7 @@ def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             "user_id",

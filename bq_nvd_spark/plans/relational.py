@@ -34,32 +34,50 @@ from bq_nvd_spark.sources.tables import load_table
     SELECT
       l_returnflag,
       l_linestatus,
-      ROUND(SUM(l_quantity), 2)                                 AS sum_qty,
-      ROUND(SUM(l_extendedprice), 2)                            AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
-      ROUND(AVG(l_quantity), 4)                                 AS avg_qty,
-      ROUND(AVG(l_extendedprice), 4)                            AS avg_price,
-      ROUND(AVG(l_discount), 4)                                 AS avg_disc,
-      COUNT(*)                                                  AS count_order
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(30,10))), 2) AS DOUBLE)      AS sum_disc_price,
+      FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(*) * 10000 + 0.5) / 10000                     AS avg_qty,
+      FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(*) * 10000 + 0.5) / 10000                     AS avg_price,
+      FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(*) * 10000 + 0.5) / 10000                     AS avg_disc,
+      COUNT(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-01'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every SUM runs over exact decimals (the measures are fixed-decimal
+    values stored as doubles), so the aggregate is identical under ANY
+    accumulation order — a float SUM's value would depend on partition
+    merge order, which varies run to run. Averages divide the exact sum
+    as a double (IEEE division is order-free) and fix the rounding rule
+    with floor(x*1e4+0.5), never engine ROUND."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def dec_sum(col: str) -> Column:
+        return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+    def fixed_avg(col: str) -> Column:
+        return F.floor(dec_sum(col) / F.count(F.lit(1)) * 10000 + 0.5) / 10000
+
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            fixed_avg("l_quantity").alias("avg_qty"),
+            fixed_avg("l_extendedprice").alias("avg_price"),
+            fixed_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -73,7 +91,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o.o_orderkey,
       o.o_orderdate,
-      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -95,9 +114,18 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            # Exact decimal sum: order-free, so the top-10 cut can't flip
+            # between runs on last-ulp revenue drift.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,10)"
+                    )
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -111,7 +139,8 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name,
-      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -134,9 +163,16 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,10)"
+                    )
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -203,8 +239,9 @@ def agg_count_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderpriority,
       COUNT(*)                              AS n_orders,
       COUNT(DISTINCT o_custkey)             AS n_customers,
-      ROUND(SUM(o_totalprice), 2)           AS sum_price,
-      ROUND(AVG(o_totalprice), 4)           AS avg_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(*) * 10000 + 0.5) / 10000 AS avg_price,
       ROUND(MIN(o_totalprice), 2)           AS min_price,
       ROUND(MAX(o_totalprice), 2)           AS max_price
     FROM orders
@@ -216,8 +253,18 @@ def group_agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -441,7 +488,8 @@ def orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(30,10))), 2) * 100
                 AS BIGINT) AS revenue_cents,
            n.n_name AS nation
     FROM customer c
@@ -466,13 +514,17 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(30,10)"
+        )
+    )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.floor(rev * 100 + 0.5).cast("bigint").alias("revenue_cents"))
+        .agg((F.round(rev, 2) * 100).cast("bigint").alias("revenue_cents"))
         .select("c_custkey", "c_name", "revenue_cents", "nation")
         .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
         .limit(20)
@@ -534,15 +586,15 @@ def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot_lineitem_measures",
     oracle="""
     SELECT l_linestatus, 'qty' AS measure,
-           CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS total
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
     FROM lineitem GROUP BY 1
     UNION ALL
     SELECT l_linestatus, 'price' AS measure,
-           CAST(FLOOR(SUM(l_extendedprice) * 100 + 0.5) AS BIGINT) AS total
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
     FROM lineitem GROUP BY 1
     UNION ALL
     SELECT l_linestatus, 'discount' AS measure,
-           CAST(FLOOR(SUM(l_discount) * 100 + 0.5) AS BIGINT) AS total
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
     FROM lineitem GROUP BY 1
     """,
 )
@@ -551,12 +603,13 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted = li.select(
         "l_linestatus",
         F.expr(
-            "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
-            "'discount', l_discount) AS (measure, value)"
+            "stack(3, 'qty', CAST(l_quantity AS DECIMAL(18,2)), "
+            "'price', CAST(l_extendedprice AS DECIMAL(18,2)), "
+            "'discount', CAST(l_discount AS DECIMAL(18,2))) AS (measure, value)"
         ),
     )
     return melted.groupBy("l_linestatus", "measure").agg(
-        F.floor(F.sum("value") * 100 + 0.5).cast("bigint").alias("total")
+        (F.sum("value") * 100).cast("bigint").alias("total")
     )
 
 
@@ -567,12 +620,13 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c.c_name, o.o_orderkey, o.o_orderdate,
-           CAST(FLOOR(SUM(l.l_quantity) * 100 + 0.5) AS BIGINT) AS total_qty_x100
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS total_qty_x100
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1, 2, 3
-    HAVING SUM(l.l_quantity) > 220
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 220
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,8 +640,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(
-            F.sum("l_quantity").alias("_qty"),
-            F.floor(F.sum("l_quantity") * 100 + 0.5)
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
             .cast("bigint")
             .alias("total_qty_x100"),
         )

@@ -95,7 +95,7 @@ def salted_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
            GROUPING(EXTRACT(year FROM o_orderdate),
                     EXTRACT(month FROM o_orderdate))        AS lvl,
            COUNT(*)                                         AS n_orders,
-           CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
     FROM orders
     GROUP BY ROLLUP(EXTRACT(year FROM o_orderdate),
                     EXTRACT(month FROM o_orderdate))
@@ -115,7 +115,9 @@ def rollup_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("lvl"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents"),
         )
         .select("yr", "mth", "lvl", "n_orders", "cents")
     )

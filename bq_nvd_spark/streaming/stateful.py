@@ -8,7 +8,7 @@ the function receives the batch's rows as pandas frames plus a
 rows.
 
 The operator here is a per-user running accumulator: state is
-``(n_events, total_value)``, each micro-batch folds its rows in and
+``(n_events, total_cents)``, each micro-batch folds its rows in and
 emits the group's updated totals. Drained with ``Trigger.AvailableNow``
 the final emission per key equals the batch ``groupBy``, which is what
 the registered query's DuckDB oracle hash-checks — the full stateful
@@ -24,7 +24,6 @@ a finite AvailableNow drain needs none.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -44,7 +42,7 @@ from bq_nvd_spark.streaming.micro_batch import run_available_now, stream_events
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_cents", LongType()),
     ]
 )
 
@@ -62,18 +60,21 @@ def _accumulate(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Fold this batch's rows into the running (count, sum) state and
-    emit the updated totals. Summation is vectorized (numpy, per batch);
-    the emission fixes the total to integer cents, and the 2-decimal
-    source values keep every partial sum ~0.5 cents away from the floor
-    boundary, so ordering differences vs the SQL oracle cannot change
-    the emitted integer."""
-    n, total = state.get if state.exists else (0, 0.0)
+    """Fold this batch's rows into the running (count, cents) state and
+    emit the updated totals. Each row is fixed to integer cents BEFORE
+    accumulation (the 2-decimal source values make floor(v*100+0.5)
+    exact per row), so the running state is an integer sum — identical
+    under any batch split or row order, by construction rather than by
+    error-margin argument."""
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    cents = math.floor(total * 100 + 0.5)
+        cents += int(
+            np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64).sum()
+        )
+    state.update((n, cents))
     yield pd.DataFrame(
         [(key[0], n, cents)], columns=[f.name for f in OUTPUT_SCHEMA.fields]
     )
@@ -95,7 +96,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS total_cents
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents
     FROM events
     GROUP BY user_id
     """,
