@@ -376,9 +376,10 @@ def window_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
     "window_running_order_total",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           ROUND(SUM(o_totalprice) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
     FROM orders
     WHERE o_custkey < 100
     """,
@@ -396,7 +397,13 @@ def window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        # Decimal inside the frame: engines disagree on windowed-sum
+        # accumulation order (segment trees vs sequential), which a float
+        # running total would expose at rounding boundaries.
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -658,63 +665,79 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_above_customer_avg",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
     FROM (
       SELECT o_orderkey, o_custkey, o_totalprice,
-             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey) AS cust_total
       FROM orders
     )
-    WHERE o_totalprice > cust_avg
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_orders > cust_total
     """,
 )
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """price > group mean, compared as ``price*n > sum`` in exact
+    decimals — no division and no float accumulation, so a price equal
+    to its customer's exact mean is excluded identically in both
+    engines (a float AVG could tip either way on summation order)."""
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     return (
         o.select(
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.avg("o_totalprice").over(w).alias("cust_avg"),
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+            F.sum(price_dec).over(w).alias("cust_total"),
         )
-        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .filter(price_dec * F.col("n_orders") > F.col("cust_total"))
         .select(
             "o_orderkey",
             "o_custkey",
-            F.floor(F.col("o_totalprice") * 100 + 0.5)
-            .cast("bigint")
-            .alias("price_cents"),
+            (price_dec * 100).cast("bigint").alias("price_cents"),
         )
     )
 
 
 # --------------------------------------------------------------------------
-# A4 ordered-set aggregates: exact interpolated percentiles per group.
+# A4 ordered-set aggregates: exact discrete percentiles per group.
 @query(
     "order_price_quantiles",
     oracle="""
     SELECT o_orderpriority,
-           CAST(FLOOR(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) AS BIGINT)
-             AS median_cents,
-           CAST(FLOOR(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) AS BIGINT)
-             AS p90_cents
+           CAST(CAST(quantile_disc(o_totalprice, 0.5) AS DECIMAL(18,2)) * 100
+                AS BIGINT) AS median_cents,
+           CAST(CAST(quantile_disc(o_totalprice, 0.9) AS DECIMAL(18,2)) * 100
+                AS BIGINT) AS p90_cents
     FROM orders
     GROUP BY 1
     """,
 )
 def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation — same definition in both
-    engines) per priority; a full sort within each group, which is why
+    """Exact percentiles per priority — the DISCRETE form, which returns
+    an actual member of the group (verified identical element choice in
+    Spark and DuckDB), so no interpolation arithmetic exists to drift at
+    a half-cent boundary. A full sort within each group, which is why
     approx_percentile exists for the 100 TB path when exactness is
-    negotiable. Cent-fixing absorbs interpolation float noise."""
+    negotiable."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.floor(F.expr("percentile(o_totalprice, 0.5)") * 100 + 0.5)
+        (
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .cast("decimal(18,2)")
+            * 100
+        )
         .cast("bigint")
         .alias("median_cents"),
-        F.floor(F.expr("percentile(o_totalprice, 0.9)") * 100 + 0.5)
+        (
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .cast("decimal(18,2)")
+            * 100
+        )
         .cast("bigint")
         .alias("p90_cents"),
     )
