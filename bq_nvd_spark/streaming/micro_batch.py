@@ -270,3 +270,61 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_prefix="stream_session",
         state_partitions=8,
     )
+
+
+# --------------------------------------------------------------------------
+# T4 streaming: stream-stream INNER join with an event-time range
+# condition — clicks within 10 minutes after an error by the same user.
+# Inner joins emit each match as it occurs, so a finite AvailableNow
+# drain produces exactly the batch join; the watermarks exist to bound
+# the join state (each side can discard rows older than the watermark
+# minus the range width — the knob that keeps state finite on an
+# unbounded deployment).
+@query(
+    "streaming_click_error_join",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id,
+           e.user_id AS user_id
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts >  e.ts
+     AND c.ts <= e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error'
+    """,
+)
+def streaming_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    errors = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("error_id", "click_id", "user_id")
+    return run_available_now(
+        joined,
+        output_mode="append",
+        name_prefix="stream_join",
+        state_partitions=8,
+    )
