@@ -390,3 +390,261 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("sim") >= SIMILAR_COS)
+
+
+N_ANCHORS = 5  # per-cell anchor sample for the medoid centrality score
+_SCORE_SCALE = 1_000_000_000_000  # cos → integer at 1e-12 — exact int sums
+
+
+@query(
+    "ivf_refined_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n WHERE vec_id >= {_QUERY_MAX_ID} AND vec_id < {_CENT_MAX_ID}
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT a.vec_id, a.v, a.nrm, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {duck_fold_dot('a.v', 'c.cv')} / (a.nrm * c.cnrm) DESC,
+                          c.cent_id) AS rn
+        FROM n a, cents c
+        WHERE a.vec_id >= {_QUERY_MAX_ID}
+      ) WHERE rn = 1
+    ),
+    anchors AS (
+      SELECT cell, v AS av, nrm AS anrm FROM (
+        SELECT cell, v, nrm,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        FROM assign
+      ) WHERE rn <= {N_ANCHORS}
+    ),
+    member_scores AS (
+      SELECT m.cell, m.vec_id,
+             SUM(CAST(FLOOR({duck_fold_dot('m.v', 'a.av')} / (m.nrm * a.anrm)
+                            * {_SCORE_SCALE} + 0.5) AS BIGINT)) AS score
+      FROM assign m JOIN anchors a ON a.cell = m.cell
+      GROUP BY m.cell, m.vec_id
+    ),
+    reps AS (
+      SELECT rep_id FROM (
+        SELECT vec_id AS rep_id,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM member_scores
+      ) WHERE rn = 1
+    ),
+    rcents AS (
+      SELECT n.vec_id AS rep_id, n.v AS rv, n.nrm AS rnrm
+      FROM reps r JOIN n ON n.vec_id = r.rep_id
+    ),
+    reassign AS (
+      SELECT vec_id, v, nrm, rcell FROM (
+        SELECT a.vec_id, a.v, a.nrm, r.rep_id AS rcell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {duck_fold_dot('a.v', 'r.rv')} / (a.nrm * r.rnrm) DESC,
+                          r.rep_id) AS rn
+        FROM n a, rcents r
+        WHERE a.vec_id >= {_QUERY_MAX_ID}
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, qv, qn, rcell FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, r.rep_id AS rcell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {duck_fold_dot('q.v', 'r.rv')} / (q.nrm * r.rnrm) DESC,
+                          r.rep_id) AS rn
+        FROM n q, rcents r
+        WHERE q.vec_id < {_QUERY_MAX_ID}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             FLOOR({duck_fold_dot('p.qv', 'a.v')} / (p.qn * a.nrm) * 10000 + 0.5)
+               / 10000 AS sim
+      FROM probes p JOIN reassign a ON a.rcell = p.rcell
+    )
+    SELECT q_id, vec_id, sim
+    FROM (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: IVF with DATA-ADAPTIVE centroids — the training step ivf_topk
+    leaves offline, expressed as one deterministic refinement pass
+    (sampled-medoid, PAM-style): coarse-assign the corpus to the fixed
+    seeds, score each member's centrality as the sum of cosines to its
+    cell's N_ANCHORS lowest-id members, promote each cell's best-scoring
+    member to be the refined centroid, then re-assign, probe, and
+    re-rank exactly as the plain IVF does.
+
+    Determinism at the argmax: each anchor cosine is fixed to an integer
+    at 1e-12 BEFORE summation, so the centrality score is an exact
+    integer sum — the winning medoid cannot flip on float addition
+    order, which a raw SUM(cos) argmax could. Scale shape: anchors are
+    N_ANCHORS×|cells| rows (broadcast), scoring is one broadcast join
+    over the corpus, and both assignment passes are per-row HOF argmaxes
+    against a single broadcast centroid array — the corpus shuffles only
+    at the final (cell ⋈ probe) candidate join, same as ivf_topk.
+    """
+    from pyspark.sql.window import Window
+
+    emb = _spread_embeddings(spark, sf_dir)
+    n = emb.select("vec_id", "v", F.sqrt(fold_dot("v", "v")).alias("nrm"))
+    corpus = n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
+
+    def argmax_cell(arr_col: str, id_field: str, vec_field: str, nrm_field: str):
+        def cos(c):
+            return fold_dot("v", c[vec_field]) / (F.col("nrm") * c[nrm_field])
+
+        return F.aggregate(
+            arr_col,
+            F.struct(
+                F.lit(-2.0).cast("double").alias("cos"),
+                F.lit(None).cast("long").alias("cell"),
+            ),
+            lambda acc, c: F.when(
+                cos(c) > acc["cos"],
+                F.struct(cos(c).alias("cos"), c[id_field].alias("cell")),
+            ).otherwise(acc),
+        )["cell"]
+
+    # Seeds → one broadcast row, sorted by cent_id (argmax tie-break).
+    cent_arr = (
+        n.filter(
+            (F.col("vec_id") >= _QUERY_MAX_ID) & (F.col("vec_id") < _CENT_MAX_ID)
+        )
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    assign = corpus.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "v", "nrm", argmax_cell("cents", "cent_id", "cv", "cnrm").alias("cell")
+    )
+
+    # Per-cell anchor sample: the N_ANCHORS lowest-id members, folded to
+    # one array per cell and broadcast back onto the members.
+    w_anchor = Window.partitionBy("cell").orderBy("vec_id")
+    anchors = (
+        assign.select(
+            "cell", "vec_id", "v", "nrm", F.row_number().over(w_anchor).alias("rn")
+        )
+        .filter(F.col("rn") <= N_ANCHORS)
+        .groupBy("cell")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("a_id"),
+                        F.col("v").alias("av"),
+                        F.col("nrm").alias("anrm"),
+                    )
+                )
+            ).alias("anchor_arr")
+        )
+    )
+    scored_members = assign.join(F.broadcast(anchors), "cell").select(
+        "cell",
+        "vec_id",
+        F.aggregate(
+            "anchor_arr",
+            F.lit(0).cast("long"),
+            lambda acc, a: acc
+            + F.floor(
+                fold_dot("v", a["av"])
+                / (F.col("nrm") * a["anrm"])
+                * F.lit(_SCORE_SCALE)
+                + 0.5
+            ).cast("long"),
+        ).alias("score"),
+    )
+    w_rep = Window.partitionBy("cell").orderBy(F.desc("score"), F.asc("vec_id"))
+    reps = (
+        scored_members.select(
+            "cell", "vec_id", F.row_number().over(w_rep).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("rep_id"))
+    )
+
+    # Refined centroids → one broadcast row, then the plain-IVF tail.
+    rcent_arr = (
+        reps.join(n, reps.rep_id == n.vec_id)
+        .select(
+            F.struct(
+                F.col("rep_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("rcents"))
+    )
+
+    def rcent_cos(c):
+        return fold_dot("v", c["cv"]) / (F.col("nrm") * c["cnrm"])
+
+    probe_cells = F.slice(
+        F.sort_array(
+            F.transform(
+                "rcents",
+                lambda c: F.struct(
+                    (-rcent_cos(c)).alias("neg_cos"), c["cent_id"].alias("cell")
+                ),
+            )
+        ),
+        1,
+        IVF_NPROBE,
+    )
+    reassign = corpus.crossJoin(F.broadcast(rcent_arr)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        argmax_cell("rcents", "cent_id", "cv", "cnrm").alias("rcell"),
+    )
+    probes = (
+        n.filter(F.col("vec_id") < _QUERY_MAX_ID)
+        .crossJoin(F.broadcast(rcent_arr))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(probe_cells).alias("p"),
+        )
+        .select("q_id", "qv", "qn", F.col("p.cell").alias("rcell"))
+    )
+    scored = reassign.join(F.broadcast(probes), "rcell").select(
+        "q_id",
+        "vec_id",
+        (
+            F.floor(
+                fold_dot("qv", "v") / (F.col("qn") * F.col("nrm")) * 10000 + 0.5
+            )
+            / 10000
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", "sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
