@@ -149,3 +149,59 @@ def test_filter_and_projection_reach_the_scan(spark, sf_dir):
     read_schema = scan.split("ReadSchema: ")[1].splitlines()[0]
     assert "p_name" in read_schema and "p_brand" in read_schema
     assert "p_retailprice" not in read_schema  # unused column pruned
+
+
+def test_stream_stream_join_uses_symmetric_hash(spark, sf_dir):
+    """The interval join compiles to Spark's stream-stream join operator
+    (symmetric hash with watermarked state), not to a batch join over
+    materialized sides — the property that lets its state stay bounded
+    on an unbounded stream."""
+    from bq_nvd_spark.streaming.micro_batch import stream_events
+
+    errors = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    # A streaming plan can't be optimized/executed without start();
+    # the analyzed plan is the static signal: the inner join survives
+    # analysis and BOTH sides kept their watermarks (what bounds the
+    # symmetric-hash join's state at runtime).
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "Join Inner" in plan
+    assert plan.count("EventTimeWatermark") == 2
+
+
+def test_refined_ivf_broadcasts_every_index_structure(spark, sf_dir):
+    """Neither the centroid array, the anchor arrays, nor the probe set
+    may shuffle the corpus: every index-side join in the refined-IVF
+    plan must be a broadcast, leaving the candidate join's exchange as
+    the only corpus shuffle."""
+    from bq_nvd_spark.plans.similarity_search import ivf_refined_topk
+
+    df = ivf_refined_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
