@@ -53,11 +53,27 @@ def main() -> None:
             state_partitions=1,
         )
 
+    def force_count(df) -> int:
+        """Row count that FORCES every output column to be computed: a
+        bare count() lets Catalyst prune final projections, silently
+        timing a scan-count instead of the query. sum(hash(all cols))
+        consumes each row's full projection JVM-side and returns with
+        the count in one pass. (hash() rejects map columns — fall back
+        to the plain count for those.)"""
+        try:
+            row = df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash(*[F.col(c) for c in df.columns])).alias("h"),
+            ).collect()[0]
+            return row["n"]
+        except Exception:
+            return df.count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(QUERIES):
         start = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
+        n = force_count(QUERIES[name](spark, sf_dir))
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
