@@ -494,3 +494,47 @@ def nvd_modification_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("lag_days").alias("max_lag_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# P2 depth: the CVSS v2 metric struct (reference schema.json
+# impact.baseMetricV2) side by side with v3 — score gap per CVE plus the
+# v2-only boolean/sub-score fields. Pure projection arithmetic on
+# identical doubles, so the 1-decimal gap is bit-deterministic.
+@query(
+    "nvd_v2_v3_score_gap",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)})
+    SELECT item.cve.CVE_data_meta.ID                            AS ID,
+           item.impact.baseMetricV2.cvssV2.baseScore            AS v2_score,
+           item.impact.baseMetricV3.cvssV3.baseScore            AS v3_score,
+           FLOOR((item.impact.baseMetricV3.cvssV3.baseScore
+                  - item.impact.baseMetricV2.cvssV2.baseScore) * 10 + 0.5) / 10
+                                                                AS score_gap,
+           item.impact.baseMetricV2.severity                    AS v2_severity,
+           item.impact.baseMetricV3.cvssV3.baseSeverity         AS v3_severity,
+           item.impact.baseMetricV2.exploitabilityScore         AS v2_exploitability,
+           item.impact.baseMetricV2.userInteractionRequired     AS v2_ui_required
+    FROM feed
+    """,
+)
+def nvd_v2_v3_score_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    v2 = "impact.baseMetricV2"
+    v3 = "impact.baseMetricV3.cvssV3"
+    return items.select(
+        F.col(ID_COL).alias("ID"),
+        F.col(f"{v2}.cvssV2.baseScore").alias("v2_score"),
+        F.col(f"{v3}.baseScore").alias("v3_score"),
+        (
+            F.floor(
+                (F.col(f"{v3}.baseScore") - F.col(f"{v2}.cvssV2.baseScore")) * 10
+                + 0.5
+            )
+            / 10
+        ).alias("score_gap"),
+        F.col(f"{v2}.severity").alias("v2_severity"),
+        F.col(f"{v3}.baseSeverity").alias("v3_severity"),
+        F.col(f"{v2}.exploitabilityScore").alias("v2_exploitability"),
+        F.col(f"{v2}.userInteractionRequired").alias("v2_ui_required"),
+    )
