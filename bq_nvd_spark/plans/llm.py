@@ -354,6 +354,40 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E2c: SimHash — 32-bit signature; bit i of a token is the parity of the
 # i-th hex char of md5(token) (deterministic in both engines); the doc bit
 # is the sign of the token-vote sum. Integer math throughout → exact match.
+def simhash_hof() -> Column:
+    """The semantic definition as a pure per-row HOF column: token md5s
+    once, then a fold over the 32 bit positions, each position folding
+    the per-token parity votes. Zero shuffle, zero row blowup. Kept as
+    the readable spec and pinned bit-equal to the Arrow fast path
+    ``_simhash_np`` (which the registered queries run — 32 interpreted
+    position-folds per row never enter codegen and cost ~7× the hashlib
+    kernel)."""
+    hashes = F.transform(F.array_distinct(F.split("text", " ")), F.md5)
+
+    def votes_at(i):  # i: lambda-variable Column (1-based hex position)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.ascii(h.substr(i, F.lit(1))) % 2 == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    # 2^(i-1) via pow: exact in a double up to 2^53, and i <= 32 here
+    # (shiftleft needs a literal shift amount, so it can't consume a
+    # lambda variable).
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            votes_at(i) > 0,
+            F.pow(F.lit(2.0), (i - 1).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
 @query(
     "simhash_signatures",
     oracle="""
@@ -377,37 +411,16 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure per-row formulation: token md5s once, then a fold over the 32
-    bit positions, each position folding the per-token parity votes. Zero
-    shuffle, zero row blowup — the signature stage is a projection, which
-    is the plan you want when `documents` is 100 TB (contrast the
-    crossJoin(32 positions) + two wide groupBys this replaces)."""
-    docs = load_table(spark, sf_dir, "documents")
-    hashes = F.transform(F.array_distinct(F.split("text", " ")), F.md5)
-
-    def votes_at(i):  # i: lambda-variable Column (1-based hex position)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.ascii(h.substr(i, F.lit(1))) % 2 == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-
-    # 2^(i-1) via pow: exact in a double up to 2^53, and i <= 32 here
-    # (shiftleft needs a literal shift amount, so it can't consume a
-    # lambda variable).
-    sig = F.aggregate(
-        F.sequence(F.lit(1), F.lit(32)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            votes_at(i) > 0,
-            F.pow(F.lit(2.0), (i - 1).cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    """Signature census through the Arrow kernel (``_simhash_np``),
+    spread across cores first — the signature stage is CPU-bound and a
+    single-file toy input would otherwise feed one worker. The HOF twin
+    ``simhash_hof`` is the semantic spec; a pytest pins them bit-equal
+    and this query's oracle checks the kernel against the SQL
+    formulation besides."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
-    return docs.select("doc_id", sig.alias("simhash"))
+    return docs.select("doc_id", _simhash_np("text").alias("simhash"))
 
 
 # --------------------------------------------------------------------------

@@ -43,3 +43,18 @@ def test_minhash_band_formulations_agree(spark, sf_dir):
     )
     assert both.filter(F.col("hof") != F.col("np")).count() == 0
     assert both.count() > 0
+
+
+def test_simhash_formulations_agree(spark, sf_dir):
+    """_simhash_np (hashlib+numpy over Arrow) must equal simhash_hof
+    (the per-row HOF definition the oracle mirrors) bit-for-bit."""
+    from bq_nvd_spark.plans.llm import _simhash_np, simhash_hof
+
+    docs = load_table(spark, sf_dir, "documents")
+    both = docs.select(
+        "doc_id",
+        simhash_hof().alias("hof"),
+        _simhash_np("text").alias("np"),
+    )
+    assert both.filter(F.col("hof") != F.col("np")).count() == 0
+    assert both.count() > 0
