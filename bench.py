@@ -72,6 +72,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(QUERIES):
+        # Per-query isolation: collect the previous query's garbage
+        # OUTSIDE the next timing window. Everything shares one local
+        # JVM here; without this, an allocation-heavy query (e.g. an
+        # object-hash collect_list over the fact table) taxes whichever
+        # query happens to run next (measured 5× on the worst pair). A
+        # real cluster's executors don't share a heap with the driver.
+        spark.sparkContext._jvm.System.gc()
         start = time.perf_counter()
         n = force_count(QUERIES[name](spark, sf_dir))
         elapsed = time.perf_counter() - start
