@@ -538,3 +538,72 @@ def nvd_v2_v3_score_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"{v2}.exploitabilityScore").alias("v2_exploitability"),
         F.col(f"{v2}.userInteractionRequired").alias("v2_ui_required"),
     )
+
+
+# --------------------------------------------------------------------------
+# P2/F7 through the version-range fields: every vulnerable cpe_match
+# (direct or under children[]) that carries a version bound, with its
+# bound triple — the "which version ranges are affected" query the CPE
+# dictionary exists for. NULL bounds on unbounded matches must survive
+# the explode untouched on both engines.
+@query(
+    "nvd_version_bounds",
+    oracle=f"""
+    WITH feed AS ({_duck_items(YEAR_FEED)}),
+    nodes AS (
+      SELECT item.cve.CVE_data_meta.ID AS ID,
+             UNNEST(item.configurations.nodes) AS nd
+      FROM feed
+    ),
+    matches AS (
+      SELECT ID, m.cpe23Uri AS uri, m.vulnerable AS vulnerable,
+             m.versionStartIncluding AS v_start_incl,
+             m.versionEndIncluding   AS v_end_incl,
+             m.versionEndExcluding   AS v_end_excl
+      FROM (SELECT ID, UNNEST(nd.cpe_match) AS m FROM nodes)
+      UNION ALL
+      -- DuckDB's JSON inference types children[].cpe_match from the keys
+      -- the fixture data actually carries (only versionEndExcluding);
+      -- the absent bounds are NULL under the Spark schema, so project
+      -- them as literal NULLs here.
+      SELECT ID, m.cpe23Uri, m.vulnerable,
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             m.versionEndExcluding
+      FROM (
+        SELECT ID, UNNEST(ch.cpe_match) AS m
+        FROM (SELECT ID, UNNEST(nd.children) AS ch FROM nodes)
+      )
+    )
+    SELECT ID, split_part(uri, ':', 5) AS product,
+           v_start_incl, v_end_incl, v_end_excl
+    FROM matches
+    WHERE vulnerable
+      AND (v_start_incl IS NOT NULL OR v_end_incl IS NOT NULL
+           OR v_end_excl IS NOT NULL)
+    """,
+)
+def nvd_version_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = cve_items(read_feed(spark, YEAR_FEED))
+    nodes = items.select(
+        F.col(ID_COL).alias("ID"), F.explode("configurations.nodes").alias("nd")
+    )
+    direct = nodes.select("ID", F.explode("nd.cpe_match").alias("m"))
+    via_children = nodes.select(
+        "ID", F.explode("nd.children").alias("ch")
+    ).select("ID", F.explode("ch.cpe_match").alias("m"))
+    matches = direct.unionByName(via_children).select(
+        "ID",
+        F.split(F.col("m.cpe23Uri"), ":")[4].alias("product"),
+        F.col("m.vulnerable").alias("vulnerable"),
+        F.col("m.versionStartIncluding").alias("v_start_incl"),
+        F.col("m.versionEndIncluding").alias("v_end_incl"),
+        F.col("m.versionEndExcluding").alias("v_end_excl"),
+    )
+    return matches.filter(
+        F.col("vulnerable")
+        & (
+            F.col("v_start_incl").isNotNull()
+            | F.col("v_end_incl").isNotNull()
+            | F.col("v_end_excl").isNotNull()
+        )
+    ).drop("vulnerable")

@@ -54,6 +54,7 @@ def _item(
     refsource: str = "MISC",
     tags: tuple[str, ...] = ("Patch", "Vendor Advisory"),
     n_refs: int = 1,
+    cpe_versions: dict | None = None,  # uri → version-bound kwargs
 ) -> dict:
     cve_id = f"CVE-{year}-{num:04d}"
     item = {
@@ -139,7 +140,10 @@ def _item(
             nodes.append(
                 {
                     "operator": "OR",
-                    "cpe_match": [_cpe(u) for u in cpe_uris],
+                    "cpe_match": [
+                        _cpe(u, **(cpe_versions or {}).get(u, {}))
+                        for u in cpe_uris
+                    ],
                     "children": [],
                 }
             )
@@ -170,6 +174,11 @@ def year_feed() -> dict:
             modified="2024-01-04T11:00Z",
             refsource="CONFIRM",
             n_refs=2,
+            cpe_versions={
+                "cpe:2.3:o:linux:linux_kernel:*:*:*:*:*:*:*:*": {
+                    "versionEndExcluding": "6.2"
+                }
+            },
         ),
         _item(
             2,
@@ -249,6 +258,12 @@ def year_feed() -> dict:
             refsource="CONFIRM",
             tags=("Patch",),
             n_refs=2,
+            cpe_versions={
+                "cpe:2.3:o:linux:linux_kernel:5.15:*:*:*:*:*:*:*": {
+                    "versionStartIncluding": "5.10",
+                    "versionEndExcluding": "5.16",
+                }
+            },
         ),
         _item(
             7,
@@ -263,6 +278,11 @@ def year_feed() -> dict:
             refsource="FULLDISC",
             tags=("Exploit", "Mailing List"),
             n_refs=2,
+            cpe_versions={
+                "cpe:2.3:a:vendor_c:parser:3.2:*:*:*:*:*:*:*": {
+                    "versionEndIncluding": "3.2"
+                }
+            },
         ),
         _item(
             8,
