@@ -205,3 +205,23 @@ def test_refined_ivf_broadcasts_every_index_structure(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_approx_aggregates_track_exact(spark, sf_dir):
+    """The 100 TB fallbacks for exact-but-expensive aggregates: HLL
+    approx_count_distinct and approx_percentile must land within their
+    documented error bands on this data — the check that keeps the
+    "use the approx form at scale" advice in the docstrings honest."""
+    from bq_nvd_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = orders.select(
+        F.countDistinct("o_custkey").alias("d"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+    ).collect()[0]
+    approx = orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("d"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+    ).collect()[0]
+    assert abs(approx["d"] - exact["d"]) / exact["d"] < 0.05
+    assert abs(approx["p50"] - exact["p50"]) / exact["p50"] < 0.01
