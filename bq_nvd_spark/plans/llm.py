@@ -832,10 +832,9 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_MIN = 0.8
 
 
-@query(
-    "jaccard_verified_pairs",
-    oracle=_duck_band_cte()
-    + f"""
+# The sized→cand→sh→vpairs chain, shared by jaccard_verified_pairs (the
+# pairs themselves) and dedup_clusters (their transitive closure).
+_DUCK_VERIFIED_PAIRS_CTES = f"""
     , sized AS (
       SELECT band_idx, band_sig
       FROM bands
@@ -857,20 +856,31 @@ JACCARD_MIN = 0.8
              )) AS sh
       FROM documents
       WHERE len(string_split(text, ' ')) >= 2
+    ),
+    vpairs AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(
+               CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+               / (len(a.sh) + len(b.sh)
+                  - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+               4) AS jaccard
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+            / (len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+            >= {JACCARD_MIN}
     )
-    SELECT c.doc_a, c.doc_b,
-           ROUND(
-             CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-             / (len(a.sh) + len(b.sh)
-                - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
-             4) AS jaccard
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b
-    WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-          / (len(a.sh) + len(b.sh)
-             - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
-          >= {JACCARD_MIN}
+"""
+
+
+@query(
+    "jaccard_verified_pairs",
+    oracle=_duck_band_cte()
+    + _DUCK_VERIFIED_PAIRS_CTES
+    + """
+    SELECT doc_a, doc_b, jaccard FROM vpairs
     """,
 )
 def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,3 +919,40 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized_pairs.filter(jac >= JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# E2 finale: near-duplicate CLUSTERS — the transitive closure of the
+# verified pair set, one canonical (minimum-id) representative per
+# component. Spark runs distributed min-label propagation
+# (operators/graph.py); the oracle computes the same fixpoint as a
+# recursive-CTE reachability closure. Pure integer math — exact match.
+@query(
+    "dedup_clusters",
+    oracle=_duck_band_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _DUCK_VERIFIED_PAIRS_CTES
+    + """
+    , sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM vpairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM vpairs
+    ),
+    walk(id, rep) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, w.rep FROM sym s JOIN walk w ON w.id = s.b
+    )
+    SELECT id AS doc_id, MIN(rep) AS cluster_id
+    FROM walk
+    GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bq_nvd_spark.operators.graph import connected_components
+
+    pairs = jaccard_verified_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges, max_iter=10)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -199,3 +199,41 @@ def test_salted_agg_distinct_matches_naive(spark, rows):
         for k in {k for (k, _) in rows}
     }
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    from bq_nvd_spark.operators.graph import connected_components
+
+    # reference: textbook union-find over the same edge list
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(df, max_iter=20).collect()
+    }
+    assert got == expected
