@@ -11,8 +11,11 @@ oracle-checked queries that exercise them live in ``bq_nvd_spark.plans``.
   (vectorized pandas_udfs)
 - ``multimodal``  — Arrow-batched binary decode / frame sampling
   (mapInPandas; real decoders stubbed)
+- ``graph``       — connected components (min-label propagation) for
+  closing near-dup pairs into dedup clusters
 """
 
+from bq_nvd_spark.operators.graph import connected_components
 from bq_nvd_spark.operators.multimodal import decode_media, frame_sample
 from bq_nvd_spark.operators.similarity import (
     band_buckets,
@@ -25,6 +28,7 @@ from bq_nvd_spark.operators.text import bpe_token_count, langid_predict
 
 __all__ = [
     "asof_join",
+    "connected_components",
     "band_buckets",
     "band_buckets_np",
     "banded_range_join",
