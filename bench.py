@@ -95,6 +95,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Round-over-round context: the total scales with the
+                # registered-query count (38 in round 1 → 90+ now) and
+                # timings force full column evaluation since round 2;
+                # compare per-query medians, not totals.
+                "n_queries": len(timings),
+                "mean_query_sec": round(total / max(len(timings), 1), 3),
             }
         )
     )
