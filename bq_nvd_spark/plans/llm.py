@@ -5,12 +5,13 @@ n_chars)`` and ``embeddings(vec_id, embedding: array<float>, label)``:
 
 - E1 exact dedup        — hash-groupBy on sha2(text, 256)
 - E2 near-dedup         — MinHash+LSH (md5-keyed, deterministic; capped
-                          pair generation + exact-Jaccard verification),
-                          word-bigram Jaccard, SimHash (signatures +
-                          banded hamming pairs) — all SQL-expressible so
-                          the DuckDB oracle hash-checks them; the
-                          embedding-cosine flavor lives in
-                          plans/similarity_search.py
+                          pair generation + exact-Jaccard verification
+                          + transitive dedup clusters via
+                          operators/graph.py), word-bigram Jaccard,
+                          SimHash (signatures + banded hamming pairs) —
+                          all SQL-expressible so the DuckDB oracle
+                          hash-checks them; the embedding-cosine flavor
+                          lives in plans/similarity_search.py
 - E3 similarity search  — brute-force cosine top-k via HOF fold (baseline);
                           LSH + IVF scale paths in plans/similarity_search.py
                           over operators/similarity.py
@@ -29,11 +30,13 @@ Cross-engine determinism rules used throughout:
 - every float output is rounded identically on both sides;
 - integer math (rolling hash, SimHash bits) is exact by construction.
 
-Scale notes (100 TB): MinHash signatures are computed per-row with
-higher-order functions (no shuffle); the only shuffle is the band-bucket
+Scale notes (100 TB): MinHash/SimHash signatures are per-row
+projections (Arrow-batched hashlib kernels, with the HOF formulations
+kept as pinned semantic specs); the only shuffle is the band-bucket
 groupBy, whose keys are uniformly distributed by construction (hashes).
-Brute-force cosine broadcasts the query set — the candidate side never
-shuffles.
+Candidate pairs come from size-capped buckets, verification touches
+only candidates, and clusters close via operators/graph.py. Brute-force
+cosine broadcasts the query set — the candidate side never shuffles.
 """
 
 from __future__ import annotations
