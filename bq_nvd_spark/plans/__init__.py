@@ -11,6 +11,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     nvd_ingest,
     python_udfs,
     relational,
+    sampling,
     similarity_search,
     skew_scale,
     temporal_joins,

@@ -1,0 +1,159 @@
+"""Reproducible sampling, splitting, and sequence packing — the
+selection layer of a training-data pipeline.
+
+A corpus pipeline needs three guarantees no RAND() gives:
+- the SAME rows are sampled on every run, on any cluster layout
+  (resumable jobs, auditable experiments);
+- train/val/test membership is a pure function of the row key (a
+  document can never migrate between splits when data is re-sharded);
+- packed-sequence boundaries are a pure function of the ordered corpus
+  (re-running tokenization yields identical chunks).
+
+All three reduce to integer math both engines compute identically:
+md5-bucket hashing (first 4 hex chars → 0..65535, Spark ``conv`` ==
+DuckDB ``CAST('0x'||h …)``) and windowed integer cumsums.
+
+Scale notes (100 TB): bucket assignment is a per-row projection — the
+sample/split queries shuffle only for the final census. Packing cumsums
+run per ``source`` partition (each source packs independently), so the
+window never degenerates to a single global sort; at petabyte scale the
+partition key would be a shard id with the same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+#: md5-bucket space: first 4 hex chars of md5(doc_id) → [0, 65536).
+N_BUCKETS = 1 << 16
+TRAIN_END = int(N_BUCKETS * 0.8)  # [0, 80%) → train
+VAL_END = int(N_BUCKETS * 0.9)  # [80%, 90%) → val; rest → test
+SAMPLE_END = int(N_BUCKETS * 0.2)  # 20% reproducible sample
+
+_DUCK_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)"
+)
+
+
+def _spark_bucket() -> "F.Column":
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split: membership is a pure function of
+# doc_id, so re-sharding or re-running can never move a document across
+# the split boundary. Census per (lang, split).
+@query(
+    "train_val_test_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, {_DUCK_BUCKET} AS bucket FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < {TRAIN_END} THEN 'train'
+                WHEN bucket < {VAL_END} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _spark_bucket()
+    split = (
+        F.when(bucket < TRAIN_END, "train")
+        .when(bucket < VAL_END, "val")
+        .otherwise("test")
+    )
+    return docs.select("lang", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Reproducible 20% sample: the sampled rows themselves (id-stable, so a
+# resumed job re-selects exactly these documents).
+@query(
+    "deterministic_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, {_DUCK_BUCKET} AS bucket
+    FROM documents
+    WHERE {_DUCK_BUCKET} < {SAMPLE_END}
+    """,
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _spark_bucket()
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < SAMPLE_END
+    )
+
+
+# --------------------------------------------------------------------------
+# Concat-then-chunk sequence packing: per source, documents concatenate
+# in doc_id order into one token stream that is cut every PACK_BUDGET
+# tokens (how packed pre-training batches are built). Each document's
+# start offset is the windowed cumsum of the tokens before it; the
+# chunks it spans follow by integer division — so chunk boundaries are
+# a pure function of the ordered corpus. Integer math end to end.
+PACK_BUDGET = 512
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    offsets AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT source, doc_id, n_tokens, start_offset,
+           CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS first_chunk,
+           CAST((start_offset + n_tokens - 1) // {PACK_BUDGET} AS BIGINT)
+             AS last_chunk
+    FROM offsets
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return offsets.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / PACK_BUDGET)
+        .cast("long")
+        .alias("first_chunk"),
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / PACK_BUDGET)
+        .cast("long")
+        .alias("last_chunk"),
+    )
