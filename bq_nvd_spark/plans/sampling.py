@@ -22,8 +22,11 @@ partition key would be a shard id with the same plan shape.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.sources.tables import load_table
@@ -156,4 +159,129 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / PACK_BUDGET)
         .cast("long")
         .alias("last_chunk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Decontamination: which candidate-split documents share verbatim
+# n-grams with the held-out split — the overlap check run before
+# training so eval data can't leak into the training set. Standard
+# hygiene both engines mirror exactly:
+# - exact duplicates collapse to their min-id representative first
+#   (identical boilerplate would otherwise emit quadratic pairs);
+# - n-grams occurring in more than GRAM_DOC_CAP distinct documents are
+#   dropped (ubiquitous phrases carry no contamination signal — and the
+#   cap is what bounds the join fan-out at corpus scale);
+# - a pair must share at least MIN_SHARED distinct grams to count.
+DECON_N = 5  # n-gram length (tokens)
+GRAM_DOC_CAP = 50
+MIN_SHARED = 3
+
+_DUCK_DECON_GRAMS = f"""
+    reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    grams AS (
+      SELECT d.doc_id,
+             UNNEST(list_distinct(list_transform(
+               range(1, len(string_split(d.text, ' ')) - {DECON_N - 2}),
+               i -> md5(list_aggregate(
+                      string_split(d.text, ' ')[i:i + {DECON_N - 1}],
+                      'string_agg', ' '))
+             ))) AS gram
+      FROM documents d JOIN reps r ON r.doc_id = d.doc_id
+      WHERE len(string_split(d.text, ' ')) >= {DECON_N}
+    ),
+    rare AS (
+      SELECT gram FROM grams
+      GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) <= {GRAM_DOC_CAP}
+    )
+"""
+
+
+@pandas_udf(ArrayType(StringType()))
+def _decon_grams_np(texts: "pd.Series") -> "pd.Series":
+    """Arrow kernel for the distinct n-gram md5 set of a document —
+    bit-identical to md5(concat_ws(' ', n-token window)) and to the
+    oracle's list_aggregate/string_agg form (same joined bytes). Window
+    digests are memoized per batch; n-gram windows repeat across a
+    corpus the same Zipfian way tokens do."""
+    import hashlib
+
+    cache: dict[str, str] = {}
+    out = []
+    for text in texts:
+        ts = text.split(" ")
+        seen = set()
+        for i in range(len(ts) - DECON_N + 1):
+            w = " ".join(ts[i : i + DECON_N])
+            d = cache.get(w)
+            if d is None:
+                d = hashlib.md5(w.encode()).hexdigest()
+                cache[w] = d
+            seen.add(d)
+        out.append(sorted(seen))
+    return pd.Series(out)
+
+
+@query(
+    "decontamination_overlaps",
+    oracle=f"""
+    WITH {_DUCK_DECON_GRAMS},
+    labeled AS (
+      SELECT g.doc_id, g.gram,
+             {_DUCK_BUCKET.replace('doc_id', 'g.doc_id')} >= {VAL_END} AS held_out
+      FROM grams g JOIN rare USING (gram)
+    )
+    SELECT h.doc_id AS eval_doc, t.doc_id AS train_doc,
+           COUNT(DISTINCT h.gram) AS n_shared
+    FROM labeled h
+    JOIN labeled t ON t.gram = h.gram
+    WHERE h.held_out AND NOT t.held_out
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT h.gram) >= {MIN_SHARED}
+    """,
+)
+def decontamination_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    toks = F.split("text", " ")
+    # Gram build is the CPU-bound stage: spread across cores (the toy
+    # single-file table would feed one Arrow worker), run the hashlib
+    # kernel, and checkpoint so the `rare` census and the `labeled` join
+    # don't each recompute 250k md5 windows.
+    grams = (
+        docs.join(reps.select("doc_id"), "doc_id")
+        .filter(F.size(toks) >= DECON_N)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(_decon_grams_np("text")).alias("gram"))
+        .localCheckpoint(eager=True)
+    )
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") <= GRAM_DOC_CAP)
+        .select("gram")
+    )
+    held_out = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        >= VAL_END
+    )
+    labeled = grams.join(rare, "gram").select(
+        "doc_id", "gram", held_out.alias("held_out")
+    )
+    h = labeled.filter("held_out").select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    t = labeled.filter(~F.col("held_out")).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    return (
+        h.join(t, "gram")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED)
     )
