@@ -1,4 +1,4 @@
-"""Reproducible sampling, splitting, and sequence packing — the
+"""Reproducible sampling, splitting, packing, and decontamination — the
 selection layer of a training-data pipeline.
 
 A corpus pipeline needs three guarantees no RAND() gives:
