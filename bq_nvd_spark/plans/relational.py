@@ -815,3 +815,129 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") - F.lag("revenue").over(w)).alias("growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q6 shape: the fully-pushable selective filter + single aggregate.
+# Every predicate reaches the parquet scan; the revenue sums exact
+# decimals (price×discount has 4 decimals — DECIMAL(30,10) recovers it).
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(30,10)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q12 shape: conditional aggregation — per return flag, how many
+# lines belong to critical-priority orders vs not (CASE-sum buckets
+# inside one grouped pass over the fact-fact join).
+@query(
+    "q12_priority_buckets",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q14 shape: promo-revenue share — a ratio of two exact decimal
+# sums over a broadcast dim join. The division happens once, on doubles
+# converted from exact sums, then floor-fixed — deterministic end to end.
+@query(
+    "q14_promo_share",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,10))
+               AS rev,
+             p.p_type = 'PROMO' AS promo
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    )
+    SELECT FLOOR(100.0 * CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END)
+                              AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM j
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    promo = F.col("p_type") == "PROMO"
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return joined.agg(
+        (
+            F.floor(
+                F.lit(100.0)
+                * F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(30,10)"))).cast("double")
+                / F.sum(rev).cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
