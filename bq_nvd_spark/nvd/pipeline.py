@@ -55,12 +55,21 @@ def ingest_feed(
     incoming = dedup_within(cve_items(read_feed(spark, feed_path)))
     delta = deltas_only(incoming, store.cve_ids()) if deltas else incoming
 
-    if delta.isEmpty():  # A3: nothing new since the last run
-        return IngestResult(feed_path, loaded=0, skipped=True)
-
-    n = delta.count()
-    store.append(delta)
-    return IngestResult(feed_path, loaded=n, skipped=False)
+    # Persist so the gz read → explode → anti-join plan executes ONCE:
+    # gzip is non-splittable, so the earlier isEmpty()+count()+append()
+    # sequence paid three full single-task decompress+parse passes per
+    # feed. One count() both decides the empty-delta short-circuit (A3)
+    # and reports the loaded-row figure from the same rows the append
+    # writes.
+    delta = delta.persist()
+    try:
+        n = delta.count()
+        if n == 0:  # A3: nothing new since the last run
+            return IngestResult(feed_path, loaded=0, skipped=True)
+        store.append(delta)
+        return IngestResult(feed_path, loaded=n, skipped=False)
+    finally:
+        delta.unpersist()
 
 
 def run(

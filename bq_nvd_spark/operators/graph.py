@@ -57,6 +57,7 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
@@ -79,5 +80,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A component whose diameter exceeds max_iter would otherwise be
+        # silently split into several clusters, violating the
+        # deterministic-fixpoint contract the oracle checks against.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the graph has a component with a larger diameter — "
+            "raise max_iter (rounds are cheap: one join + groupBy-min each)"
+        )
     return labels.select("id", F.col("rep").alias("cluster_id"))

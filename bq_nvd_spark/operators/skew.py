@@ -53,10 +53,26 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join a skew-keyed large frame against a replicated dimension.
 
-    Result is identical to ``skewed.join(dim, on, how)``; the shuffle
-    key is ``on + [_salt]`` so each hot key spreads over ``n_salts``
-    reducers.
+    Result is identical to ``skewed.join(dim, on, how)`` for join types
+    that do NOT preserve unmatched dimension rows; the shuffle key is
+    ``on + [_salt]`` so each hot key spreads over ``n_salts`` reducers.
+
+    Dim-preserving types (right/full outer) are rejected: the dimension
+    side is replicated once per salt BEFORE the join, so an unmatched
+    dim row would surface ``n_salts`` duplicate null-padded times.
+    Salting is the wrong tool there — the unmatched-dim output is tiny
+    by definition, so run the dim-preserving join unsalted (or let AQE
+    split the skewed sort-merge partitions at runtime).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "dimension side would emit each unmatched dim row "
+            f"{n_salts}x under dim-preserving join types"
+        )
     out = with_salt(skewed, id_col, n_salts).join(
         replicate_dim(dim, n_salts), [*on, "_salt"], how
     )

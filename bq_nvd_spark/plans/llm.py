@@ -900,20 +900,31 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(F.split("text", " ")) >= 2)
         .select("doc_id", shingles.alias("sh"))
     )
-    # Project the intersection size ONCE before filtering: referencing the
-    # array_intersect subtree from both the filter and the final select
-    # would re-evaluate it up to 4× per candidate pair (numerator + union,
-    # × filter + projection) — sizes collapse it to one evaluation.
-    sized_pairs = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("a_sh")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("b_sh")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("a_sh", "b_sh")).alias("n_inter"),
-            F.size("a_sh").alias("n_a"),
-            F.size("b_sh").alias("n_b"),
-        )
+    # Intersection as explode + equi-join + groupBy-count over 64-bit
+    # shingle tokens, NOT array_intersect over the full string arrays:
+    # the earlier array formulation shuffled both docs' complete bigram
+    # arrays per candidate pair and ran the intersect interpreted
+    # (never codegen).  Here every shuffled row is (int, int, long),
+    # every operator is whole-stage-codegen hash join/agg, and the join
+    # keys (doc ids, hashes) are uniformly distributed — the shape that
+    # survives 100 TB.  xxhash64 stands in for the shingle string; a
+    # 64-bit collision would perturb one count by one, and the DuckDB
+    # oracle (which compares the raw strings) hash-checks that none
+    # occurs on the actual data.
+    tok = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    inter = (
+        cand.join(tok.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(tok.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    sized_pairs = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
     )
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
