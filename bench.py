@@ -53,20 +53,27 @@ def main() -> None:
             state_partitions=1,
         )
 
-    def force_count(df) -> int:
+    from pyspark.errors import AnalysisException
+
+    pruned_timing: list[str] = []
+
+    def force_count(df, name: str) -> int:
         """Row count that FORCES every output column to be computed: a
         bare count() lets Catalyst prune final projections, silently
         timing a scan-count instead of the query. sum(hash(all cols))
         consumes each row's full projection JVM-side and returns with
-        the count in one pass. (hash() rejects map columns — fall back
-        to the plain count for those.)"""
+        the count in one pass. hash() rejects some column types (maps) —
+        those queries fall back to a plain count and are NAMED in the
+        output's ``pruned_timing`` list so under-measured rows are
+        identifiable; any other failure propagates."""
         try:
             row = df.select(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.hash(*[F.col(c) for c in df.columns])).alias("h"),
             ).collect()[0]
             return row["n"]
-        except Exception:
+        except AnalysisException:
+            pruned_timing.append(name)
             return df.count()
 
     timings: dict[str, float] = {}
@@ -80,30 +87,37 @@ def main() -> None:
         # real cluster's executors don't share a heap with the driver.
         spark.sparkContext._jvm.System.gc()
         start = time.perf_counter()
-        n = force_count(QUERIES[name](spark, sf_dir))
+        n = force_count(QUERIES[name](spark, sf_dir), name)
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
         print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # Round-over-round context: the total scales with the
-                # registered-query count (38 in round 1 → 90+ now) and
-                # timings force full column evaluation since round 2;
-                # compare per-query medians, not totals.
-                "n_queries": len(timings),
-                "mean_query_sec": round(total / max(len(timings), 1), 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Round-over-round context: the total scales with the
+        # registered-query count (38 in round 1 → 90+ now) and
+        # timings force full column evaluation since round 2;
+        # compare per-query medians, not totals.
+        "n_queries": len(timings),
+        "mean_query_sec": round(total / max(len(timings), 1), 3),
+        "pruned_timing": pruned_timing,
+    }
+    line = json.dumps(payload)
+    # The driver captures stdout, which has truncated the per-query tail
+    # at ~100 queries; the sidecar file always carries the complete
+    # payload (committed per round as the durable record).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
     spark.stop()
 
 

@@ -37,19 +37,28 @@ def feed_names(through_year: int) -> list[str]:
     return years + ["recent", "modified"]
 
 
-def feed_url(name: str, url_base: str = URL_BASE) -> str:
+def feed_url(
+    name: str,
+    url_base: str = URL_BASE,
+    prefix: str = FEED_PREFIX,
+    suffix: str = FEED_SUFFIX,
+) -> str:
     """URL of one feed artifact (reference download.py:45-47)."""
-    return f"{url_base}{FEED_PREFIX}{name}{FEED_SUFFIX}"
+    return f"{url_base}{prefix}{name}{suffix}"
 
 
 def download_feed(
-    name: str, landing_dir: str, url_base: str = URL_BASE
+    name: str,
+    landing_dir: str,
+    url_base: str = URL_BASE,
+    prefix: str = FEED_PREFIX,
+    suffix: str = FEED_SUFFIX,
 ) -> str:
     """Fetch one feed artifact into the landing dir; returns the local
     path. Retries transient failures ×3 (reference etl.py:138-154)."""
     os.makedirs(landing_dir, exist_ok=True)
-    dest = os.path.join(landing_dir, f"{FEED_PREFIX}{name}{FEED_SUFFIX}")
-    url = feed_url(name, url_base)
+    dest = os.path.join(landing_dir, f"{prefix}{name}{suffix}")
+    url = feed_url(name, url_base, prefix, suffix)
     last_err: Exception | None = None
     for attempt in range(MAX_RETRIES):
         try:

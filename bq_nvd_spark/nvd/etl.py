@@ -126,11 +126,29 @@ class NvdStore:
     Partitioned by ``year(publishedDate)``: the feed's natural per-year
     layout becomes partition pruning for time-scoped queries; at 100 TB
     each year is an independently scannable directory.
+
+    The sink format is a SEAM, not a constant: parquet is canonical in
+    the sandbox, but the reference's store is a warehouse load job
+    (bq_nvd/bq.py:171-202) — pointing ``format`` at ``"bigquery"`` (with
+    the spark-bigquery connector on the classpath and ``options`` naming
+    the table) or any other DataSource V2 sink is a configuration
+    change, never a pipeline-code change. ``tests/test_nvd_pipeline.py``
+    pins the seam by running the identical pipeline through ORC.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        format: str = "parquet",
+        options: dict | None = None,
+        schema_path: str | None = None,
+    ):
         self.spark = spark
         self.path = path
+        self.format = format
+        self.options = dict(options or {})
+        self.schema_path = schema_path
 
     # -- S6: create-if-not-exists -------------------------------------
     def ensure(self) -> None:
@@ -138,7 +156,7 @@ class NvdStore:
         (bq_nvd/bq.py:84-110): write an empty partitioned parquet table
         if and only if none exists."""
         if not self.exists():
-            empty = self.spark.createDataFrame([], nvd_schema())
+            empty = self.spark.createDataFrame([], nvd_schema(self.schema_path))
             self._write(empty, mode="overwrite")
 
     def exists(self) -> bool:
@@ -148,7 +166,12 @@ class NvdStore:
 
     # -- scans ---------------------------------------------------------
     def read(self) -> DataFrame:
-        return self.spark.read.schema(self._partitioned_schema()).parquet(self.path)
+        return (
+            self.spark.read.schema(self._partitioned_schema())
+            .format(self.format)
+            .options(**self.options)
+            .load(self.path)
+        )
 
     def cve_ids(self) -> DataFrame:
         """The stored ID column AS A DATAFRAME — never collected to the
@@ -178,13 +201,15 @@ class NvdStore:
             df.withColumn(
                 "_pub_year", F.coalesce(F.year("publishedDate"), F.lit(0))
             )
-            .write.mode(mode)
+            .write.format(self.format)
+            .options(**self.options)
+            .mode(mode)
             .partitionBy("_pub_year")
-            .parquet(self.path)
+            .save(self.path)
         )
 
     def _partitioned_schema(self):
         from pyspark.sql.types import IntegerType, StructField
 
-        base = nvd_schema()
+        base = nvd_schema(self.schema_path)
         return base.add(StructField("_pub_year", IntegerType(), True))

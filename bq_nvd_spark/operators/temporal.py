@@ -101,9 +101,16 @@ def banded_range_join(
     width = max(upper_s - lower_s, 1e-9)
     n_buckets = 2  # a width-sized band spans at most 2 width-sized buckets
 
-    def bucket(col: str | Column, shift: float = 0.0) -> Column:
+    def secs(col: str | Column) -> Column:
+        # NTZ-safe epoch seconds: TIMESTAMP_NTZ refuses a direct double
+        # cast, so hop through TIMESTAMP (identity under the UTC session
+        # zone the engine pins). Plain TIMESTAMP and numeric columns pass
+        # through unchanged.
         c = col if isinstance(col, Column) else F.col(col)
-        return F.floor((c.cast("double") + shift) / width)
+        return c.cast("timestamp").cast("double")
+
+    def bucket(col: str | Column, shift: float = 0.0) -> Column:
+        return F.floor((secs(col) + shift) / width)
 
     probe_fanned = probe.withColumn(
         "_bkt",
@@ -114,9 +121,9 @@ def banded_range_join(
         ),
     )
     build_keyed = build.withColumn("_bkt", bucket(build_ts))
-    lo = F.col(probe_ts).cast("double") + lower_s
-    hi = F.col(probe_ts).cast("double") + upper_s
-    bts = F.col(build_ts).cast("double")
+    lo = secs(probe_ts) + lower_s
+    hi = secs(probe_ts) + upper_s
+    bts = secs(build_ts)
     return (
         probe_fanned.join(build_keyed, [*on, "_bkt"])
         .filter((bts > lo) & (bts <= hi))

@@ -53,9 +53,12 @@ from pyspark.sql.types import (
 from bq_nvd_spark.plans.registry import query
 
 #: Streaming file sources require an explicit schema (no inference at
-#: plan time). ``ts`` is physically TIMESTAMP(NANOS), scanned as
-#: epoch-nanos long under spark.sql.legacy.parquet.nanosAsLong — the
-#: same contract as the batch scan layer (sources/tables.py).
+#: plan time). The generated events table has shipped ``ts`` both as
+#: TIMESTAMP(NANOS) (scans as epoch-nanos long under
+#: spark.sql.legacy.parquet.nanosAsLong) and as plain TIMESTAMP(MICROS);
+#: ``stream_events`` reads the batch footer once at plan time and applies
+#: the nanos repair only when the column really is a long — the same
+#: LongType gate as the batch scan layer (sources/tables.py).
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -71,16 +74,30 @@ _SINK_IDS = itertools.count()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with nanos→timestamp repair."""
+    """``readStream`` over the events parquet, ts as a true timestamp.
+
+    The stream schema is the batch reader's footer-derived schema (one
+    driver-side footer read at plan time — no data scan), so the stream
+    and its batch twin always agree on how ``ts`` arrives; the
+    nanos→timestamp repair applies only when the footer says long.
+    """
     # The file source derives basePath from the path and requires a
     # directory; the store lays tables out as single files, so glob the
     # events file (a glob makes the source anchor basePath at sf_dir).
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .parquet(f"{sf_dir}/events.parquet*")
     )
-    micros = F.expr("if(ts >= 0, ts div 1000, (ts - 999) div 1000)")
-    return raw.withColumn("ts", F.timestamp_micros(micros))
+    if isinstance(batch_schema["ts"].dataType, LongType):
+        micros = F.expr("if(ts >= 0, ts div 1000, (ts - 999) div 1000)")
+        raw = raw.withColumn("ts", F.timestamp_micros(micros))
+    else:
+        # TIMESTAMP_NTZ footer: watermarks demand TIMESTAMP (LTZ) —
+        # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise. The cast is an
+        # identity wall-clock shift under the engine's pinned UTC zone.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_available_now(

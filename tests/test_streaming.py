@@ -26,6 +26,9 @@ def _as_set(df):
 def test_stream_events_is_streaming(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     assert ev.isStreaming
+    # always TIMESTAMP (LTZ), whichever way the parquet ships it
+    # (NANOS-as-long → micros repair; MICROS/NTZ → cast): watermarks
+    # reject TIMESTAMP_NTZ event-time columns outright
     assert dict(ev.dtypes)["ts"] == "timestamp"
 
 
