@@ -898,6 +898,11 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         load_table(spark, sf_dir, "documents")
         .filter(F.size(F.split("text", " ")) >= 2)
+        # The shingle transform is an interpreted HOF (never codegen) and
+        # the toy corpus is a single parquet file = a single scan task:
+        # without this the whole CPU-bound stage runs on one core.
+        # Real inputs arrive already partitioned and pass through.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", shingles.alias("sh"))
     )
     # Intersection as explode + equi-join + groupBy-count over 64-bit
@@ -911,8 +916,16 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit collision would perturb one count by one, and the DuckDB
     # oracle (which compares the raw strings) hash-checks that none
     # occurs on the actual data.
-    tok = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
+    #
+    # Checkpointed eagerly: both intersection probes AND the size lookup
+    # read this compact (long, long) set, so the shingle transform runs
+    # exactly once; sizes fall out of the distinct token set itself
+    # (size(sh) == count of exploded distinct hashes), sparing a second
+    # pass over the text.
+    tok = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .localCheckpoint(eager=True)
     )
     inter = (
         cand.join(tok.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
@@ -920,7 +933,7 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sized_pairs = inter.join(
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
     ).join(
