@@ -941,3 +941,237 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q4 shape: EXISTS decorrelated to a left-semi join with a compound
+# (equi + inequality) condition. The driver lineitem carries no
+# commit/receipt dates, so "late" is l_shipdate more than 30 days past
+# the order date — same decorrelation, same plan shape (hash semi join
+# on the equi key, the inequality evaluated as the join residual).
+@query(
+    "q4_late_order_priorities",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q13 shape: customers-per-order-count distribution — the outer
+# join that must KEEP zero-order customers, with the filter in the join
+# condition (not a WHERE, which would turn the outer join inner).
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderstatus") != "F"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H q17 shape: correlated average-quantity subquery, decorrelated to
+# a per-part aggregate joined back to the fact. Quantities are whole
+# numbers, so the per-part average is exact integer arithmetic in both
+# engines and the 0.2× threshold comparison cannot drift.
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12' AND p.p_type = 'MEDIUM'
+      AND l.l_quantity < 0.2 * pq.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_type") == "MEDIUM")
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("pq_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    / 7.0
+                    * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q19 shape: disjunction of conjunctive brand/size/quantity bands.
+# Catalyst pushes the OR-of-ANDs into both scans (part predicates to the
+# part scan, quantity bounds to lineitem as `l_quantity BETWEEN min-all
+# AND max-all`), then evaluates the exact disjunction as the join
+# residual — the classic "predicate too wide to push whole" pattern.
+@query(
+    "q19_banded_brand_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 16 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 31 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_banded_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def band(brand: str, size_lo: int, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            band("Brand#12", 1, 15, 1, 11)
+            | band("Brand#23", 16, 30, 10, 20)
+            | band("Brand#34", 31, 50, 20, 30)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q22 shape: scalar subquery (global average balance) + anti join
+# (customers with no RECENT orders — every driver customer has lifetime
+# orders, so the lapsed-window form keeps the result non-vacuous),
+# grouped by nation. Balances are fixed to integer cents BEFORE any
+# aggregate, so the average threshold and the reported totals are exact
+# integer math in both engines — no float-sum order sensitivity at the
+# comparison boundary.
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    threshold AS (
+      SELECT CAST(SUM(bal_cents) AS DOUBLE) / COUNT(*) AS avg_cents
+      FROM cents WHERE bal_cents > 0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS n_custs,
+           SUM(c.bal_cents) AS total_bal_cents
+    FROM cents c, threshold t
+    WHERE c.bal_cents > t.avg_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_cents"),
+    )
+    threshold = cents.filter(F.col("bal_cents") > 0).agg(
+        (F.sum("bal_cents").cast("double") / F.count(F.lit(1))).alias(
+            "avg_cents"
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cents.crossJoin(F.broadcast(threshold))
+        .filter(F.col("bal_cents") > F.col("avg_cents"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
