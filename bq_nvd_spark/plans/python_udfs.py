@@ -212,3 +212,75 @@ def multimodal_resize_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return resize_thumb(media)
+
+
+# --------------------------------------------------------------------------
+# §2.10 fourth shape: a Python UDTF (user-defined TABLE function) — the
+# 1:N lateral form of the extension surface. The op is context-window
+# chunking, the standard LLM pre-training prep: each document's token
+# stream is cut into fixed-size windows with a stride overlap, one
+# output row per window.
+#
+# Scale notes: a UDTF is row-at-a-time Python — the right tool when the
+# per-row fan-out logic is genuinely imperative (here it is also
+# expressible declaratively with sequence+slice, which the DuckDB oracle
+# proves; the UDTF exists to pin the fourth Python surface end to end).
+# It is still a pure per-row projection: no shuffle, and the lateral
+# join never re-partitions the input.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "udtf_token_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           k.k AS chunk_idx,
+           array_to_string(
+             list_slice(toks, k.k * {CHUNK_STRIDE} + 1,
+                        LEAST(k.k * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(toks))),
+             ' ') AS chunk,
+           LEAST(k.k * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(toks))
+             - k.k * {CHUNK_STRIDE} AS n_tokens
+    FROM t, UNNEST(range(0, CAST(CEIL(len(toks) / {CHUNK_STRIDE}.0) AS BIGINT)))
+           AS k(k)
+    """,
+)
+def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("chunk_idx", LongType()),
+            StructField("chunk", StringType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+
+    @udtf(returnType=out_schema)
+    class TokenChunks:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+            toks = text.split(" ")
+            n = len(toks)
+            k = 0
+            while k * CHUNK_STRIDE < n:
+                s = k * CHUNK_STRIDE
+                e = min(s + CHUNK_TOKENS, n)
+                yield doc_id, k, " ".join(toks[s:e]), e - s
+                k += 1
+
+    spark.udtf.register("token_chunks", TokenChunks)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_chunk_src"
+    )
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM _udtf_chunk_src d,
+             LATERAL token_chunks(d.doc_id, d.text) c
+        """
+    )

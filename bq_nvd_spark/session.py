@@ -41,6 +41,7 @@ def get_spark(
         # shuffle. 64 MiB is safe for 128 GiB executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # The driver testdata's events.ts carries parquet TIMESTAMP(NANOS),
         # which Spark rejects by default; with this flag it scans as
         # epoch-nanos longs and the scan layer converts to microseconds.
@@ -60,6 +61,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # Arrow-batch the Python UDTF boundary (plans/python_udfs.py::
+        # udtf_token_chunks) — pickled row-at-a-time transfer otherwise.
+        ("spark.sql.execution.pythonUDTF.arrow.enabled", "true"),
     ):
         try:
             spark.conf.set(key, value)
