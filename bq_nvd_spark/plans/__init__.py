@@ -10,6 +10,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     nested,
     nvd_ingest,
     python_udfs,
+    quantization,
     relational,
     sampling,
     similarity_search,
