@@ -45,20 +45,40 @@ NVD_TIMESTAMP_FORMAT = "yyyy-MM-dd'T'HH:mm[:ss]X"
 ID_COL = "cve.CVE_data_meta.ID"
 
 
-def read_feed(spark: SparkSession, path: str) -> DataFrame:
+def read_feed(
+    spark: SparkSession,
+    path: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
     """Explicit-schema read of one-or-many NVD feed documents (.json[.gz]).
 
     ``multiLine`` because each feed is a single JSON document, not NDJSON;
     Spark splits work per-file, so a multi-year backfill glob parallelizes
     across feed files (the reference loops over years serially,
     bq-nvd.py:92-96).
+
+    Malformed-feed policy (SURVEY §1.2): the reference aborts the whole
+    run on one bad document (JSONDecodeError funnel, bq-nvd.py:116-124).
+    Here the default PERMISSIVE mode nulls the bad document and keeps
+    the batch alive; pass ``corrupt_col`` to surface the raw bytes of
+    each unparseable document in an audit column, or ``mode="FAILFAST"``
+    for the reference's abort behavior.
     """
-    return (
-        spark.read.schema(feed_schema())
+    schema = feed_schema()
+    if corrupt_col is not None:
+        from pyspark.sql.types import StringType, StructField
+
+        schema = schema.add(StructField(corrupt_col, StringType(), True))
+    reader = (
+        spark.read.schema(schema)
         .option("multiLine", "true")
         .option("timestampFormat", NVD_TIMESTAMP_FORMAT)
-        .json(path)
+        .option("mode", mode)
     )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.json(path)
 
 
 def cve_items(feed: DataFrame) -> DataFrame:

@@ -237,3 +237,32 @@ def test_store_partition_pruning(spark, tmp_path):
     assert "_pub_year" in plan.split("PartitionFilters")[1].split("]")[0]
     assert pruned.count() > 0
     assert store.read().filter(F.col("_pub_year") == 1999).count() == 0
+
+
+# --------------------------------------------------------------------------
+# malformed-feed policy: PERMISSIVE audit vs reference-parity FAILFAST
+def test_corrupt_feed_audit_and_failfast(spark, tmp_path):
+    import gzip as _gzip
+
+    bad = str(tmp_path / "bad.json.gz")
+    with _gzip.open(bad, "wt") as f:
+        f.write('{"CVE_Items": [ {"cve": TRUNCATED')
+
+    # default PERMISSIVE: the batch survives, the bad document nulls out
+    assert read_feed(spark, bad).count() == 1
+    assert cve_items(read_feed(spark, bad)).count() == 0
+
+    # audit column carries the raw unparseable bytes
+    audited = read_feed(spark, bad, corrupt_col="_corrupt").collect()
+    assert len(audited) == 1
+    assert audited[0]["_corrupt"] is not None
+    assert "TRUNCATED" in audited[0]["_corrupt"]
+
+    # a good feed leaves the audit column null (collect the full rows —
+    # Spark refuses a query that references ONLY the corrupt column)
+    ok_rows = read_feed(spark, YEAR_FEED, corrupt_col="_corrupt").collect()
+    assert ok_rows and all(r["_corrupt"] is None for r in ok_rows)
+
+    # FAILFAST mirrors the reference's abort-on-bad-JSON
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        read_feed(spark, bad, mode="FAILFAST").count()
