@@ -983,3 +983,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(edges, max_iter=10)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# --------------------------------------------------------------------------
+# E4f: BPE merge census — the first step of byte-pair-encoding vocabulary
+# training: count every adjacent token pair across the corpus and rank
+# the top merge candidates (count DESC, pair ASC so ties are
+# deterministic). One explode + one hash aggregation — the map-side
+# partial agg absorbs the Zipfian pair skew, and a real trainer iterates
+# this census with the winning pair merged back in.
+@query(
+    "bpe_merge_census",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+      SELECT UNNEST(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      FROM t
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
