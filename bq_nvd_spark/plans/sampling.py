@@ -119,9 +119,10 @@ PACK_BUDGET = 512
     ),
     offsets AS (
       SELECT source, doc_id, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) - n_tokens AS start_offset
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens
+                  AS BIGINT) AS start_offset
       FROM toks
     )
     SELECT source, doc_id, n_tokens, start_offset,

@@ -96,7 +96,8 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
     FROM events
     GROUP BY user_id
     """,
