@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 DIM = 64
 N_BANDS = 4
@@ -111,6 +111,25 @@ def band_buckets(vec: Column | str) -> Column:
             for b in range(N_BANDS)
         ]
     )
+
+
+@pandas_udf(DoubleType())
+def fold_dot_np(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized twin of ``fold_dot`` with BIT-IDENTICAL results.
+
+    ``fold_dot`` is a sequential left-fold (0.0 init) — deterministic
+    but interpreted: HOFs never enter whole-stage codegen, so every
+    candidate re-rank pays ~64 interpreted lambda evaluations per pair.
+    ``np.cumsum(axis=1)`` accumulates strictly left-to-right in the SAME
+    IEEE-754 order (0.0 + x0 == x0 exactly), so taking the last partial
+    sum reproduces the fold's every rounding step while the elementwise
+    product and accumulation run as C loops over the Arrow batch. This
+    is NOT ``np.sum`` / BLAS dot, whose pairwise/SIMD summation reorders
+    additions and could flip a floor-rounded value at a boundary.
+    """
+    ma = np.vstack(a.to_numpy())
+    mb = np.vstack(b.to_numpy())
+    return pd.Series(np.cumsum(ma * mb, axis=1)[:, -1])
 
 
 @pandas_udf(ArrayType(IntegerType()))

@@ -21,12 +21,32 @@ from bq_nvd_spark import streaming  # noqa: F401  (registers streaming queries)
 from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 
 # The external correctness driver verifies the FIRST 50 registered queries
-# (registration order == dict insertion order).  Rounds 1-2 covered the
-# older families; these 32 never received a driver row, so they are pinned
-# to the head of the registry.  The remaining slots fall back to the
-# existing insertion order, keeping previously-verified families in the
-# window on a rotating basis.
+# (registration order == dict insertion order).  Round-5 rotation: the 9
+# queries that have NEVER received a driver row lead the window, followed
+# by every query whose physical plan changes this round (vectorized
+# re-rank / shingle kernels, slimmed IVF) so the driver re-verifies their
+# hashes, then previously-verified families on a rotating basis.
 _DRIVER_PRIORITY = [
+    # -- never driver-checked before round 5 --
+    "q4_late_order_priorities",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q19_banded_brand_revenue",
+    "q22_idle_rich_customers",
+    "bpe_merge_census",
+    "embedding_int8_census",
+    "quantized_cosine_topk",
+    "udtf_token_chunks",
+    # -- plans touched by round-5 perf work --
+    "ann_lsh_topk",
+    "ivf_topk",
+    "ivf_refined_topk",
+    "embedding_similar_pairs",
+    "cosine_topk",
+    "jaccard_verified_pairs",
+    "dedup_clusters",
+    "minhash_pairs_capped",
+    # -- rotating re-verification of older families --
     "regex_normalize_parts",
     "q10_returned_item_revenue",
     "pivot_priority_by_segment",
@@ -44,10 +64,6 @@ _DRIVER_PRIORITY = [
     "deterministic_sample_docs",
     "sequence_packing",
     "decontamination_overlaps",
-    "ann_lsh_topk",
-    "ivf_topk",
-    "embedding_similar_pairs",
-    "ivf_refined_topk",
     "salted_join_event_weights",
     "salted_distinct_users_per_type",
     "rollup_orders_by_month",

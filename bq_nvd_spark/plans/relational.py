@@ -1138,7 +1138,7 @@ def q19_banded_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cents WHERE bal_cents > 0
     )
     SELECT c.c_nationkey, COUNT(*) AS n_custs,
-           SUM(c.bal_cents) AS total_bal_cents
+           CAST(SUM(c.bal_cents) AS BIGINT) AS total_bal_cents
     FROM cents c, threshold t
     WHERE c.bal_cents > t.avg_cents
       AND NOT EXISTS (

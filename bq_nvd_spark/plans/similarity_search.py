@@ -18,6 +18,7 @@ from bq_nvd_spark.operators.similarity import (
     duck_band_buckets,
     duck_fold_dot,
     fold_dot,
+    fold_dot_np,
 )
 from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.sources.tables import load_table
@@ -89,13 +90,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = _spread_embeddings(spark, sf_dir)
-    # Signatures via the Arrow/numpy twin of band_buckets: one matmul per
-    # batch instead of ~4k interpreted HOF lambda evaluations per row
-    # (HOFs never codegen; see operators/similarity.py::band_buckets_np).
+    # Signatures + norms via the Arrow/numpy twins: one matmul (and one
+    # cumsum fold) per batch instead of ~4k interpreted HOF lambda
+    # evaluations per row (HOFs never codegen; fold_dot_np reproduces
+    # the sequential fold bit-for-bit — see operators/similarity.py).
     sig = emb.select(
         "vec_id",
         "v",
-        F.sqrt(fold_dot("v", "v")).alias("nrm"),
+        F.sqrt(fold_dot_np("v", "v")).alias("nrm"),
         band_buckets_np("v").alias("bands"),
     )
     buckets = sig.select(
@@ -118,7 +120,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Score straight off the broadcast join, THEN distinct: the score is
     # deterministic per (q, c) pair, so band-duplicate matches collapse in
     # a distinct over three scalar columns — no 64-double vector payload
-    # ever enters a shuffle.
+    # ever enters a shuffle. The exact re-rank dot runs in the Arrow
+    # kernel (fold-order-identical cumsum), not an interpreted HOF.
     scored = (
         c.join(F.broadcast(q), ["band_idx", "bucket"])
         .select(
@@ -126,7 +129,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 F.floor(
-                    fold_dot("qv", "cv") / (F.col("qn") * F.col("cn")) * 10000
+                    fold_dot_np("qv", "cv") / (F.col("qn") * F.col("cn")) * 10000
                     + 0.5
                 )
                 / 10000

@@ -2,8 +2,9 @@
 
 Runs each registered query AND its DuckDB oracle at a given scale factor
 with a PLAIN SparkSession (same as the driver — no bq_nvd_spark.session
-factory), comparing row-count + sorted-column schema + order-insensitive
-repr-normalized value hash.
+factory), comparing row-count + sorted-column schema + canonical DTYPES
+(oracle_compare.py — DuckDB HUGEINT vs Spark long fails here exactly as
+at the driver) + order-insensitive value hash.
 
 Usage:
     python scripts/driver_mirror.py [--sf /root/testdata/sf0.01] [--first N] [names...]
@@ -12,7 +13,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 import time
 
@@ -21,25 +21,17 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
 
+from bq_nvd_spark.oracle_compare import (
+    duck_schema_map,
+    rowset,
+    schema_mismatches,
+    spark_schema_map,
+)
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
-
-
-def norm(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    return repr(v)
-
-
-def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
@@ -76,17 +68,23 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf)
             scols = list(sdf.columns)
+            stypes = spark_schema_map(sdf)
             srows = [tuple(r) for r in sdf.collect()]
             if name in oracles:
                 rel = con.sql(oracles[name])
                 ocols = list(rel.columns)
+                otypes = duck_schema_map(rel)
                 orows = rel.fetchall()
+                dtype_diffs = schema_mismatches(stypes, otypes)
                 ok = (
                     len(srows) == len(orows)
                     and sorted(scols) == sorted(ocols)
+                    and not dtype_diffs
                     and rowset(scols, srows) == rowset(ocols, orows)
                 )
-                verdict = "OK" if ok else "HASH-MISMATCH"
+                verdict = "OK" if ok else (
+                    f"DTYPE-MISMATCH {dtype_diffs[:2]}" if dtype_diffs else "HASH-MISMATCH"
+                )
             else:
                 ok = True
                 verdict = "rows-only"

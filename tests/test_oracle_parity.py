@@ -1,17 +1,25 @@
 """Mirror of the driver's correctness gate: run every registered Spark
 query and its DuckDB oracle on the same parquet tables and require an
-exact (order-insensitive) match on row count, column names, and values.
+exact (order-insensitive) match on row count, column names, DTYPES, and
+values.  The dtype check is canonical-vocabulary (oracle_compare.py),
+so a DuckDB HUGEINT (``SUM`` over BIGINT without a cast) fails here the
+way it fails at the driver — ``repr``-level value equality is not
+enough.
 
 Runs at sf0.001 for speed; the driver repeats this at sf0.01.
 """
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
+from bq_nvd_spark.oracle_compare import (
+    duck_schema_map,
+    rowset,
+    schema_mismatches,
+    spark_schema_map,
+)
 from bq_nvd_spark.plans import ORACLES, QUERIES
 from bq_nvd_spark.sources.tables import TABLES
 
@@ -25,41 +33,31 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def normalize(rows, colnames):
-    """Columns sorted by name, rows sorted by repr — order-insensitive."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-
-    def canon(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return repr(v)
-        return repr(v)
-
-    return sorted(tuple(canon(row[i]) for i in order) for row in rows)
-
-
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
+    spark_types = spark_schema_map(sdf)
 
     assert name in ORACLES, f"{name} has no oracle (rows-only check)"
     con = duck_connection(sf_dir)
     rel = con.sql(ORACLES[name])
     duck_cols = rel.columns
+    duck_types = duck_schema_map(rel)
     duck_rows = rel.fetchall()
     con.close()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
+    dtype_diffs = schema_mismatches(spark_types, duck_types)
+    assert not dtype_diffs, f"{name}: dtype mismatch {dtype_diffs}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
-    s_norm = normalize([tuple(r) for r in spark_rows], spark_cols)
-    d_norm = normalize(duck_rows, duck_cols)
+    s_norm = rowset(spark_cols, [tuple(r) for r in spark_rows])
+    d_norm = rowset(duck_cols, duck_rows)
     mismatches = [
         (i, s, d) for i, (s, d) in enumerate(zip(s_norm, d_norm)) if s != d
     ]
