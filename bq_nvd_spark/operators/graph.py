@@ -21,7 +21,7 @@ partial-min combining map-side. Rounds = graph diameter, which for
 near-dup clusters is tiny (near-duplicate sets are cliques or
 clique-ish, diameter 1-2; pathological chains are bounded by
 ``max_iter``). The driver-side loop iterates over ROUNDS, never rows —
-per-round state lives in a DataFrame, and ``localCheckpoint`` truncates
+per-round state lives in a DataFrame, and ``stage_checkpoint`` truncates
 the growing lineage so round N's plan doesn't replay rounds 0..N-1.
 GraphFrames/GraphX implement the same pattern with large/small-star
 optimizations; this dependency-free form keeps the repo self-contained.
@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
 
 def connected_components(
@@ -49,10 +51,11 @@ def connected_components(
     # against it, and without the checkpoint each round would replay the
     # whole upstream plan that produced the edges (for dedup clusters,
     # the entire LSH + verification pipeline — measured 3× the cost).
-    sym = (
+    # stage_checkpoint upgrades to a reliable (checkpoint-dir) variant
+    # on clusters where executor loss must not kill the iteration.
+    sym = stage_checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
@@ -64,13 +67,11 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
+        new_labels = stage_checkpoint(
+            labels.join(nbr_min, "id", "left").select(
                 "id",
                 F.least(F.col("rep"), F.coalesce("nbr_rep", "rep")).alias("rep"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

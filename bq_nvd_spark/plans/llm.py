@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StringType
 
+from bq_nvd_spark.operators.similarity import fold_dot_np
 from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.sources.tables import load_table
 
@@ -435,12 +436,6 @@ _DUCK_DOT = (
 )
 
 
-def _spark_fold_dot(a: str | Column, b: str | Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
 @query(
     "cosine_topk",
     oracle=f"""
@@ -472,8 +467,11 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # Arrow cumsum kernel: bit-identical to the sequential fold (same
+    # left-to-right IEEE order), but runs as C loops per batch instead of
+    # interpreted HOF lambdas (see operators/similarity.py::fold_dot_np).
     normed = emb.select(
-        "vec_id", "v", F.sqrt(_spark_fold_dot("v", "v")).alias("nrm")
+        "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
     )
     q = normed.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -485,7 +483,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "vec_id",
         F.round(
-            _spark_fold_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4
+            fold_dot_np("qv", "cv") / (F.col("qn") * F.col("cn")), 4
         ).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -878,6 +876,34 @@ _DUCK_VERIFIED_PAIRS_CTES = f"""
 """
 
 
+@pandas_udf(ArrayType(LongType()))
+def _shingle_hashes_np(texts: "pd.Series") -> "pd.Series":
+    """Arrow kernel: the DISTINCT bigram-shingle hash set of a document
+    as array<long>. Any stable collision-free 64-bit hash works — the
+    hashes only drive intersection counts, never the output values (the
+    oracle compares raw shingle strings). Window digests are memoized
+    per batch; bigrams repeat across a corpus the same Zipfian way
+    tokens do (template: sampling.py::_decon_grams_np)."""
+    import hashlib
+
+    cache: dict[str, int] = {}
+    out = []
+    for text in texts:
+        ts = text.split(" ")
+        seen = set()
+        for i in range(len(ts) - 1):
+            w = ts[i] + " " + ts[i + 1]
+            h = cache.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:8], "big", signed=True
+                )
+                cache[w] = h
+            seen.add(h)
+        out.append(list(seen))
+    return pd.Series(out)
+
+
 @query(
     "jaccard_verified_pairs",
     oracle=_duck_band_cte()
@@ -887,24 +913,9 @@ _DUCK_VERIFIED_PAIRS_CTES = f"""
     """,
 )
 def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
     cand = _capped_pairs(_spark_bands(spark, sf_dir))
-    toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        )
-    )
-    sh = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.size(F.split("text", " ")) >= 2)
-        # The shingle transform is an interpreted HOF (never codegen) and
-        # the toy corpus is a single parquet file = a single scan task:
-        # without this the whole CPU-bound stage runs on one core.
-        # Real inputs arrive already partitioned and pass through.
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", shingles.alias("sh"))
-    )
     # Intersection as explode + equi-join + groupBy-count over 64-bit
     # shingle tokens, NOT array_intersect over the full string arrays:
     # the earlier array formulation shuffled both docs' complete bigram
@@ -912,20 +923,26 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (never codegen).  Here every shuffled row is (int, int, long),
     # every operator is whole-stage-codegen hash join/agg, and the join
     # keys (doc ids, hashes) are uniformly distributed — the shape that
-    # survives 100 TB.  xxhash64 stands in for the shingle string; a
-    # 64-bit collision would perturb one count by one, and the DuckDB
-    # oracle (which compares the raw strings) hash-checks that none
-    # occurs on the actual data.
+    # survives 100 TB.  The distinct-shingle hash set comes from one
+    # Arrow kernel pass over the text (split/join/md5 as C-speed Python
+    # over the batch, window digests memoized Zipf-style) — the earlier
+    # interpreted sequence→concat_ws→array_distinct HOF chain was the
+    # verify path's dominant cost.  A 64-bit collision would perturb one
+    # count by one; the DuckDB oracle (which compares the raw strings)
+    # hash-checks that none occurs on the actual data.
     #
     # Checkpointed eagerly: both intersection probes AND the size lookup
-    # read this compact (long, long) set, so the shingle transform runs
-    # exactly once; sizes fall out of the distinct token set itself
-    # (size(sh) == count of exploded distinct hashes), sparing a second
-    # pass over the text.
-    tok = (
-        sh.select("doc_id", F.explode("sh").alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("h"))
-        .localCheckpoint(eager=True)
+    # read this compact (long, long) set, so the kernel runs exactly
+    # once; sizes fall out of the distinct token set itself, sparing a
+    # second pass over the text.
+    tok = stage_checkpoint(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        # The toy corpus is a single parquet file = a single scan task:
+        # spread the CPU-bound kernel stage across cores. Real inputs
+        # arrive already partitioned and pass through.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(_shingle_hashes_np("text")).alias("h"))
     )
     inter = (
         cand.join(tok.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bq_nvd_spark.operators.similarity import fold_dot
+from bq_nvd_spark.operators.similarity import fold_dot_np
 from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.sources.tables import load_table
 
@@ -198,7 +198,7 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("scale"),
         ).alias("dv"),
     )
-    n = dq.select("vec_id", "dv", F.sqrt(fold_dot("dv", "dv")).alias("nrm"))
+    n = dq.select("vec_id", "dv", F.sqrt(fold_dot_np("dv", "dv")).alias("nrm"))
     q = n.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
         F.col("vec_id").alias("q_id"),
         F.col("dv").alias("qv"),
@@ -210,7 +210,8 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (
             F.floor(
-                fold_dot("qv", "dv") / (F.col("qn") * F.col("nrm")) * 10000 + 0.5
+                fold_dot_np("qv", "dv") / (F.col("qn") * F.col("nrm")) * 10000
+                + 0.5
             )
             / 10000
         ).alias("sim"),

@@ -252,12 +252,13 @@ def decontamination_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file table would feed one Arrow worker), run the hashlib
     # kernel, and checkpoint so the `rare` census and the `labeled` join
     # don't each recompute 250k md5 windows.
-    grams = (
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
+    grams = stage_checkpoint(
         docs.join(reps.select("doc_id"), "doc_id")
         .filter(F.size(toks) >= DECON_N)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(_decon_grams_np("text")).alias("gram"))
-        .localCheckpoint(eager=True)
     )
     rare = (
         grams.groupBy("gram")

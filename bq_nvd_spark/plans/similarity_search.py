@@ -222,7 +222,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = _spread_embeddings(spark, sf_dir)
-    n = emb.select("vec_id", "v", F.sqrt(fold_dot("v", "v")).alias("nrm"))
+    n = emb.select("vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm"))
     # One row: every centroid in an array sorted by cent_id
     # (collect_list order is nondeterministic; sort_array on the leading
     # struct field restores it — the argmax tie-break relies on it).
@@ -294,7 +294,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (
             F.floor(
-                fold_dot("qv", "v") / (F.col("qn") * F.col("nrm")) * 10000 + 0.5
+                fold_dot_np("qv", "v") / (F.col("qn") * F.col("nrm")) * 10000
+                + 0.5
             )
             / 10000
         ).alias("sim"),
@@ -356,7 +357,7 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = emb.select(
         "vec_id",
         "v",
-        F.sqrt(fold_dot("v", "v")).alias("nrm"),
+        F.sqrt(fold_dot_np("v", "v")).alias("nrm"),
         band_buckets_np("v").alias("bands"),
     )
     buckets = sig.select(
@@ -384,7 +385,7 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             (
                 F.floor(
-                    fold_dot("va", "vb") / (F.col("na") * F.col("nb")) * 10000
+                    fold_dot_np("va", "vb") / (F.col("na") * F.col("nb")) * 10000
                     + 0.5
                 )
                 / 10000
@@ -507,8 +508,18 @@ def ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
     emb = _spread_embeddings(spark, sf_dir)
-    n = emb.select("vec_id", "v", F.sqrt(fold_dot("v", "v")).alias("nrm"))
+    # The normalized corpus feeds FIVE consumers (seed centroids, coarse
+    # assign, refined-centroid lookup, re-assign, query probes); without
+    # materialization each one replays the scan + norm kernel and the
+    # whole plan balloons to 34 shuffles / 26 broadcasts. One checkpoint
+    # here and one on `assign` (anchors + member scoring) collapse the
+    # repeated subplans; values are untouched.
+    n = stage_checkpoint(
+        emb.select("vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm"))
+    )
     corpus = n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
 
     def argmax_cell(arr_col: str, id_field: str, vec_field: str, nrm_field: str):
@@ -541,8 +552,13 @@ def ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
-    assign = corpus.crossJoin(F.broadcast(cent_arr)).select(
-        "vec_id", "v", "nrm", argmax_cell("cents", "cent_id", "cv", "cnrm").alias("cell")
+    assign = stage_checkpoint(
+        corpus.crossJoin(F.broadcast(cent_arr)).select(
+            "vec_id",
+            "v",
+            "nrm",
+            argmax_cell("cents", "cent_id", "cv", "cnrm").alias("cell"),
+        )
     )
 
     # Per-cell anchor sample: the N_ANCHORS lowest-id members, folded to
@@ -590,8 +606,10 @@ def ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("rep_id"))
     )
 
-    # Refined centroids → one broadcast row, then the plain-IVF tail.
-    rcent_arr = (
+    # Refined centroids → ONE broadcast row, checkpointed: both the
+    # re-assign and the query-probe sides consume it, and its upstream
+    # (member scoring + per-cell window) is the plan's deepest branch.
+    rcent_arr = stage_checkpoint(
         reps.join(n, reps.rep_id == n.vec_id)
         .select(
             F.struct(
@@ -640,7 +658,8 @@ def ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (
             F.floor(
-                fold_dot("qv", "v") / (F.col("qn") * F.col("nrm")) * 10000 + 0.5
+                fold_dot_np("qv", "v") / (F.col("qn") * F.col("nrm")) * 10000
+                + 0.5
             )
             / 10000
         ).alias("sim"),

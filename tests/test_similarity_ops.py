@@ -45,6 +45,66 @@ def test_minhash_band_formulations_agree(spark, sf_dir):
     assert both.count() > 0
 
 
+def test_fold_dot_formulations_agree(spark, sf_dir):
+    """fold_dot_np (Arrow cumsum) must equal fold_dot (sequential HOF
+    left-fold, the oracle's definition) BIT-for-bit — not approximately:
+    cumsum accumulates in the identical IEEE-754 order, so every
+    intermediate rounding matches. Cross pairs exercise unequal inputs."""
+    from bq_nvd_spark.operators.similarity import fold_dot, fold_dot_np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    self_pairs = emb.select(
+        "vec_id",
+        fold_dot("v", "v").alias("hof"),
+        fold_dot_np("v", "v").alias("np"),
+    )
+    assert self_pairs.filter(F.col("hof") != F.col("np")).count() == 0
+    assert self_pairs.count() > 0
+
+    a = emb.filter(F.col("vec_id") < 5).select(
+        F.lit(1).alias("k"), F.col("v").alias("va")
+    )
+    b = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 25)).select(
+        F.lit(1).alias("k"), F.col("v").alias("vb")
+    )
+    cross = a.join(b, "k").select(
+        fold_dot("va", "vb").alias("hof"),
+        fold_dot_np("va", "vb").alias("np"),
+    )
+    assert cross.filter(F.col("hof") != F.col("np")).count() == 0
+    assert cross.count() == 100
+
+
+def test_shingle_hash_kernel_matches_hof_counts(spark, sf_dir):
+    """The Arrow shingle-hash kernel must produce the same DISTINCT
+    bigram count per document as the HOF formulation it replaced (the
+    hashes themselves are internal — only set cardinalities and
+    intersections reach the output)."""
+    from bq_nvd_spark.plans.llm import _shingle_hashes_np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    toks = F.split("text", " ")
+    hof_shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    both = docs.select(
+        "doc_id",
+        F.size(hof_shingles).alias("n_hof"),
+        F.size(_shingle_hashes_np("text")).alias("n_np"),
+    )
+    assert both.filter(F.col("n_hof") != F.col("n_np")).count() == 0
+    assert both.count() > 0
+
+
 def test_simhash_formulations_agree(spark, sf_dir):
     """_simhash_np (hashlib+numpy over Arrow) must equal simhash_hof
     (the per-row HOF definition the oracle mirrors) bit-for-bit."""
