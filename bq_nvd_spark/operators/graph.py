@@ -67,19 +67,19 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        new_labels = stage_checkpoint(
+        # The convergence flag rides along in the SAME pass that builds
+        # the new labels (new rep < old rep), so detecting the fixpoint
+        # is a scan of the already-materialized checkpoint blocks — not
+        # a separate new⋈old join job per round.
+        stepped = stage_checkpoint(
             labels.join(nbr_min, "id", "left").select(
                 "id",
                 F.least(F.col("rep"), F.coalesce("nbr_rep", "rep")).alias("rep"),
+                (F.coalesce("nbr_rep", "rep") < F.col("rep")).alias("lowered"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.rep") < F.col("o.rep"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("lowered").count()
+        labels = stepped.select("id", "rep")
         if changed == 0:
             converged = True
             break

@@ -37,6 +37,10 @@ _DRIVER_PRIORITY = [
     "embedding_int8_census",
     "quantized_cosine_topk",
     "udtf_token_chunks",
+    # -- new in round 5 (first driver check) --
+    "tfidf_top_terms",
+    "dedup_survivors",
+    "stratified_sample_per_lang",
     # -- plans touched by round-5 perf work --
     "ann_lsh_topk",
     "ivf_topk",

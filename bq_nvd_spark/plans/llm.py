@@ -547,6 +547,82 @@ def token_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E4g: per-document TF-IDF top terms — the keyword-extraction workhorse
+# of corpus analysis. IDF uses the log-free rational form N/df so every
+# float op (one divide, one multiply, the floor-fix) is an IEEE-754
+# correctly-rounded operation and the two engines agree bit-for-bit —
+# ln()/log() carry no such guarantee across libms and are the one thing
+# a cross-engine-deterministic ranking must avoid. Scale shape: explode
+# → two hash aggs (map-side partials absorb token Zipf) → equi-join on
+# term → per-doc window. The df relation is vocabulary-sized; at 100 TB
+# it stays a shuffle join (vocabulary outgrows broadcast), with the
+# stopword head handled by the same partial-agg combine.
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             FLOOR(tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df)
+                   * 1000000 + 0.5) / 1000000 AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.floor(
+                    F.col("tf")
+                    * (F.col("n_docs").cast("double") / F.col("df"))
+                    * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select("doc_id", "term", "tfidf", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
 # E4c: language distribution (the lang-id *evaluation* surface; the n-gram
 # classifier itself lives in operators/text.py).
 @query(
@@ -1000,6 +1076,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(edges, max_iter=10)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# --------------------------------------------------------------------------
+# E2 output surface: the DEDUPLICATED corpus — what a training pipeline
+# actually consumes. Every document survives except non-representative
+# near-dup cluster members (the cluster keeps its minimum-id row, the
+# same survivorship rule as the exact dedup and the reference's
+# first-write-wins ingest, bq_nvd/etl.py:87-88). One broadcast anti-join
+# against the (tiny) drop set — the corpus itself never shuffles.
+@query(
+    "dedup_survivors",
+    oracle=_duck_band_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _DUCK_VERIFIED_PAIRS_CTES
+    + """
+    , sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM vpairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM vpairs
+    ),
+    walk(id, rep) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, w.rep FROM sym s JOIN walk w ON w.id = s.b
+    ),
+    dropped AS (
+      SELECT id FROM walk GROUP BY id HAVING id != MIN(rep)
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = dedup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    )
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
 
 
 # --------------------------------------------------------------------------

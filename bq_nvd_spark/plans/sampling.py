@@ -100,6 +100,47 @@ def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic stratified sample: a fixed-size per-stratum draw (the
+# "give me K docs from EVERY language" shape rate-based sampling can't
+# guarantee for rare strata). Order within a stratum is the md5 of the
+# row key — a deterministic shuffle both engines compute identically —
+# so the draw is uniform-ish, id-stable, and re-runnable. Scale shape:
+# one window per stratum key; strata are languages (hundreds), so the
+# partition-by never degenerates to a global sort, and a skewed giant
+# stratum still only pays a top-K per partition (rank truncation, no
+# full sort materialization).
+STRATUM_K = 5
+
+
+@query(
+    "stratified_sample_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {STRATUM_K}
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATUM_K)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
 # Concat-then-chunk sequence packing: per source, documents concatenate
 # in doc_id order into one token stream that is cut every PACK_BUDGET
 # tokens (how packed pre-training batches are built). Each document's

@@ -221,8 +221,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
     emb = _spread_embeddings(spark, sf_dir)
-    n = emb.select("vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm"))
+    # Three consumers (centroid fold, corpus assign, query probes) read
+    # the normalized corpus; checkpoint it so the scan + norm kernel run
+    # once (same slim as ivf_refined_topk).
+    n = stage_checkpoint(
+        emb.select("vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm"))
+    )
     # One row: every centroid in an array sorted by cent_id
     # (collect_list order is nondeterministic; sort_array on the leading
     # struct field restores it — the argmax tie-break relies on it).
