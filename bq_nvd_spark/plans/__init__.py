@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "tfidf_top_terms",
     "dedup_survivors",
     "stratified_sample_per_lang",
+    "streaming_dedup_within_watermark",
     # -- plans touched by round-5 perf work --
     "ann_lsh_topk",
     "ivf_topk",

@@ -214,6 +214,36 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# T3 streaming, bounded-state form: dropDuplicatesWithinWatermark — the
+# API an UNBOUNDED deployment must use, because plain dropDuplicates
+# state grows with every key ever seen while the watermarked form evicts
+# keys older than the delay. Pinned here with a delay wider than the
+# fixture's event-time span, so eviction never fires inside the drain
+# and the emitted key-set equals the global distinct — giving the
+# bounded-state API an exact oracle instead of a rows-only check.
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(
+        deduped,
+        output_mode="append",
+        name_prefix="stream_dedup_wm",
+        state_partitions=8,
+    )
+
+
+# --------------------------------------------------------------------------
 # T4 streaming: sliding event-time window over the stream.
 @query(
     "streaming_sliding_counts",
