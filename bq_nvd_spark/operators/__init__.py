@@ -13,14 +13,18 @@ oracle-checked queries that exercise them live in ``bq_nvd_spark.plans``.
   (mapInPandas; real decoders stubbed)
 - ``graph``       — connected components (min-label propagation) for
   closing near-dup pairs into dedup clusters
+- ``checkpoint``  — lineage-truncating materialization with a reliable
+  (checkpoint-dir) upgrade path for cluster deployments
 """
 
+from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 from bq_nvd_spark.operators.graph import connected_components
 from bq_nvd_spark.operators.multimodal import decode_media, frame_sample
 from bq_nvd_spark.operators.similarity import (
     band_buckets,
     band_buckets_np,
     fold_dot,
+    fold_dot_np,
 )
 from bq_nvd_spark.operators.skew import salted_agg, salted_join
 from bq_nvd_spark.operators.temporal import asof_join, banded_range_join
@@ -35,8 +39,10 @@ __all__ = [
     "bpe_token_count",
     "decode_media",
     "fold_dot",
+    "fold_dot_np",
     "frame_sample",
     "langid_predict",
     "salted_agg",
     "salted_join",
+    "stage_checkpoint",
 ]

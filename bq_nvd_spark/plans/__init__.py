@@ -42,6 +42,10 @@ _DRIVER_PRIORITY = [
     "dedup_survivors",
     "stratified_sample_per_lang",
     "streaming_dedup_within_watermark",
+    "label_centroids",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q21_waiting_suppliers",
     # -- plans touched by round-5 perf work --
     "ann_lsh_topk",
     "ivf_topk",

@@ -1175,3 +1175,240 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").alias("total_bal_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q7 shape: volume shipping between two nations — the
+# two-role-aliases pattern (nation joined TWICE, as supplier nation and
+# customer nation) with a symmetric disjunction over the pair, grouped
+# by direction and year. Both nation sides broadcast; the disjunction
+# evaluates as a join residual after the equi keys.
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             EXTRACT(year FROM l.l_shipdate) AS yr,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(30,10)) AS vol
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
+        )
+        .agg(
+            F.round(F.sum(vol), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q8 shape: national market share — a conditional-fraction
+# aggregate (CASE-summed numerator over the total) across a 6-join
+# star+snowflake chain through region. Both sums are exact
+# DECIMAL(30,10); only the final ratio goes to double (one divide, one
+# floor-fix — both IEEE-exact-rounded, so the engines agree).
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT yr,
+           FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                               ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+             ns.n_name AS supp_nation,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(30,10)) AS vol
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey
+                     AND r.r_name = 'AFRICA'
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      WHERE p.p_type = 'ECONOMY'
+    )
+    GROUP BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    zero = F.lit(0).cast("decimal(30,10)")
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            (
+                F.floor(
+                    num.cast("double") / F.sum(vol).cast("double") * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q21 shape: suppliers who kept waiting multi-supplier orders —
+# the double-correlated EXISTS + NOT-EXISTS self-join on the fact
+# table, decorrelated to a semi join (some OTHER supplier contributed
+# to the order) followed by an anti join (no OTHER supplier was ALSO
+# late). The driver lineitem has no commit/receipt dates, so "late" is
+# shipped more than 60 days after the order date (q4's convention).
+# Both probes shuffle on l_orderkey only — the inequality on suppkey
+# and the lateness predicate evaluate as join residuals.
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+                    AND n.n_name = 'NATION_4'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_4"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > late_cut)
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3_key"),
+        F.col("l_suppkey").alias("s3_key"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("o2_key") == F.col("l_orderkey"))
+            & (F.col("s2_key") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3_key") == F.col("l_orderkey"))
+            & (F.col("s3_key") != F.col("l_suppkey"))
+            & (F.col("ship3") > late_cut),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

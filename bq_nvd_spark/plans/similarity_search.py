@@ -403,6 +403,55 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("sim") >= SIMILAR_COS)
 
 
+# --------------------------------------------------------------------------
+# E3 support: per-label centroids — the k-means/classifier building
+# block (class prototypes, cluster seeds, nearest-centroid baselines).
+# Element-wise mean over float rows is summation-order-sensitive, so
+# each component is fixed to integer NANO-units per row first: row sums
+# become exact integer math (|component| ≤ ~2, 64-dim, ≤1e5 rows →
+# ≤ 2e14 ≪ 2^53, exact in BIGINT and in the final double divide), and
+# the mean is rounded at 1e-6 with the floor form. Scale shape: one
+# posexplode (row-local, ×DIM) and ONE hash agg on (label, pos) —
+# map-side partial sums absorb the per-label skew; no window, no sort.
+@query(
+    "label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    x AS (
+      SELECT label, i - 1 AS pos,
+             CAST(FLOOR(v[i] * 1000000000 + 0.5) AS BIGINT) AS nano
+      FROM e, UNNEST(range(1, 65)) t(i)
+    )
+    SELECT label, pos,
+           COUNT(*) AS n_vecs,
+           FLOOR(CAST(SUM(nano) AS DOUBLE) / COUNT(*) / 1000 + 0.5)
+             / 1000000 AS centroid_r
+    FROM x
+    GROUP BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    x = e.select("label", F.posexplode("v").alias("pos", "val")).select(
+        "label",
+        "pos",
+        F.floor(F.col("val") * 1_000_000_000 + 0.5).cast("long").alias("nano"),
+    )
+    return x.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.floor(
+                F.sum("nano").cast("double") / F.count(F.lit(1)) / 1000 + 0.5
+            )
+            / 1_000_000
+        ).alias("centroid_r"),
+    )
+
+
 N_ANCHORS = 5  # per-cell anchor sample for the medoid centrality score
 _SCORE_SCALE = 1_000_000_000_000  # cos → integer at 1e-12 — exact int sums
 
