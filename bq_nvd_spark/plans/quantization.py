@@ -198,7 +198,14 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("scale"),
         ).alias("dv"),
     )
-    n = dq.select("vec_id", "dv", F.sqrt(fold_dot_np("dv", "dv")).alias("nrm"))
+    # Query and corpus sides both read the dequantized+normed relation;
+    # checkpoint it so the quantize→dequantize→norm chain (two Arrow
+    # kernel passes over every vector) runs once, not per consumer.
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
+    n = stage_checkpoint(
+        dq.select("vec_id", "dv", F.sqrt(fold_dot_np("dv", "dv")).alias("nrm"))
+    )
     q = n.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
         F.col("vec_id").alias("q_id"),
         F.col("dv").alias("qv"),
