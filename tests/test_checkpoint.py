@@ -69,6 +69,27 @@ def test_connected_components_local_path_unchanged(spark):
     assert got == {(5, 5), (6, 5), (7, 5)}
 
 
+def test_verify_pipeline_on_reliable_path(spark, sf_dir, tmp_path):
+    """jaccard_verified_pairs (the heaviest stage_checkpoint consumer
+    after CC) must produce identical pairs through the reliable
+    checkpoint path — the exact configuration a cluster deployment
+    runs with."""
+    from bq_nvd_spark.plans.llm import jaccard_verified_pairs
+
+    local = {
+        tuple(r) for r in jaccard_verified_pairs(spark, sf_dir).collect()
+    }
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "verify_ck"))
+    try:
+        reliable = {
+            tuple(r) for r in jaccard_verified_pairs(spark, sf_dir).collect()
+        }
+    finally:
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
+    assert reliable == local
+    assert local, "verify pipeline returned no pairs at test SF"
+
+
 def test_shape_preserved(spark):
     df = spark.range(5).select(
         F.col("id"), (F.col("id") * 2).alias("dbl")
