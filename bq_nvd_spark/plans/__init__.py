@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q21_waiting_suppliers",
+    "edit_distance_verified_pairs",
     # -- plans touched by round-5 perf work --
     "ann_lsh_topk",
     "ivf_topk",

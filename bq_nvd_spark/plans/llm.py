@@ -1042,6 +1042,75 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E2 alternate verifier: EDIT-DISTANCE verification of LSH candidates —
+# the metric of choice where token-set Jaccard is blind (short docs,
+# small in-place edits, reordered whitespace). Same scale story as the
+# Jaccard verifier: only bucket-sharing candidates pay the quadratic
+# kernel, and the kernel runs on a bounded PREFIX (two 256-char strings
+# → ≤ 64k cell DP, constant per pair) so a pathological pair of huge
+# docs cannot blow up a task. `levenshtein` is unit-cost edit distance
+# in both engines — exact integer, hash-stable.
+EDIT_PREFIX = 256
+EDIT_MAX = 32  # near-dups measure 0-8 on this corpus; background ≥ ~40
+
+
+@query(
+    "edit_distance_verified_pairs",
+    oracle=_duck_band_cte()
+    + f"""
+    , sized AS (
+      SELECT band_idx, band_sig FROM bands
+      GROUP BY band_idx, band_sig
+      HAVING COUNT(*) BETWEEN 2 AND {PAIR_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                  AND a.doc_id < b.doc_id
+      JOIN sized s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
+                            substr(db.text, 1, {EDIT_PREFIX})) AS BIGINT)
+             AS edit_dist
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
+                      substr(db.text, 1, {EDIT_PREFIX})) <= {EDIT_MAX}
+    """,
+)
+def edit_distance_verified_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cand = _capped_pairs(_spark_bands(spark, sf_dir))
+    prefixes = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("prefix")
+    )
+    return (
+        cand.join(
+            prefixes.select(
+                F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
+            ),
+            "doc_a",
+        )
+        .join(
+            prefixes.select(
+                F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_MAX)
+    )
+
+
+# --------------------------------------------------------------------------
 # E2 finale: near-duplicate CLUSTERS — the transitive closure of the
 # verified pair set, one canonical (minimum-id) representative per
 # component. Spark runs distributed min-label propagation
