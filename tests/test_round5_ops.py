@@ -1,0 +1,127 @@
+"""Behavioral invariants for the round-5 operators.
+
+Oracle parity already pins exact Spark-vs-DuckDB equality; these tests
+pin the SEMANTIC claims the docstrings make — survivorship rules,
+per-stratum counts, verifier symmetry against a Python reference —
+which a hash match alone would not localize if broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.llm import (
+    EDIT_MAX,
+    EDIT_PREFIX,
+    dedup_clusters,
+    dedup_survivors,
+    edit_distance_verified_pairs,
+    tfidf_top_terms,
+)
+from bq_nvd_spark.plans.sampling import (
+    STRATUM_K,
+    stratified_sample_per_lang,
+)
+from bq_nvd_spark.plans.similarity_search import label_centroids
+from bq_nvd_spark.sources.tables import load_table
+
+
+def test_stratified_sample_exact_per_stratum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = stratified_sample_per_lang(spark, sf_dir).collect()
+    per_lang: dict[str, int] = {}
+    for r in got:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    assert set(per_lang) == set(sizes)
+    for lang, n in per_lang.items():
+        assert n == min(STRATUM_K, sizes[lang]), lang
+    # id-stable: a rerun draws the identical rows
+    again = {(r["doc_id"], r["lang"]) for r in stratified_sample_per_lang(spark, sf_dir).collect()}
+    assert {(r["doc_id"], r["lang"]) for r in got} == again
+
+
+def test_dedup_survivorship_partition(spark, sf_dir):
+    """survivors ∪ dropped == corpus, disjoint; each cluster keeps
+    exactly its minimum id (the stated survivorship rule)."""
+    all_ids = {
+        r["doc_id"] for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    clusters = dedup_clusters(spark, sf_dir).collect()
+    survivors = {r["doc_id"] for r in dedup_survivors(spark, sf_dir).collect()}
+    dropped = {r["doc_id"] for r in clusters if r["doc_id"] != r["cluster_id"]}
+    assert survivors | dropped == all_ids
+    assert not (survivors & dropped)
+    by_cluster: dict[int, list[int]] = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for rep, members in by_cluster.items():
+        assert rep == min(members)
+        assert rep in survivors
+        for m in members:
+            assert (m in survivors) == (m == rep)
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_match_python_reference(spark, sf_dir):
+    pairs = edit_distance_verified_pairs(spark, sf_dir).collect()
+    assert pairs, "verifier returned no pairs at test SF"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["edit_dist"] <= EDIT_MAX
+        ref = _py_levenshtein(
+            texts[r["doc_a"]][:EDIT_PREFIX], texts[r["doc_b"]][:EDIT_PREFIX]
+        )
+        assert r["edit_dist"] == ref, (r["doc_a"], r["doc_b"])
+
+
+def test_tfidf_topk_shape_and_scores(spark, sf_dir):
+    rows = tfidf_top_terms(spark, sf_dir).collect()
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        assert r["tfidf"] > 0
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(per_doc) == n_docs
+    assert all(n <= 3 for n in per_doc.values())
+
+
+def test_label_centroids_counts_and_bounds(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    true_counts = {
+        r["label"]: r["n"]
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = label_centroids(spark, sf_dir).collect()
+    assert len(rows) == len(true_counts) * 64
+    bounds = {
+        r["label"]: (r["lo"], r["hi"])
+        for r in emb.select(
+            "label",
+            F.array_min(F.transform("embedding", lambda x: x.cast("double"))).alias("m1"),
+            F.array_max(F.transform("embedding", lambda x: x.cast("double"))).alias("m2"),
+        )
+        .groupBy("label")
+        .agg(F.min("m1").alias("lo"), F.max("m2").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_vecs"] == true_counts[r["label"]]
+        lo, hi = bounds[r["label"]]
+        assert lo - 1e-6 <= r["centroid_r"] <= hi + 1e-6
