@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "q8_market_share",
     "q21_waiting_suppliers",
     "edit_distance_verified_pairs",
+    "customer_balance_tiles",
     # -- plans touched by round-5 perf work --
     "ann_lsh_topk",
     "ivf_topk",

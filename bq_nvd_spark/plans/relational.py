@@ -1178,6 +1178,64 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.5 breadth: distribution-analytic window functions — NTILE bucket
+# assignment and PERCENT_RANK — the "which tier is this row in"
+# primitives of cohort/percentile analytics. Partitioned by nation so
+# no global sort exists at any scale (the 100 TB version partitions by
+# whatever unit the tiers are defined over); the order key is
+# (integer cents, custkey), a total order, so tile boundaries and
+# ranks are deterministic in both engines. PERCENT_RANK is
+# (rank-1)/(rows-1) — one IEEE-exact divide — floor-fixed at 1e-6.
+@query(
+    "customer_balance_tiles",
+    oracle="""
+    WITH cents AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    t AS (
+      SELECT c_nationkey, bal_cents,
+             NTILE(4) OVER w AS tile,
+             FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pr
+      FROM cents
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey)
+    )
+    SELECT c_nationkey, tile,
+           COUNT(*) AS n_custs,
+           MIN(bal_cents) AS lo_cents,
+           MAX(bal_cents) AS hi_cents,
+           MAX(pr) AS max_pr
+    FROM t
+    GROUP BY c_nationkey, tile
+    """,
+)
+def customer_balance_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cents = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_cents"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bal_cents", "c_custkey")
+    t = cents.select(
+        "c_nationkey",
+        "bal_cents",
+        F.ntile(4).over(w).alias("tile"),
+        (F.floor(F.percent_rank().over(w) * 1_000_000 + 0.5) / 1_000_000).alias(
+            "pr"
+        ),
+    )
+    return t.groupBy("c_nationkey", "tile").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.min("bal_cents").alias("lo_cents"),
+        F.max("bal_cents").alias("hi_cents"),
+        F.max("pr").alias("max_pr"),
+    )
+
+
+# --------------------------------------------------------------------------
 # TPC-H q7 shape: volume shipping between two nations — the
 # two-role-aliases pattern (nation joined TWICE, as supplier nation and
 # customer nation) with a symmetric disjunction over the pair, grouped
