@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = [
     "q21_waiting_suppliers",
     "edit_distance_verified_pairs",
     "customer_balance_tiles",
+    "cube_status_priority_census",
     # -- plans touched by round-5 perf work --
     "ann_lsh_topk",
     "ivf_topk",

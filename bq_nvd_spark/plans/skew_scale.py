@@ -121,3 +121,36 @@ def rollup_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("yr", "mth", "lvl", "n_orders", "cents")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 widening: CUBE — the full grouping-sets lattice (both margins +
+# the cross + the grand total in one pass), where ROLLUP only walks the
+# hierarchy. Same execution story: Catalyst expands the sets, partial
+# aggregation combines map-side, and the expansion factor is the fixed
+# 2^k of the (low-cardinality) cube dimensions, never data-dependent.
+@query(
+    "cube_status_priority_census",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS lvl,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS cents
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "lvl", "n_orders", "cents")
+    )
