@@ -38,6 +38,13 @@ _DRIVER_PRIORITY = [
     "quantized_cosine_topk",
     "udtf_token_chunks",
     # -- new in round 5 (first driver check) --
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_census",
+    "q20_excess_volume_suppliers",
+    "grouping_sets_status_priority",
     "tfidf_top_terms",
     "dedup_survivors",
     "stratified_sample_per_lang",

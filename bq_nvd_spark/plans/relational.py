@@ -1470,3 +1470,364 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q2 shape: minimum-cost supplier — the correlated-MIN subquery
+# ("the supplier whose cost equals the per-part minimum"), decorrelated
+# to a window MIN over the part key. The driver schema has no partsupp,
+# so supply cost is the minimum observed unit price (extendedprice /
+# quantity) each supplier ever shipped the part at — same correlated
+# shape, observable from the fact table. MIN is order-free, so the
+# double unit price is deterministic under any partitioning; the
+# equality probe compares the identical double on both engines.
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'LARGE' AND p.p_size < 15
+      GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, c.l_partkey AS p_partkey,
+           FLOOR(c.unit_cost * 10000 + 0.5) / 10000 AS unit_cost
+    FROM cost c
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+                   AND r.r_name = 'EUROPE'
+    WHERE c.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY s.s_acctbal DESC, p_partkey, s.s_name
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    # Per-(part, supplier) observed minimum unit price; one shuffle on
+    # the composite key, map-side partial MIN combines first.
+    cost = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    # Decorrelated correlated-MIN: window MIN over the part key reuses
+    # the groupBy's hash partitioning on l_partkey (no extra shuffle of
+    # the fact-side relation, unlike a self-join against a re-agg).
+    per_part_min = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    best = cost.withColumn("part_min", per_part_min).filter(
+        F.col("unit_cost") == F.col("part_min")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q9 shape: product-type profit by nation and year — LIKE filter
+# on the part name, a 4-way join through supplier to nation, and a
+# signed measure (revenue minus cost). The driver schema has no
+# ps_supplycost, so cost is modeled as 60% of the part's retail price
+# per unit shipped. The subtraction runs in exact DECIMAL(30,10) (the
+# double inner arithmetic is bit-identical on both engines; the sum of
+# decimals is order-free under reshuffling).
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS yr,
+           CAST(ROUND(SUM(CAST(
+             l.l_extendedprice * (1 - l.l_discount)
+             - p.p_retailprice * l.l_quantity * 0.6
+             AS DECIMAL(30,10))), 2) AS DOUBLE) AS profit_amount,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY nation, yr
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.6
+    ).cast("decimal(30,10)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.round(F.sum(profit), 2).cast("double").alias("profit_amount"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q11 shape: important parts — a HAVING clause against a scalar
+# aggregate of the SAME relation (per-part value > fraction of total
+# value). The scalar side reduces to ONE row and joins back as a
+# broadcast nested-loop against the grouped relation — the fact table
+# is scanned once, shuffled once on l_partkey; the total is the sum of
+# the already-grouped per-part decimals, not a second fact scan.
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH partval AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(30,10))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+                     AND r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(ROUND(val, 2) * 100 AS BIGINT) AS value_cents
+    FROM partval
+    WHERE val > (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) * 1.5 FROM partval)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    partval = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    # Scalar threshold: one-row aggregate of the grouped relation,
+    # broadcast back (never a re-scan of lineitem). Scale-free cutoff
+    # (1.5x the mean per-part value) so the predicate selects a stable
+    # fraction at any corpus size, unlike TPC-H's fixed share which
+    # empties out as |parts| grows. Exact decimal sum -> one IEEE
+    # divide -> one multiply: bit-identical on both engines.
+    total = partval.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1)) * 1.5).alias("cutoff")
+    )
+    return (
+        partval.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("cutoff"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            # Round to cents BEFORE the integer cast: the scale-10 sum
+            # keeps a sub-cent fraction, and DuckDB's decimal->int cast
+            # rounds where Spark's truncates — rounding first makes the
+            # *100 product integer-valued so both casts agree.
+            (F.round(F.col("val"), 2) * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q15 shape: top supplier — a derived revenue relation consumed
+# twice: once for its MAX (one row) and once filtered to the argmax
+# rows. Decimal revenue makes the MAX and the equality probe exact, so
+# ties (all argmax suppliers) surface identically on both engines.
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,10))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(rev.total_rev, 2) AS DOUBLE) AS total_rev
+    FROM revenue rev
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,10)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q16 shape: supplier census per part attribute triple — a
+# NOT-IN exclusion (suppliers in deficit, the "complaints" analog)
+# turned into a broadcast anti join, then COUNT(DISTINCT) per
+# (brand, type, size). The distinct runs as a two-stage hash aggregate
+# (partial distinct map-side), so the Zipfian brand skew never
+# concentrates raw rows on one reducer.
+@query(
+    "q16_supplier_part_census",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24))
+    )
+    deficit = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(deficit),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q20 shape: suppliers with excess shipped volume of a named
+# part family — the nested IN chain (supplier IN (... partkey IN
+# (...) HAVING SUM(qty) > cutoff)) decorrelated to an aggregate-then-
+# semi-join pipeline. The inner aggregate shuffles on the composite
+# (suppkey, partkey); the outer probe is a broadcast semi join of the
+# (small) qualifying supplier-key set against the region-filtered
+# supplier dim.
+@query(
+    "q20_excess_volume_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+               AND r.r_name = 'ASIA'
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+                 AND p.p_name LIKE 'red%'
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 40
+    )
+    """,
+)
+def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    excess = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(excess),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )

@@ -154,3 +154,41 @@ def cube_status_priority_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "lvl", "n_orders", "cents")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 widening: explicit GROUPING SETS — the general form that ROLLUP
+# and CUBE desugar to, with a hand-picked lattice (each single margin
+# plus the grand total, but NOT the cross product — the set CUBE would
+# add). Execution matches the other two: Catalyst expands the sets
+# before the exchange and partial aggregation combines map-side, so
+# the shuffle carries |input| x |sets| pre-combined rows at most.
+@query(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS lvl,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "lvl", "n_orders", "cents")
+    )
