@@ -45,6 +45,9 @@ _DRIVER_PRIORITY = [
     "q16_supplier_part_census",
     "q20_excess_volume_suppliers",
     "grouping_sets_status_priority",
+    "repetition_ngram_profile",
+    "source_mixture_weights",
+    "arrow_byte_stats",
     "tfidf_top_terms",
     "dedup_survivors",
     "stratified_sample_per_lang",

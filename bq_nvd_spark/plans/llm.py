@@ -1230,3 +1230,145 @@ def bpe_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# E4g: Gopher-style repetition profile — the fraction of a document's
+# word-bigram occurrences taken by its single most frequent bigram,
+# plus the distinct/total bigram ratio, and the derived repetition
+# gate. These are THE standard "remove boilerplate / degenerate text"
+# signals for training-corpus curation (Rae et al. 2021 §A1.1 use
+# duplicate n-gram fractions exactly like this).
+#
+# Scale shape: explode to (doc_id, bigram) — pre-shuffle cardinality
+# is Σ tokens, never quadratic — then two hash aggregates that both
+# partially combine map-side. The second groupBy reuses the first's
+# hash partitioning on doc_id (Catalyst sees the (doc_id, bg) grouping
+# is a refinement, so only one exchange carries raw bigram rows).
+# All-integer counts; the two fractions are single IEEE divides fixed
+# with floor(x*1e4+0.5) on both engines.
+@query(
+    "repetition_ngram_profile",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t
+    ),
+    cnt AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(MAX(c) AS BIGINT)                          AS top_bigram_n,
+           CAST(SUM(c) AS BIGINT)                          AS total_bigrams,
+           COUNT(*)                                        AS distinct_bigrams,
+           FLOOR(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                 * 10000 + 0.5) / 10000                    AS top_frac,
+           FLOOR(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                 * 10000 + 0.5) / 10000                    AS distinct_frac,
+           (FLOOR(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                  * 10000 + 0.5) / 10000) > 0.08           AS is_repetitive
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def repetition_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+            )
+        ).alias("bg"),
+    )
+    counted = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    top_frac = F.floor(
+        F.max("c").cast("double") / F.sum("c").cast("double") * 10000 + 0.5
+    ) / 10000
+    distinct_frac = F.floor(
+        F.count(F.lit(1)).cast("double") / F.sum("c").cast("double") * 10000 + 0.5
+    ) / 10000
+    return counted.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"),
+        F.sum("c").alias("total_bigrams"),
+        F.count(F.lit(1)).alias("distinct_bigrams"),
+        top_frac.alias("top_frac"),
+        distinct_frac.alias("distinct_frac"),
+        (top_frac > 0.08).alias("is_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E6e: source-mixture resampling weights — the "domain mixing" step of
+# corpus assembly (The Pile / Dolma publish exactly such per-source
+# weight tables): given a uniform target share per source, the weight
+# each source's documents must carry so the mixture matches the
+# target. One grouped aggregate plus a one-row broadcast join; weights
+# are a single IEEE divide of exact integer counts, floor-fixed.
+@query(
+    "source_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             COUNT(*) AS n_sources
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           FLOOR(CAST(n_docs AS DOUBLE) / total_docs * 1000000 + 0.5)
+             / 1000000 AS actual_share,
+           FLOOR(CAST(total_docs AS DOUBLE) / n_sources / n_docs
+                 * 1000000 + 0.5) / 1000000 AS resample_weight
+    FROM per_src, tot
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    actual = (
+        F.floor(
+            F.col("n_docs").cast("double") / F.col("total_docs") * 1_000_000 + 0.5
+        )
+        / 1_000_000
+    )
+    weight = (
+        F.floor(
+            F.col("total_docs").cast("double")
+            / F.col("n_sources")
+            / F.col("n_docs")
+            * 1_000_000
+            + 0.5
+        )
+        / 1_000_000
+    )
+    return per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        actual.alias("actual_share"),
+        weight.alias("resample_weight"),
+    )

@@ -284,3 +284,55 @@ def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL token_chunks(d.doc_id, d.text) c
         """
     )
+
+
+# --------------------------------------------------------------------------
+# §2.10e: mapInArrow — the fourth batch shape (after pandas_udf /
+# applyInPandas / mapInPandas and the row-wise UDTF): RecordBatch in,
+# RecordBatch out, with NO Arrow→pandas materialization in between.
+# This is the right surface when the per-batch kernel is itself
+# Arrow-native (pyarrow.compute, or a C extension taking Arrow
+# buffers) — pandas conversion would only add a copy per batch. The
+# kernel here computes byte/codepoint/token widths per document, all
+# recomputable in SQL so the oracle hash covers the Arrow plumbing:
+# column access by name, compute-kernel dispatch, and batch re-assembly
+# with an int32→int64 cast (DuckDB counts are BIGINT).
+#
+# Scale notes: pure per-batch projection — zero shuffle, streaming
+# through executor memory one Arrow batch (spark.sql.execution.arrow
+# .maxRecordsPerBatch) at a time; nothing is retained across batches.
+@query(
+    "arrow_byte_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT)                   AS n_bytes,
+           CAST(length(text) AS BIGINT)                   AS n_codepoints,
+           CAST(len(string_split(text, ' ')) AS BIGINT)   AS n_ws_tokens
+    FROM documents
+    """,
+)
+def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")),
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "n_codepoints", "n_ws_tokens"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        kernel,
+        schema="doc_id long, n_bytes long, n_codepoints long, n_ws_tokens long",
+    )

@@ -1,0 +1,79 @@
+"""Behavioral invariants for the corpus-curation additions: the
+Gopher-style repetition profile, source-mixture resampling weights,
+and the mapInArrow byte-stats surface."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.llm import (
+    repetition_ngram_profile,
+    source_mixture_weights,
+)
+from bq_nvd_spark.plans.python_udfs import arrow_byte_stats
+from bq_nvd_spark.sources.tables import load_table
+
+
+def test_repetition_profile_matches_python_reference(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {r["doc_id"]: r for r in repetition_ngram_profile(spark, sf_dir).collect()}
+    checked = 0
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        if len(toks) < 2:
+            assert doc_id not in got
+            continue
+        cnt = Counter(zip(toks, toks[1:]))
+        r = got[doc_id]
+        total = sum(cnt.values())
+        assert r["top_bigram_n"] == max(cnt.values())
+        assert r["total_bigrams"] == total == len(toks) - 1
+        assert r["distinct_bigrams"] == len(cnt)
+        top_frac = math.floor(max(cnt.values()) / total * 10000 + 0.5) / 10000
+        assert r["top_frac"] == top_frac
+        assert r["is_repetitive"] == (top_frac > 0.08)
+        checked += 1
+    assert checked == len(got)
+
+
+def test_mixture_weights_rebalance_to_uniform(spark, sf_dir):
+    """weight * n_docs is (up to the fixed rounding) the same for every
+    source — that is the whole point of the weights — and actual
+    shares sum to 1."""
+    rows = source_mixture_weights(spark, sf_dir).collect()
+    assert len(rows) > 1
+    total = sum(r["n_docs"] for r in rows)
+    per_source_mass = [r["resample_weight"] * r["n_docs"] for r in rows]
+    target = total / len(rows)
+    for mass in per_source_mass:
+        assert abs(mass - target) < target * 0.01
+    assert abs(sum(r["actual_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_arrow_byte_stats_roundtrip(spark, sf_dir):
+    """mapInArrow output matches JVM-side expressions for the same
+    quantities (ASCII corpus: bytes == codepoints)."""
+    jvm = {
+        r["doc_id"]: r
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.octet_length("text").alias("n_bytes"),
+            F.length("text").alias("n_codepoints"),
+            F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        )
+        .collect()
+    }
+    got = arrow_byte_stats(spark, sf_dir).collect()
+    assert len(got) == len(jvm)
+    for r in got:
+        j = jvm[r["doc_id"]]
+        assert r["n_bytes"] == j["n_bytes"]
+        assert r["n_codepoints"] == j["n_codepoints"]
+        assert r["n_ws_tokens"] == j["n_ws_tokens"]
