@@ -14,6 +14,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     relational,
     sampling,
     similarity_search,
+    sketches,
     skew_scale,
     temporal_joins,
 )
@@ -48,6 +49,9 @@ _DRIVER_PRIORITY = [
     "repetition_ngram_profile",
     "source_mixture_weights",
     "arrow_byte_stats",
+    "orders_trailing_90d_revenue",
+    "sketch_distinct_accuracy",
+    "approx_distinct_users",
     "tfidf_top_terms",
     "dedup_survivors",
     "stratified_sample_per_lang",

@@ -1831,3 +1831,51 @@ def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "s_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.5 widening: RANGE-framed window — a trailing 90-day revenue sum
+# per customer, where the frame is defined by the ORDER-BY VALUE
+# (days), not by row positions: all orders inside the sliding interval
+# contribute, however many rows share a date. Both engines order by
+# the same integer day number so frame membership is integer-exact;
+# the framed sum is decimal cents (engines disagree on windowed-sum
+# accumulation order, which a float would expose).
+#
+# Scale shape: one shuffle on o_custkey; within each partition the
+# range frame evaluates in a single sorted pass. No global sort exists.
+@query(
+    "orders_trailing_90d_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day_no,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trailing_90d_cents
+    FROM orders
+    WHERE o_custkey < 300
+    """,
+)
+def orders_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day_no.alias("day_no"),
+        # Cents via the scale-2 decimal (never double*100 -> int: the
+        # product carries float noise and the engines' int casts
+        # disagree on round-vs-truncate).
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .over(w)
+        .alias("trailing_90d_cents"),
+    )

@@ -1,0 +1,82 @@
+"""Approximate (sketch) aggregates — the 100 TB cardinality lever.
+
+SURVEY.md §2.11's scale note says it directly: at 1000 executors you
+reach for ``approx_count_distinct`` over exact wherever tolerable. An
+exact COUNT(DISTINCT) shuffles every distinct value; the HyperLogLog++
+sketch shuffles one ~KB register set per group and merges by register-
+wise max — commutative and associative, so the result is independent
+of partitioning (deterministic for a fixed dataset and rsd).
+
+Cross-engine checking is structurally different here: DuckDB's
+approx_count_distinct is a DIFFERENT HLL implementation, so the approx
+values themselves can never hash-match. The two registered queries
+split the contract accordingly:
+
+- ``approx_distinct_users`` carries NO oracle (driver records the
+  weaker rows-only check) and returns the raw sketch estimates next to
+  the exact counts — the honest "what you'd run at scale" form.
+- ``sketch_distinct_accuracy`` IS oracle-checked: it emits the exact
+  counts plus a boolean pinning the sketch's relative error under 5%
+  (rsd=0.02 ⇒ ~2% expected). The oracle recomputes the exact side and
+  asserts the bound, so the driver hash covers the sketch machinery's
+  accuracy without demanding bit-equal estimators.
+
+Local tests additionally assert the error bound per group at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+RSD = 0.02  # relative standard deviation for HLL++; ~2% typical error
+
+
+@query("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users, sketched and exact side by side.
+
+    No oracle: DuckDB's HLL differs from Spark's, so the estimate
+    column is engine-specific by construction (rows-only driver check;
+    the accuracy twin below is the hash-checked surface).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", RSD).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "sketch_distinct_accuracy",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sketch_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group cardinalities plus the sketch-error assertion.
+
+    ``within_5pct`` is COMPUTED on the Spark side (|approx - exact| /
+    exact < 0.05) while the oracle emits the literal TRUE — the hash
+    match therefore fails if Spark's HLL++ ever drifts past 5% on any
+    group, turning the driver gate into an accuracy bound for the
+    sketch itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", RSD).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (err < 0.05).alias("within_5pct"),
+    )

@@ -140,3 +140,49 @@ def test_grouping_sets_lattice_shape(spark, sf_dir):
     for lvl in (1, 2):
         assert sum(r["cents"] for r in by_lvl[lvl]) == total["cents"]
         assert sum(r["n_orders"] for r in by_lvl[lvl]) == total["n_orders"]
+
+
+def test_trailing_90d_range_frame_matches_python(spark, sf_dir):
+    """RANGE frame membership is by day-number value, not row position:
+    recompute each trailing sum from raw orders in Python."""
+    from bq_nvd_spark.plans.relational import orders_trailing_90d_revenue
+
+    orders = [
+        r.asDict()
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ]
+    import datetime
+    from decimal import Decimal
+
+    epoch = datetime.datetime(1995, 1, 1)
+    by_cust: dict[int, list] = {}
+    for o in orders:
+        o["day"] = (o["o_orderdate"] - epoch).days
+        o["cents"] = int(Decimal(str(o["o_totalprice"])).quantize(Decimal("0.01")) * 100)
+        by_cust.setdefault(o["o_custkey"], []).append(o)
+    expect = {}
+    for rows in by_cust.values():
+        for o in rows:
+            expect[o["o_orderkey"]] = sum(
+                p["cents"] for p in rows if o["day"] - 90 <= p["day"] <= o["day"]
+            )
+    got = orders_trailing_90d_revenue(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert r["trailing_90d_cents"] == expect[r["o_orderkey"]], r
+
+
+def test_sketch_error_bound_per_group(spark, sf_dir):
+    """HLL++ estimate stays within 5% of exact for every event type,
+    and the accuracy query's boolean reflects exactly that."""
+    from bq_nvd_spark.plans.sketches import approx_distinct_users, sketch_distinct_accuracy
+
+    rows = approx_distinct_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) / r["exact_users"] < 0.05, r
+    acc = sketch_distinct_accuracy(spark, sf_dir).collect()
+    assert all(r["within_5pct"] for r in acc)
