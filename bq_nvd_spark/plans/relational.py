@@ -1645,7 +1645,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(30,10)"
     )
-    partval = (
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
+    # Materialize the grouped relation ONCE: it feeds both the scalar
+    # cutoff and the filtered output, and without the checkpoint Spark
+    # replays the fact scan + three joins + groupBy for each consumer.
+    partval = stage_checkpoint(
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -1704,9 +1709,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = (
-        li.groupBy("l_suppkey")
-        .agg(
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
+    # The revenue relation feeds both the one-row MAX and the argmax
+    # filter — materialize once instead of re-scanning lineitem.
+    rev = stage_checkpoint(
+        li.groupBy("l_suppkey").agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(30,10)"
