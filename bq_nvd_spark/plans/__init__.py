@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "source_mixture_weights",
     "arrow_byte_stats",
     "orders_trailing_90d_revenue",
+    "monthly_urgent_gapfill",
     "sketch_distinct_accuracy",
     "approx_distinct_users",
     "tfidf_top_terms",

@@ -207,3 +207,81 @@ def ship_delay_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.avg(delay) * 100 + 0.5).cast("bigint").alias("avg_delay_x100"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style gap-fill: the time-series rollup's missing buckets
+# are materialized from a generated month spine (one row per nation x
+# month between that nation's first and last urgent order) and
+# forward-filled with the last observed value. The spine is
+# sequence+explode over per-nation integer bounds — |nations| input
+# rows exploding to |nations x months|, never a cross join against a
+# calendar table — and the fill is last_value(IGNORE NULLS) over the
+# month order, one shuffle on the nation key shared by spine build,
+# join, and fill window.
+@query(
+    "monthly_urgent_gapfill",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST((EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o.o_orderdate) - 1 AS INTEGER) AS mo,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY 1, 2
+    ),
+    b AS (SELECT n_name, MIN(mo) AS lo, MAX(mo) AS hi FROM rev GROUP BY 1),
+    spine AS (
+      SELECT n_name, CAST(UNNEST(range(lo, hi + 1)) AS INTEGER) AS mo FROM b
+    )
+    SELECT s.n_name, s.mo,
+           last_value(r.cents IGNORE NULLS) OVER (
+             PARTITION BY s.n_name ORDER BY s.mo) AS cents,
+           r.cents IS NULL AS filled
+    FROM spine s
+    LEFT JOIN rev r ON r.n_name = s.n_name AND r.mo = s.mo
+    """,
+)
+def monthly_urgent_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mo = (
+        (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    ).cast("int")
+    rev = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", mo.alias("mo"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    spine = (
+        rev.groupBy("n_name")
+        .agg(F.min("mo").alias("lo"), F.max("mo").alias("hi"))
+        .select(
+            "n_name",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("mo"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("mo")
+    joined = spine.join(
+        rev.withColumnRenamed("cents", "raw_cents"), ["n_name", "mo"], "left"
+    )
+    return joined.select(
+        "n_name",
+        "mo",
+        F.last("raw_cents", ignorenulls=True).over(w).alias("cents"),
+        F.col("raw_cents").isNull().alias("filled"),
+    )

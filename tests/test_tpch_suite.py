@@ -186,3 +186,27 @@ def test_sketch_error_bound_per_group(spark, sf_dir):
         assert abs(r["approx_users"] - r["exact_users"]) / r["exact_users"] < 0.05, r
     acc = sketch_distinct_accuracy(spark, sf_dir).collect()
     assert all(r["within_5pct"] for r in acc)
+
+
+def test_gapfill_spine_and_forward_fill(spark, sf_dir):
+    """Per nation the month spine is contiguous from first to last
+    observed month, genuine gaps exist at this SF, every gap row
+    carries the most recent earlier observation, and observed rows
+    keep their own value."""
+    from bq_nvd_spark.plans.events import monthly_urgent_gapfill
+
+    rows = monthly_urgent_gapfill(spark, sf_dir).collect()
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r["n_name"], []).append(r)
+    assert any(r["filled"] for r in rows), "no gaps at this SF — weak fixture"
+    for series in by_nation.values():
+        series.sort(key=lambda r: r["mo"])
+        months = [r["mo"] for r in series]
+        assert months == list(range(months[0], months[-1] + 1))
+        assert not series[0]["filled"]  # spine starts at an observation
+        last = None
+        for r in series:
+            if r["filled"]:
+                assert r["cents"] == last, r
+            last = r["cents"]
