@@ -51,6 +51,7 @@ _DRIVER_PRIORITY = [
     "arrow_byte_stats",
     "orders_trailing_90d_revenue",
     "monthly_urgent_gapfill",
+    "streaming_upsert_user_totals",
     "sketch_distinct_accuracy",
     "approx_distinct_users",
     "tfidf_top_terms",

@@ -8,6 +8,10 @@ from bq_nvd_spark.streaming.micro_batch import (  # noqa: F401
     streaming_dedup_keys,
     streaming_tumbling_counts,
 )
+from bq_nvd_spark.streaming.foreach_sink import (  # noqa: F401
+    ParquetUpsertStore,
+    streaming_upsert_user_totals,
+)
 from bq_nvd_spark.streaming.stateful import (  # noqa: F401
     running_user_totals,
     stateful_user_totals,

@@ -89,3 +89,30 @@ def test_stream_cve_ingest_first_write_wins(spark, tmp_path):
     got_ids = {r.ID for r in got.collect()}
     want_ids = {r[0] for r in items.select(ID_COL).collect()}
     assert got_ids == want_ids
+
+
+def test_upsert_store_replay_and_merge(spark, tmp_path):
+    """ParquetUpsertStore: replace-by-key merge, and a replayed batch id
+    (post-recovery at-least-once delivery) is skipped without touching
+    the store."""
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    store = ParquetUpsertStore(str(tmp_path / "store"))
+    b0 = spark.createDataFrame(
+        [(1, 2, 100), (2, 1, 50)], "user_id long, n_events long, cents long"
+    )
+    store.merge_batch(b0, batch_id=0, key="user_id")
+    # batch 1 updates key 1 (new cumulative), inserts key 3
+    b1 = spark.createDataFrame(
+        [(1, 5, 300), (3, 1, 10)], "user_id long, n_events long, cents long"
+    )
+    store.merge_batch(b1, batch_id=1, key="user_id")
+    got = {r["user_id"]: (r["n_events"], r["cents"]) for r in store.current(spark).collect()}
+    assert got == {1: (5, 300), 2: (1, 50), 3: (1, 10)}
+    # replay batch 1 with stale values — must be a no-op
+    stale = spark.createDataFrame(
+        [(1, 99, 999)], "user_id long, n_events long, cents long"
+    )
+    store.merge_batch(stale, batch_id=1, key="user_id")
+    again = {r["user_id"]: (r["n_events"], r["cents"]) for r in store.current(spark).collect()}
+    assert again == got
