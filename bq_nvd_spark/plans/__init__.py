@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = [
     "monthly_urgent_gapfill",
     "streaming_upsert_user_totals",
     "sketch_distinct_accuracy",
+    "sketch_percentile_accuracy",
     "approx_distinct_users",
     "tfidf_top_terms",
     "dedup_survivors",

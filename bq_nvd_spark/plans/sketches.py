@@ -80,3 +80,63 @@ def sketch_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (err < 0.05).alias("within_5pct"),
     )
+
+
+@query(
+    "sketch_percentile_accuracy",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(FLOOR(MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+                      * 100 + 0.5) AS BIGINT) AS exact_p50_x100,
+           TRUE AS within_tolerance
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def sketch_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median per group plus a bound on the quantile sketch.
+
+    ``approx_percentile`` (Greenwald-Khanna, accuracy=1000 ⇒ rank error
+    ≤ n/1000) must land within 2% of the exact value for the driver
+    hash to match — same contract shape as ``sketch_distinct_accuracy``:
+    the oracle emits literal TRUE, Spark computes the comparison, so
+    the gate bounds the sketch's error without demanding bit equality.
+
+    The exact side is the lower median (ROW_NUMBER (n+1)//2 on the
+    value order) — rank-based, so engines agree exactly; fixed to
+    integer hundredths before hashing.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    exact = (
+        ranked.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        .groupBy("event_type")
+        .agg(F.max("value").alias("exact_p50"))
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("approx_p50")
+    )
+    err = F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.abs(F.col("exact_p50"))
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            F.floor(F.col("exact_p50") * 100 + 0.5).cast("bigint")
+            .alias("exact_p50_x100"),
+            (err < 0.02).alias("within_tolerance"),
+        )
+    )

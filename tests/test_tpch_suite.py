@@ -210,3 +210,13 @@ def test_gapfill_spine_and_forward_fill(spark, sf_dir):
             if r["filled"]:
                 assert r["cents"] == last, r
             last = r["cents"]
+
+
+def test_percentile_sketch_bound(spark, sf_dir):
+    """approx_percentile stays within 2% of the exact lower median for
+    every event type (the accuracy query's boolean is the same check)."""
+    from bq_nvd_spark.plans.sketches import sketch_percentile_accuracy
+
+    rows = sketch_percentile_accuracy(spark, sf_dir).collect()
+    assert rows
+    assert all(r["within_tolerance"] for r in rows)
