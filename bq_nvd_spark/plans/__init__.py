@@ -6,6 +6,7 @@ with every declared operator from SURVEY.md §2.
 
 from bq_nvd_spark.plans import (  # noqa: F401
     events,
+    layout,
     llm,
     nested,
     nvd_ingest,
@@ -39,6 +40,7 @@ _DRIVER_PRIORITY = [
     "quantized_cosine_topk",
     "udtf_token_chunks",
     # -- new in round 5 (first driver check) --
+    "zorder_cell_census",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",
