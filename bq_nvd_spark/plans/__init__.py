@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "udtf_token_chunks",
     # -- new in round 5 (first driver check) --
     "zorder_cell_census",
+    "weighted_sample_docs",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",

@@ -328,3 +328,45 @@ def decontamination_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("gram").alias("n_shared"))
         .filter(F.col("n_shared") >= MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+# each row draws a deterministic uniform u from its md5 bucket and gets
+# the key ln(u)/weight; the K largest keys ARE a weighted sample without
+# replacement. Everything a mixture-resampling job needs and RAND()
+# denies: the same K documents come back on every run, on any cluster
+# layout, yet long documents (weight = n_chars) are proportionally more
+# likely to be drawn.
+#
+# Scale shape: the key is a per-row projection (no shuffle), and the
+# global top-K compiles to TakeOrderedAndProject — per-partition heaps of
+# size K merged on the driver, never a full sort of the corpus. The float
+# key is used only for ordering and never emitted, so the driver hash
+# covers membership, not engine libm bit patterns.
+WEIGHTED_K = 100
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ln(({_DUCK_BUCKET} + 1) / 65536.0) / n_chars AS k
+      FROM documents
+    )
+    ORDER BY k DESC, doc_id
+    LIMIT {WEIGHTED_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (_spark_bucket() + F.lit(1)) / F.lit(65536.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(WEIGHTED_K)
+        .select("doc_id", "lang", "n_chars")
+    )

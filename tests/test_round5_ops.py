@@ -125,3 +125,24 @@ def test_label_centroids_counts_and_bounds(spark, sf_dir):
         assert r["n_vecs"] == true_counts[r["label"]]
         lo, hi = bounds[r["label"]]
         assert lo - 1e-6 <= r["centroid_r"] <= hi + 1e-6
+
+
+def test_weighted_sample_favors_heavy_docs_and_avoids_global_sort(spark, sf_dir):
+    """Efraimidis-Spirakis keys must (a) bias selection toward high-weight
+    (long) documents, (b) be id-stable across runs, and (c) compile the
+    global top-K to TakeOrderedAndProject (per-partition heaps), never a
+    full corpus sort."""
+    from bq_nvd_spark.plans.sampling import WEIGHTED_K, weighted_sample_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    df = weighted_sample_docs(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == WEIGHTED_K
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean  # weight = n_chars must show up in the draw
+    # deterministic: a second run selects the identical ids
+    again = {r["doc_id"] for r in weighted_sample_docs(spark, sf_dir).collect()}
+    assert again == {r["doc_id"] for r in rows}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
