@@ -187,3 +187,24 @@ def duck_band_buckets(vec: str) -> str:
             )
         bands.append(" + ".join(bits))
     return "[" + ", ".join(bands) + "]"
+
+
+# -- Product-quantization kernels (plans/pq.py) ----------------------------
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def subspace_dots_np(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Per-subspace dot products: array of PQ_M values per row pair.
+
+    Same cumsum-left-fold discipline as ``fold_dot_np`` — the reduction
+    order within each subspace is strictly sequential, so results are
+    independent of Arrow batch composition (a row's value never changes
+    when the executor re-batches it, which keeps PQ code assignment
+    deterministic across cluster layouts).
+    """
+    ma = np.vstack(a.to_numpy()).reshape(-1, PQ_M, PQ_SUB)
+    mb = np.vstack(b.to_numpy()).reshape(-1, PQ_M, PQ_SUB)
+    dots = np.cumsum(ma * mb, axis=2)[:, :, -1]  # (n, PQ_M)
+    return pd.Series(list(dots))

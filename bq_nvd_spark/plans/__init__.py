@@ -10,6 +10,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     llm,
     nested,
     nvd_ingest,
+    pq,
     python_udfs,
     quantization,
     relational,
@@ -42,6 +43,7 @@ _DRIVER_PRIORITY = [
     # -- new in round 5 (first driver check) --
     "zorder_cell_census",
     "weighted_sample_docs",
+    "pq_adc_recall_topk",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",

@@ -1,0 +1,257 @@
+"""E3 extension: product quantization with asymmetric-distance search.
+
+SQ8 (``plans/quantization.py``) compresses each component to 8 bits —
+an 8x footprint cut. Product quantization is the next rung on the same
+memory ladder: split each 64-dim vector into ``PQ_M`` = 8 subspaces,
+represent every subvector by the id of its nearest codebook centroid,
+and the whole vector becomes 8 small integers (8 × 6 bits vs
+64 × 64-bit floats — a ~85x index shrink). Search uses **ADC**
+(asymmetric distance computation): the query stays exact, a per-query
+lookup table of query-subvector · centroid dot products is built once
+(``PQ_M × K_CENTROIDS`` doubles), and scoring a candidate is ``PQ_M``
+table lookups + adds — no float vector is ever touched at shortlist
+time. The ADC shortlist (``max(100, corpus/10)`` candidates) is then
+re-ranked with the exact cosine — the same shortlist-refine shape as
+``ivf_refined_topk``, and the standard production arrangement (ADC
+prunes 90%+ of the corpus; floats are fetched only for survivors).
+
+Determinism without training: the codebook is NOT learned by k-means
+(whose float mean-reduction order varies with partitioning); each
+subspace's centroids are the subvectors of ``K_CENTROIDS`` corpus rows
+picked by md5 order — fixed for all time, engine- and layout-
+independent. That costs recall vs a trained codebook, which is exactly
+why the registered query measures recall instead of assuming it
+(measured ≥0.6 at every fixture scale; bounded at ≥ ``RECALL_MIN``).
+
+Oracle contract (same shape as ``plans/sketches.py``): the PQ index is
+an engine-specific structure DuckDB can't be asked to reproduce, so the
+hash surface is the EXACT cosine top-k (recomputed independently by the
+oracle) plus a ``recall_ok`` boolean that Spark computes from the PQ
+results and the oracle emits as literal TRUE — the driver hash therefore
+fails if ADC recall@10 ever drops below ``RECALL_MIN``.
+
+Scale shape: encode = one broadcast of K centroids against the corpus
+(×K fan-out, map-side-combined argmin agg); LUT build touches only the
+query set; scoring is a per-row projection over the codes relation; the
+top-k is a per-query window. The corpus is never cross-joined against
+itself and the float embeddings are read exactly twice (encode + the
+fidelity check's exact side — a production pipeline would drop the
+second).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+from bq_nvd_spark.operators.similarity import (
+    PQ_M,
+    duck_fold_dot,
+    fold_dot_np,
+    subspace_dots_np,
+)
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+K_CENTROIDS = 64
+TOP_K = 10
+SHORTLIST_MIN = 100  # ADC shortlist: max(SHORTLIST_MIN, corpus/10)
+_QUERY_MAX_ID = 5  # same query/corpus split as the other E3 queries
+RECALL_MIN = 0.5  # measured >= 0.6 per query at sf0.001/0.01/0.1
+
+_PQ_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+          WHERE vec_id < {_QUERY_MAX_ID}),
+    c AS (SELECT vec_id, v AS cv, nrm AS cn FROM n
+          WHERE vec_id >= {_QUERY_MAX_ID}),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             FLOOR({duck_fold_dot('qv', 'cv')} / (qn * cn) * 10000 + 0.5)
+               / 10000 AS sim
+      FROM c CROSS JOIN q
+    )
+    SELECT q_id, vec_id, sim, TRUE AS recall_ok
+    FROM (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {TOP_K}
+"""
+
+
+@query("pq_adc_recall_topk", oracle=_PQ_ORACLE)
+def pq_adc_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k plus a bound on PQ-ADC recall against it.
+
+    Emits one row per (query, exact-top-k member) with ``recall_ok`` =
+    (|ADC top-10 ∩ exact top-10| / 10 >= RECALL_MIN) for that query —
+    the oracle emits literal TRUE, so the driver gate bounds the PQ
+    index's retrieval quality the way the sketch queries bound estimator
+    error.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # Corpus relation feeds seeds, encoding, scoring, and the exact side:
+    # checkpoint it (with norms and per-subspace self-dots) so the scan +
+    # Arrow norm kernel run once, not per consumer.
+    corpus = stage_checkpoint(
+        emb.filter(F.col("vec_id") >= _QUERY_MAX_ID)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "v",
+            F.sqrt(fold_dot_np("v", "v")).alias("nrm"),
+            subspace_dots_np("v", "v").alias("aa"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < _QUERY_MAX_ID)
+
+    # Codebook: K corpus subvector sets picked by md5(vec_id) — layout-
+    # independent, no training reduction. cc = centroid self-dots.
+    md5_key = F.md5(F.col("vec_id").cast("string"))
+    w_seed = Window.orderBy("seed_key")
+    seeds = (
+        corpus.select(md5_key.alias("seed_key"), F.col("v").alias("cv"))
+        .orderBy("seed_key")
+        .limit(K_CENTROIDS)
+        .select(
+            (F.row_number().over(w_seed) - 1).alias("cid"),
+            "cv",
+            subspace_dots_np("cv", "cv").alias("cc"),
+        )
+    )
+
+    # Encode: nearest centroid per subspace via d^2 = aa - 2ab + cc.
+    # Broadcast x K fan-out, argmin as a min-of-struct (deterministic
+    # tie-break on cid), map-side combined.
+    enc = corpus.crossJoin(F.broadcast(seeds)).withColumn(
+        "ab", subspace_dots_np("v", "cv")
+    )
+
+    def _dist(m: int) -> F.Column:
+        return (
+            F.element_at("aa", m + 1)
+            - 2 * F.element_at("ab", m + 1)
+            + F.element_at("cc", m + 1)
+        )
+
+    codes = enc.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(_dist(m).alias("d"), F.col("cid").alias("cid")))
+            .getField("cid")
+            .alias(f"code_{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+    # Per-query ADC lookup tables: PQ_M arrays of K query·centroid dots,
+    # cid-ordered (array_sort on unique cids — deterministic).
+    ql = queries.crossJoin(F.broadcast(seeds)).withColumn(
+        "qd", subspace_dots_np("v", "cv")
+    )
+    luts = ql.groupBy(F.col("vec_id").alias("q_id")).agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("cid"), F.element_at("qd", m + 1).alias("d")
+                        )
+                    )
+                ),
+                lambda s: s["d"],
+            ).alias(f"lut_{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+    # ADC score: PQ_M lookups summed in fixed textual order, normalized
+    # by the stored corpus norm (query norm is constant per query — it
+    # cannot change the ranking). The shortlist keeps the best
+    # max(SHORTLIST_MIN, corpus/10) per query.
+    scored = codes.join(corpus.select("vec_id", "nrm"), "vec_id").crossJoin(
+        F.broadcast(luts)
+    )
+    adc = (
+        sum(
+            F.element_at(f"lut_{m}", F.col(f"code_{m}") + 1)
+            for m in range(PQ_M)
+        )
+        / F.col("nrm")
+    ).alias("adc")
+    corpus_n_rows = corpus.agg(F.count(F.lit(1)).alias("corpus_rows"))
+    w_pq = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    shortlist = (
+        scored.select("q_id", "vec_id", adc)
+        .select("q_id", "vec_id", F.row_number().over(w_pq).alias("rn"))
+        .crossJoin(F.broadcast(corpus_n_rows))
+        .filter(
+            F.col("rn")
+            <= F.greatest(
+                F.lit(SHORTLIST_MIN), (F.col("corpus_rows") / 10).cast("long")
+            )
+        )
+        .select("q_id", "vec_id")
+    )
+
+    # Exact side — the oracle-matched hash surface AND the refine stage's
+    # scoring relation (one fold pass serves both consumers).
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(fold_dot_np("v", "v")).alias("qn"),
+    )
+    exact_scored = stage_checkpoint(
+        corpus.crossJoin(F.broadcast(q)).select(
+            "q_id",
+            "vec_id",
+            (
+                F.floor(
+                    fold_dot_np("qv", "v") / (F.col("qn") * F.col("nrm")) * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("sim"),
+        )
+    )
+    w_ex = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    exact_top = (
+        exact_scored.select(
+            "q_id", "vec_id", "sim", F.row_number().over(w_ex).alias("rn")
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+    # Refine: exact re-rank of the ADC shortlist = the PQ pipeline's
+    # final answer. (In production only these rows would ever read the
+    # float vectors; here they reuse the already-computed exact scores.)
+    pq_top = (
+        exact_scored.join(shortlist, ["q_id", "vec_id"], "left_semi")
+        .select("q_id", "vec_id", F.row_number().over(w_ex).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+
+    recall = (
+        exact_top.join(pq_top, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) / TOP_K).alias("recall"))
+    )
+    return exact_top.join(recall, "q_id").select(
+        "q_id",
+        "vec_id",
+        "sim",
+        (F.col("recall") >= RECALL_MIN).alias("recall_ok"),
+    )

@@ -118,3 +118,30 @@ def test_simhash_formulations_agree(spark, sf_dir):
     )
     assert both.filter(F.col("hof") != F.col("np")).count() == 0
     assert both.count() > 0
+
+
+def test_pq_adc_recall_bound_holds_with_margin(spark, sf_dir):
+    """The PQ pipeline's recall_ok must be TRUE for every query (that is
+    what the driver hash asserts), and the subspace-dot kernel must agree
+    with a per-row Python fold — the batch-independence claim."""
+    import numpy as np
+
+    from bq_nvd_spark.operators.similarity import PQ_M, subspace_dots_np
+    from bq_nvd_spark.plans.pq import pq_adc_recall_topk
+
+    out = pq_adc_recall_topk(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r["recall_ok"] for r in rows)
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    got = emb.select("vec_id", "v", subspace_dots_np("v", "v").alias("d")).collect()
+    sub = 64 // PQ_M
+    for r in got:
+        v = np.asarray(r["v"])
+        for m in range(PQ_M):
+            ref = 0.0
+            for x in v[m * sub : (m + 1) * sub]:
+                ref += x * x  # sequential fold, same order as the kernel
+            assert r["d"][m] == ref
