@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     "zorder_cell_census",
     "weighted_sample_docs",
     "pq_adc_recall_topk",
+    "unigram_surprisal_scores",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",

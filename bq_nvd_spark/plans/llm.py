@@ -1372,3 +1372,76 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         actual.alias("actual_share"),
         weight.alias("resample_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# E4h: unigram-LM surprisal scoring — the perplexity-proxy quality
+# filter (the CCNet / Gopher "does this look like natural text"
+# signal). A unigram model is trained on the corpus itself (token →
+# corpus frequency), and each document is scored by its total unigram
+# surprisal. Cross-engine determinism: ln()/log() are libm-dependent
+# (see tfidf_top_terms), so surprisal is measured in WHOLE BITS —
+# floor(log2(T / c_t)) computed integer-exactly as
+# length(bin(T div c_t)) - 1 (valid because floor(log2(x)) ==
+# floor(log2(floor(x))) for x >= 1: an integer floor cannot cross a
+# power-of-two boundary). Every emitted value is an integer sum —
+# order-independent, no float anywhere.
+#
+# Scale shape: vocab build is one token-key hash agg (map-side combine
+# absorbs the Zipfian head); the score join is an equi-join of tokens
+# against the (small, capped-in-production) vocab relation — AQE's
+# skew-join split handles the "the"-token key; the per-doc rollup
+# re-aggregates on doc_id. Nothing is ever quadratic in corpus size.
+KEEP_BITS_NUM = 21  # keep iff avg surprisal < 21/5 = 4.2 bits/token
+KEEP_BITS_DEN = 5
+
+
+@query(
+    "unigram_surprisal_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM toks),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    vb AS (
+      SELECT tok, CAST(LENGTH(bin(t // c)) - 1 AS BIGINT) AS bits
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(SUM(bits) AS BIGINT) * {KEEP_BITS_DEN}
+             < COUNT(*) * {KEEP_BITS_NUM} AS keep
+    FROM toks JOIN vb USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t"))
+    vb = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (F.length(F.bin(F.expr("t div c"))) - 1).cast("long").alias("bits"),
+    )
+    per_doc = (
+        toks.join(vb, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("total_bits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "total_bits",
+        (
+            F.col("total_bits") * KEEP_BITS_DEN
+            < F.col("n_tokens") * KEEP_BITS_NUM
+        ).alias("keep"),
+    )
