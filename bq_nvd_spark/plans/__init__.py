@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "weighted_sample_docs",
     "pq_adc_recall_topk",
     "unigram_surprisal_scores",
+    "streaming_static_enrich",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",

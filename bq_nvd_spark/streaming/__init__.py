@@ -6,6 +6,7 @@ from bq_nvd_spark.streaming.micro_batch import (  # noqa: F401
     stream_cve_ingest,
     stream_events,
     streaming_dedup_keys,
+    streaming_static_enrich,
     streaming_tumbling_counts,
 )
 from bq_nvd_spark.streaming.foreach_sink import (  # noqa: F401

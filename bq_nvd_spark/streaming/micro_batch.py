@@ -375,3 +375,45 @@ def streaming_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_prefix="stream_join",
         state_partitions=8,
     )
+
+
+# --------------------------------------------------------------------------
+# T4 streaming: stream-STATIC enrichment join — the lookup/dimension
+# shape every event pipeline runs (enrich the stream with slowly-
+# changing reference data). Unlike a stream-stream join this keeps NO
+# join state: the static side is re-resolved per micro-batch and
+# broadcast, so the stream side never shuffles and state stays empty no
+# matter how long the stream runs. At 100 TB/day of events with a
+# dimension of millions of rows this is the only join shape that does
+# not grow with time.
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bq_nvd_spark.sources.tables import load_table
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id")
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    return run_available_now(
+        agg,
+        output_mode="complete",
+        name_prefix="stream_enrich",
+        state_partitions=8,
+    )
