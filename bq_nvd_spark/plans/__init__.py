@@ -46,6 +46,8 @@ _DRIVER_PRIORITY = [
     "pq_adc_recall_topk",
     "unigram_surprisal_scores",
     "streaming_static_enrich",
+    "variant_props_stats",
+    "semantic_dedup_survivors",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",

@@ -285,3 +285,37 @@ def monthly_urgent_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("raw_cents", ignorenulls=True).over(w).alias("cents"),
         F.col("raw_cents").isNull().alias("filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# F6+: VARIANT semi-structured access. ``get_json_object`` re-parses
+# the JSON string at every extraction; ``parse_json`` decodes it ONCE
+# into Spark 4's binary VARIANT encoding and ``variant_get`` then reads
+# typed paths without re-parsing — at 100 TB of event payloads with
+# several extracted fields, parse-once-read-many is the difference
+# between one string parse per field and one per row. The oracle uses
+# DuckDB's JSON type the same way.
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )

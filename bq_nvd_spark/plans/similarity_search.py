@@ -726,3 +726,70 @@ def ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# E2/E3 composition: SEMANTIC dedup — near-dup removal by embedding
+# cosine rather than lexical overlap (the SemDeDup recipe: cluster
+# vectors whose cosine clears a threshold, keep one representative per
+# cluster). Reuses the whole existing stack: LSH-bucketed candidate
+# pairs (never a corpus self cross-join) → connected components
+# (driver loops over rounds, never rows) → min-id survivorship via a
+# broadcast anti-join. The oracle recomputes the identical fixpoint as
+# a recursive-CTE reachability closure over the same bucketed pairs.
+@query(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS MATERIALIZED (
+      SELECT vec_id, v,
+             SQRT({duck_fold_dot('v', 'v')}) AS nrm,
+             {duck_band_buckets('v')}        AS bands
+      FROM e
+    ),
+    buckets AS (
+      SELECT vec_id, v, nrm, b.band_idx, bands[b.band_idx + 1] AS bucket
+      FROM sig, (SELECT UNNEST(range(0, 4)) AS band_idx) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+      WHERE FLOOR({duck_fold_dot('a.v', 'b.v')} / (a.nrm * b.nrm) * 10000 + 0.5)
+              / 10000 >= {SIMILAR_COS}
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    walk(id, rep) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, w.rep FROM sym s JOIN walk w ON w.id = s.b
+    ),
+    dropped AS (
+      SELECT id FROM walk GROUP BY id HAVING id != MIN(rep)
+    )
+    SELECT vec_id, label
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM dropped)
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantically deduplicated embedding corpus: every vector
+    survives except non-minimum members of cosine-similarity clusters."""
+    from bq_nvd_spark.operators.graph import connected_components
+
+    pairs = embedding_similar_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    dropped = (
+        connected_components(edges, max_iter=10)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("vec_id"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return emb.join(F.broadcast(dropped), "vec_id", "left_anti")
