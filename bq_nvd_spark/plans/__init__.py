@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = [
     "streaming_static_enrich",
     "variant_props_stats",
     "semantic_dedup_survivors",
+    "moment_stats_by_type",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",

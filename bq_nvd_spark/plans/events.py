@@ -319,3 +319,81 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A4+: grouped statistical moments → correlation and least-squares fit.
+# Spark's corr()/covar_samp()/regr_* aggregate floats, whose summation
+# order varies with partitioning — not hash-gateable. Instead every
+# moment (Σx, Σy, Σxy, Σx², Σy²) is an INTEGER sum over integer-cent /
+# integer-k rows — exact, order-independent, overflow-safe in BIGINT at
+# these magnitudes (and the same moments stream map-side-combined at
+# 100 TB; a production variant widens to DECIMAL(38,0)). Correlation
+# and the regression slope/intercept then derive from the moments with
+# a fixed sequence of double ops on identical integers — deterministic
+# cross-engine, floor-fixed to 1e-6.
+@query(
+    "moment_stats_by_type",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(k)  AS sx, SUM(cents) AS sy,
+             SUM(k * cents) AS sxy,
+             SUM(k * k) AS sxx, SUM(cents * cents) AS syy
+      FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+      )
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+           CAST(sxy AS BIGINT) AS sxy,
+           CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+           FLOOR((n * sxy - sx * sy) /
+                 SQRT((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS corr_r,
+           FLOOR((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+                 * 1000000 + 0.5) / 1000000 AS slope
+    FROM m
+    """,
+)
+def moment_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    m = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("k") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("k") * F.col("k")).alias("sxx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (
+        F.floor(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+            * 1_000_000
+            + 0.5
+        )
+        / 1_000_000
+    )
+    slope = (
+        F.floor(
+            (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * 1_000_000 + 0.5
+        )
+        / 1_000_000
+    )
+    return m.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx", "syy",
+        corr.alias("corr_r"), slope.alias("slope"),
+    )

@@ -146,3 +146,24 @@ def test_weighted_sample_favors_heavy_docs_and_avoids_global_sort(spark, sf_dir)
     assert again == {r["doc_id"] for r in rows}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_moment_stats_agree_with_builtin_corr(spark, sf_dir):
+    """The integer-moment correlation must agree with Spark's float
+    corr() aggregate to float precision — same statistic, different
+    (order-proof) accumulation."""
+    from bq_nvd_spark.plans.events import moment_stats_by_type
+
+    got = {r["event_type"]: r for r in moment_stats_by_type(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    ref = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.corr("k", "cents").alias("c")).collect()
+    }
+    assert set(got) == set(ref) and got
+    for etype, row in got.items():
+        assert abs(row["corr_r"] - ref[etype]) < 1e-5
