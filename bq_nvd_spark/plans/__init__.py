@@ -49,6 +49,8 @@ _DRIVER_PRIORITY = [
     "variant_props_stats",
     "semantic_dedup_survivors",
     "moment_stats_by_type",
+    "full_outer_daily_activity",
+    "bpe_train_merges",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",

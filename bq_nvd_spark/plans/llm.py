@@ -1445,3 +1445,112 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("n_tokens") * KEEP_BITS_NUM
         ).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# E4i: BPE vocabulary TRAINING, not just the census — the full
+# learn-apply loop: count adjacent token pairs, adopt the most frequent
+# pair as a merge, rewrite the corpus with that merge applied
+# (left-to-right, non-overlapping — real BPE semantics), repeat.
+# ``bpe_merge_census`` is one iteration's counting stage; this runs
+# BPE_ROUNDS full iterations and emits the learned merge table.
+#
+# The merge rewrite is engine-portable plain-string algebra: double
+# every token separator, replace ' A  B ' with ' A~B ' (the doubled
+# separators make immediately-adjacent occurrences matchable while the
+# single-space flanks enforce whole-token boundaries and left-to-right
+# non-overlap), then re-split dropping empties. Verified to agree
+# between Spark's replace() and DuckDB's on the overlap edge cases
+# ('a a a' + merge (a,a) -> 'a~a a').
+#
+# Scale shape per round: one (explode → map-side-combined hash agg)
+# census, one 1-row broadcast (the winning merge), one narrow
+# projection rewriting documents. The driver loops over ROUNDS (vocab
+# growth budget), never over rows — the same loop discipline as
+# connected components.
+BPE_ROUNDS = 3
+
+
+def _duck_bpe_round(r: int) -> str:
+    a = f"string_split(tp.pair, ' ')[1]"
+    b = f"string_split(tp.pair, ' ')[2]"
+    return f"""
+    p{r} AS (
+      SELECT pair, COUNT(*) AS n FROM (
+        SELECT UNNEST(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        FROM (SELECT string_split(t, ' ') AS toks FROM d{r}
+              WHERE len(string_split(t, ' ')) >= 2)
+      ) GROUP BY pair
+    ),
+    t{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+    d{r + 1} AS (
+      SELECT doc_id,
+             array_to_string(list_filter(string_split(
+               replace(replace(' ' || d.t || ' ', ' ', '  '),
+                       ' ' || {a} || '  ' || {b} || ' ',
+                       ' ' || {a} || '~' || {b} || ' '),
+               ' '), x -> x <> ''), ' ') AS t
+      FROM d{r} d CROSS JOIN t{r} tp
+    )"""
+
+
+_BPE_ORACLE = (
+    "WITH d0 AS (SELECT doc_id, text AS t FROM documents),"
+    + ",".join(_duck_bpe_round(r) for r in range(BPE_ROUNDS))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, n FROM t{r}"
+        for r in range(BPE_ROUNDS)
+    )
+)
+
+
+@query("bpe_train_merges", oracle=_BPE_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table after BPE_ROUNDS train iterations:
+    (merge_round, winning pair, its corpus frequency at adoption time)."""
+    from functools import reduce as _reduce
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("t")
+    )
+    outs: list[DataFrame] = []
+    cur = docs
+    for r in range(BPE_ROUNDS):
+        toks = F.split("t", " ")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+        census = (
+            cur.filter(F.size(toks) >= 2)
+            .select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = census.orderBy(F.desc("n"), F.asc("pair")).limit(1)
+        outs.append(
+            top.select(F.lit(r).alias("merge_round"), "pair", "n")
+        )
+        a = F.element_at(F.split("pair", " "), 1)
+        b = F.element_at(F.split("pair", " "), 2)
+        doubled = F.replace(
+            F.concat(F.lit(" "), F.col("t"), F.lit(" ")),
+            F.lit(" "),
+            F.lit("  "),
+        )
+        merged = F.replace(
+            doubled,
+            F.concat(F.lit(" "), a, F.lit("  "), b, F.lit(" ")),
+            F.concat(F.lit(" "), a, F.lit("~"), b, F.lit(" ")),
+        )
+        rewritten = F.array_join(
+            F.filter(F.split(merged, " "), lambda x: x != ""), " "
+        )
+        cur = cur.crossJoin(F.broadcast(top.select("pair"))).select(
+            "doc_id", rewritten.alias("t")
+        )
+    return _reduce(DataFrame.unionAll, outs)

@@ -1887,3 +1887,51 @@ def orders_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("trailing_90d_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.3 completion: FULL OUTER join — the reconciliation shape (compare
+# two derived relations keyed the same way, keeping keys exclusive to
+# either side). Order activity vs ship activity per calendar day: ship
+# dates extend past the last order date, so the right side contributes
+# unmatched keys and the null-side coalescing is exercised for real.
+# Scale: both inputs are already-aggregated day-level relations (tiny),
+# so the outer join is a hash join of two small sides — the pattern for
+# reconciling two 100 TB fact tables is identical: aggregate each to
+# the reconciliation grain FIRST, then outer-join the summaries.
+@query(
+    "full_outer_daily_activity",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ships
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.d, s.d) AS day,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_ships, 0) AS n_ships
+    FROM o FULL OUTER JOIN s ON o.d = s.d
+    """,
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    s = lineitem.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ships")
+    )
+    joined = o.withColumnRenamed("d", "od").join(
+        s.withColumnRenamed("d", "sd"),
+        F.col("od") == F.col("sd"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("od", "sd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+    )

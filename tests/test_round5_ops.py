@@ -167,3 +167,19 @@ def test_moment_stats_agree_with_builtin_corr(spark, sf_dir):
     assert set(got) == set(ref) and got
     for etype, row in got.items():
         assert abs(row["corr_r"] - ref[etype]) < 1e-5
+
+
+def test_bpe_training_invariants(spark, sf_dir):
+    """Round 0 must adopt exactly the census's top pair; adoption
+    frequency is non-increasing across rounds (a new merge's pairs can
+    never outnumber the merge that created them); merged tokens carry
+    the '~' marker into later rounds' candidate space."""
+    from bq_nvd_spark.plans.llm import BPE_ROUNDS, bpe_merge_census, bpe_train_merges
+
+    rows = {r["merge_round"]: r for r in bpe_train_merges(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(BPE_ROUNDS))
+    census_top = bpe_merge_census(spark, sf_dir).first()
+    assert rows[0]["pair"] == census_top["pair"]
+    assert rows[0]["n"] == census_top["n"]
+    ns = [rows[r]["n"] for r in range(BPE_ROUNDS)]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
