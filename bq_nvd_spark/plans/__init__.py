@@ -18,6 +18,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     similarity_search,
     sketches,
     skew_scale,
+    spans,
     temporal_joins,
 )
 from bq_nvd_spark import streaming  # noqa: F401  (registers streaming queries)
@@ -41,6 +42,10 @@ _DRIVER_PRIORITY = [
     "quantized_cosine_topk",
     "udtf_token_chunks",
     # -- new in round 5 (first driver check) --
+    "theta_overlap_users",
+    "kll_rank_accuracy",
+    "duplicate_span_docs",
+    "span_contamination_census",
     "zorder_cell_census",
     "weighted_sample_docs",
     "pq_adc_recall_topk",

@@ -140,3 +140,137 @@ def sketch_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (err < 0.02).alias("within_tolerance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theta sketches: distinct-set ALGEBRA, not just cardinality. HLL can only
+# union; Theta (Datasketches) supports intersection/difference, which is
+# what cross-source overlap questions need at 100 TB — "how many users do
+# segments A and B share" without a COUNT(DISTINCT) self-join shuffling
+# every (user, segment) pair twice. One sketch per group (~KB) is shuffled;
+# the pairwise set algebra then runs on the handful of aggregated rows.
+@query(
+    "theta_overlap_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS et_a,
+           b.event_type AS et_b,
+           CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+           TRUE AS within_5pct
+    FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def theta_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types, theta-sketched.
+
+    Same contract shape as ``sketch_distinct_accuracy``: the oracle
+    recomputes the EXACT overlap (distinct self-join) and emits literal
+    TRUE; Spark computes ``|theta_estimate - exact| / exact < 0.05``,
+    so the driver hash bounds the sketch-intersection error. The
+    pairwise join runs over one aggregated row per event type — the
+    expensive relation (events) is touched exactly twice (once to
+    sketch, once for the exact check the oracle needs; at 100 TB you
+    would ship only the sketch pass).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sk = du.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    a = sk.select(F.col("event_type").alias("et_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("et_b"), F.col("sk").alias("sk_b"))
+    est = a.join(b, F.col("et_a") < F.col("et_b")).select(
+        "et_a",
+        "et_b",
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias("est"),
+    )
+    exact = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("et_a"),
+            F.col("y.event_type").alias("et_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    err = F.abs(F.col("est") - F.col("exact_overlap")) / F.col("exact_overlap")
+    return exact.join(est, ["et_a", "et_b"]).select(
+        "et_a", "et_b", "exact_overlap", (err < 0.05).alias("within_5pct")
+    )
+
+
+# --------------------------------------------------------------------------
+# KLL quantile sketch: mergeable quantiles with a RANK-error guarantee
+# (vs percentile_approx's Greenwald-Khanna above). The accuracy gate is
+# therefore stated in rank space — the realized rank of the KLL answer
+# must land within 3% of the requested 0.9·n — which holds regardless of
+# how the values are distributed (a value-space tolerance would be
+# meaningless on clustered data).
+@query(
+    "kll_rank_accuracy",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(FLOOR(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                           THEN value END) * 100 + 0.5) AS BIGINT)
+             AS exact_p90_x100,
+           TRUE AS rank_within_3pct
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def kll_rank_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based p90 per group plus a rank bound on the KLL sketch.
+
+    The sketch side is one hash aggregation (KLL registers merge
+    associatively — same shuffle shape as HLL); the realized rank of
+    the sketch's answer is measured by a broadcast join of the 5-row
+    quantile table back onto events. Oracle emits the exact p90 and
+    literal TRUE; Spark computes the rank-error comparison, so a KLL
+    regression past 3% rank error turns the driver row red.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q = sk.select(
+        "event_type",
+        "n",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("kll_p90"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    exact = (
+        ranked.filter(F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"))
+        .groupBy("event_type")
+        .agg(F.max("value").alias("exact_p90"))
+    )
+    rank_of = (
+        ev.join(F.broadcast(q.select("event_type", "kll_p90")), "event_type")
+        .filter(F.col("value") <= F.col("kll_p90"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("rank_kll"))
+    )
+    res = exact.join(q, "event_type").join(rank_of, "event_type")
+    ok = F.abs(F.col("rank_kll") - 0.9 * F.col("n")) <= 0.03 * F.col("n") + 1
+    return res.select(
+        "event_type",
+        F.floor(F.col("exact_p90") * 100 + 0.5).cast("bigint").alias("exact_p90_x100"),
+        ok.alias("rank_within_3pct"),
+    )

@@ -1,0 +1,66 @@
+"""Behavioral invariants for the theta/KLL sketch queries and span dedup.
+
+Oracle parity pins exact cross-engine equality; these pin the semantic
+claims: sketch error bounds actually hold (not vacuously true), span
+counts are internally consistent, and the pairwise overlap relation is
+canonically ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.sketches import kll_rank_accuracy, theta_overlap_users
+from bq_nvd_spark.plans.spans import (
+    SPAN_N,
+    duplicate_span_docs,
+    span_contamination_census,
+)
+from bq_nvd_spark.sources.tables import load_table
+
+
+def test_theta_overlap_bounds_hold_and_pairs_canonical(spark, sf_dir):
+    rows = theta_overlap_users(spark, sf_dir).collect()
+    assert rows, "fixture must produce overlapping event-type pairs"
+    n_types = (
+        load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    assert len(rows) <= n_types * (n_types - 1) // 2
+    for r in rows:
+        assert r["et_a"] < r["et_b"]  # each unordered pair exactly once
+        assert r["exact_overlap"] >= 1
+        assert r["within_5pct"], (r["et_a"], r["et_b"])
+
+
+def test_kll_rank_bound_holds_per_group(spark, sf_dir):
+    rows = kll_rank_accuracy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rank_within_3pct"], r["event_type"]
+
+
+def test_span_dedup_consistency(spark, sf_dir):
+    per_doc = duplicate_span_docs(spark, sf_dir)
+    census = span_contamination_census(spark, sf_dir).first()
+    docs_total = load_table(spark, sf_dir, "documents").count()
+    n_docs = per_doc.count()
+    assert 0 < n_docs <= docs_total
+    assert per_doc.filter(F.col("n_dup_spans") < 1).count() == 0
+    # every duplicated occurrence belongs to some doc's count, exactly once
+    total = per_doc.agg(F.sum("n_dup_spans")).first()[0]
+    assert total == census["n_dup_occurrences"]
+    assert census["n_dup_span_kinds"] >= 1
+    assert census["max_docs_per_span"] >= 2
+    # a span kind needs >= 2 occurrences to be duplicated
+    assert census["n_dup_occurrences"] >= 2 * census["n_dup_span_kinds"]
+
+
+def test_span_keys_skip_short_docs(spark, sf_dir):
+    """Docs shorter than SPAN_N tokens contribute no spans (and no rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    short_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.size(F.split("text", " ")) < SPAN_N).collect()
+    }
+    flagged = {r["doc_id"] for r in duplicate_span_docs(spark, sf_dir).collect()}
+    assert not (short_ids & flagged)
