@@ -6,6 +6,7 @@ with every declared operator from SURVEY.md §2.
 
 from bq_nvd_spark.plans import (  # noqa: F401
     events,
+    funnels,
     layout,
     llm,
     nested,
@@ -46,6 +47,9 @@ _DRIVER_PRIORITY = [
     "kll_rank_accuracy",
     "duplicate_span_docs",
     "span_contamination_census",
+    "funnel_conversion",
+    "weekly_retention_cohorts",
+    "hll_daily_rollup",
     "zorder_cell_census",
     "weighted_sample_docs",
     "pq_adc_recall_topk",

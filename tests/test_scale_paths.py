@@ -225,3 +225,48 @@ def test_approx_aggregates_track_exact(spark, sf_dir):
     ).collect()[0]
     assert abs(approx["d"] - exact["d"]) / exact["d"] < 0.05
     assert abs(approx["p50"] - exact["p50"]) / exact["p50"] < 0.01
+
+
+def test_runtime_bloom_filter_prunes_application_side(spark, sf_dir):
+    """Runtime row-level bloom filtering: a selective filter on the
+    creation (dimension) side of a shuffle join injects a bloom-filter
+    subquery that pre-filters the fact side BEFORE its shuffle — at
+    100 TB this is the difference between shuffling every lineitem row
+    and shuffling only rows whose key can possibly match. Thresholds
+    are lowered to make the local fixture eligible; on a real cluster
+    the defaults (10 MB creation / 10 GB application) gate it."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan  # built on the filtered dim side
+        assert "might_contain" in plan  # applied to l_orderkey pre-shuffle
+        # semantics unchanged by the injected filter
+        for k, v in confs.items():
+            spark.conf.unset(k) if prev[k] is None else spark.conf.set(k, prev[k])
+        naive = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, naive.collect()))
+    finally:
+        for k, v in prev.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
