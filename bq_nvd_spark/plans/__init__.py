@@ -21,6 +21,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     skew_scale,
     spans,
     temporal_joins,
+    warehouse,
 )
 from bq_nvd_spark import streaming  # noqa: F401  (registers streaming queries)
 from bq_nvd_spark.plans.registry import ORACLES, QUERIES
@@ -50,6 +51,8 @@ _DRIVER_PRIORITY = [
     "funnel_conversion",
     "weekly_retention_cohorts",
     "hll_daily_rollup",
+    "scd2_event_type_intervals",
+    "profile_orders_columns",
     "zorder_cell_census",
     "weighted_sample_docs",
     "pq_adc_recall_topk",
