@@ -10,9 +10,11 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -237,3 +239,63 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(df, max_iter=20).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Span dedup: the Spark explode/hash-agg/join pipeline must agree with a
+# direct Python computation of duplicated fixed-length token spans.
+
+_DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(docs=_DOCS)
+@_SETTINGS
+def test_duplicate_spans_match_python_reference(spark, docs):
+    from collections import Counter
+
+    from bq_nvd_spark.plans.spans import SPAN_N, _span_keys
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # Python reference: per-doc multiplicity of spans seen in >= 2 docs
+    per_doc: dict[int, Counter] = {}
+    for i, toks in enumerate(docs):
+        grams = [
+            " ".join(toks[j : j + SPAN_N]) for j in range(len(toks) - SPAN_N + 1)
+        ]
+        per_doc[i] = Counter(grams)
+    docs_per_gram: dict[str, set] = {}
+    for i, c in per_doc.items():
+        for g in c:
+            docs_per_gram.setdefault(g, set()).add(i)
+    dup = {g for g, ds in docs_per_gram.items() if len(ds) >= 2}
+    expect = {
+        i: sum(n for g, n in c.items() if g in dup)
+        for i, c in per_doc.items()
+        if any(g in dup for g in c)
+    }
+
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+    )
+    grams = _span_keys(df)
+    dup_keys = (
+        grams.groupBy("span_key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span_key")
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in grams.join(dup_keys, "span_key")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
