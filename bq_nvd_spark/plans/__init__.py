@@ -20,6 +20,7 @@ from bq_nvd_spark.plans import (  # noqa: F401
     sketches,
     skew_scale,
     spans,
+    sql_surface,
     temporal_joins,
     warehouse,
 )
@@ -53,6 +54,8 @@ _DRIVER_PRIORITY = [
     "hll_daily_rollup",
     "scd2_event_type_intervals",
     "profile_orders_columns",
+    "recursive_month_spine",
+    "lateral_top2_orders",
     "zorder_cell_census",
     "weighted_sample_docs",
     "pq_adc_recall_topk",

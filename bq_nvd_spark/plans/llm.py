@@ -1512,6 +1512,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (merge_round, winning pair, its corpus frequency at adoption time)."""
     from functools import reduce as _reduce
 
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("t")
     )
@@ -1531,7 +1533,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        top = census.orderBy(F.desc("n"), F.asc("pair")).limit(1)
+        # Materialize the round winner once: it feeds both the output
+        # table and the rewrite, and without truncation round r's census
+        # would replay every earlier round's rewrite (O(rounds^2) work).
+        top = stage_checkpoint(census.orderBy(F.desc("n"), F.asc("pair")).limit(1))
         outs.append(
             top.select(F.lit(r).alias("merge_round"), "pair", "n")
         )
@@ -1550,7 +1555,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rewritten = F.array_join(
             F.filter(F.split(merged, " "), lambda x: x != ""), " "
         )
-        cur = cur.crossJoin(F.broadcast(top.select("pair"))).select(
-            "doc_id", rewritten.alias("t")
+        cur = stage_checkpoint(
+            cur.crossJoin(F.broadcast(top.select("pair"))).select(
+                "doc_id", rewritten.alias("t")
+            )
         )
     return _reduce(DataFrame.unionAll, outs)

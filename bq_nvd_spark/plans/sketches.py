@@ -173,8 +173,13 @@ def theta_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch, once for the exact check the oracle needs; at 100 TB you
     would ship only the sketch pass).
     """
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select("event_type", "user_id").distinct()
+    # Three consumers (sketch pass + both sides of the exact self-join)
+    # — materialize the distinct pairs once instead of re-scanning and
+    # re-deduplicating events per consumer.
+    du = stage_checkpoint(ev.select("event_type", "user_id").distinct())
     sk = du.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
     a = sk.select(F.col("event_type").alias("et_a"), F.col("sk").alias("sk_a"))
     b = sk.select(F.col("event_type").alias("et_b"), F.col("sk").alias("sk_b"))

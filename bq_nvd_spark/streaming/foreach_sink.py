@@ -104,12 +104,16 @@ def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: in
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
     step = (hi + n - 1) // n
-    for i in range(n):
-        ev.filter(
-            (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage_dir, f"chunk={i}")
-        )
+    # One partitioned write emits every chunk directory in a single pass
+    # (repartition on the chunk key -> each chunk lands as one file, so
+    # maxFilesPerTrigger=1 still yields exactly n micro-batches).
+    (
+        ev.withColumn("chunk", (F.col("event_id") / step).cast("int"))
+        .repartition("chunk")
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(stage_dir)
+    )
 
 
 @query(
@@ -148,14 +152,23 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             store.merge_batch(batch_df, batch_id, key="user_id")
 
         ckpt = os.path.join(work, "ckpt")
-        (
-            partials.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        # Size the state-store count to the keyspace (~150 users), not the
+        # session's batch-shuffle width — same rationale and conf-restore
+        # discipline as run_available_now(state_partitions=...): 32 stores
+        # x per-batch snapshot I/O dominates a small-state stream.
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            (
+                partials.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
         # Materialize before the tempdir vanishes.
         final = store.current(spark)
         rows = final.collect()
