@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "profile_orders_columns",
     "recursive_month_spine",
     "lateral_top2_orders",
+    "udaf_median_chars",
     "zorder_cell_census",
     "weighted_sample_docs",
     "pq_adc_recall_topk",

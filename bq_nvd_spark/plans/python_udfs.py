@@ -336,3 +336,54 @@ def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="doc_id long, n_bytes long, n_codepoints long, n_ws_tokens long",
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-AGGREGATE pandas_udf — the UDAF extension point (the one §2.10
+# shape the other queries here don't cover). A Series-to-scalar UDF slots
+# directly into groupBy().agg() next to built-in aggregates; Spark feeds
+# it each group's column as one pandas Series.
+#
+# The aggregate is the LOWER MEDIAN (rank (n+1)//2) — deliberately a
+# holistic aggregate: it cannot be computed by any map-side partial
+# combine, which is exactly when a UDAF is worth its cost (algebraic
+# aggregates should stay built-in). Integer input -> integer output, so
+# the driver hash covers the full grouped-agg Arrow path.
+#
+# Scale note (100 TB): like applyInPandas, a grouped-agg UDF
+# materializes the whole group's column in memory — fine for bounded
+# groups (languages), never for unbounded keys; at scale prefer
+# percentile_approx (rank-error-bounded, mergeable) and keep UDAFs for
+# aggregates sketches cannot express.
+@query(
+    "udaf_median_chars",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT)
+             AS median_chars
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lower median of document length via a grouped-agg
+    pandas UDF, hash-checked against the oracle's rank-based median."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def lower_median(v: pd.Series) -> int:
+        import numpy as np
+
+        a = np.sort(v.to_numpy())
+        return int(a[(len(a) - 1) // 2])
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        lower_median("n_chars").alias("median_chars")
+    )
