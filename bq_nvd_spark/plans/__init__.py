@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = [
     "recursive_month_spine",
     "lateral_top2_orders",
     "udaf_median_chars",
+    "argmax_latest_event_per_user",
     "zorder_cell_census",
     "weighted_sample_docs",
     "pq_adc_recall_topk",

@@ -127,3 +127,36 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_nulls"),
         F.count_distinct("val").alias("n_distinct"),
     )
+
+
+@query(
+    "argmax_latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, event_id) AS last_type,
+           CAST(FLOOR(arg_max(value, event_id) * 100 + 0.5) AS BIGINT)
+             AS last_value_cents,
+           arg_min(event_type, event_id) AS first_type
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def argmax_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's first/last event via MAX_BY / MIN_BY (argmax/argmin).
+
+    The aggregate-form alternative to the window row_number idiom
+    (`first_event_per_user_type`): one hash aggregation with map-side
+    partial combine, no sort anywhere — at 100 TB this replaces a
+    shuffle+sort-per-key with pure combiner merges. Keyed on the unique
+    ``event_id`` so the argmax is deterministic (ordering by ``ts``
+    could tie; a tie would make MAX_BY engine-arbitrary and break the
+    cross-engine hash).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.floor(F.max_by("value", "event_id") * 100 + 0.5)
+        .cast("bigint")
+        .alias("last_value_cents"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+    )
