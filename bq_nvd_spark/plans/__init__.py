@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     "lateral_top2_orders",
     "udaf_median_chars",
     "argmax_latest_event_per_user",
+    "arrow_group_quality",
     "zorder_cell_census",
     "weighted_sample_docs",
     "pq_adc_recall_topk",

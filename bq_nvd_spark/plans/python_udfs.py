@@ -387,3 +387,70 @@ def udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         lower_median("n_chars").alias("median_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map applyInArrow — the RecordBatch-native grouped shape
+# (mapInArrow's grouped sibling; completes the Arrow surface alongside
+# the pandas grouped-map above). The group arrives as one pyarrow.Table
+# and the kernel runs entirely in pyarrow.compute — no pandas
+# materialization, no Python-object row handling.
+@query(
+    "arrow_group_quality",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                            AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)                        AS total_chars,
+           CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT)         AS char_spread,
+           CAST(SUM(CASE WHEN n_chars * 10 >= 5 * 200 THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_long_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def arrow_group_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-quality summary via ``applyInArrow``.
+
+    Exercises the grouped RecordBatch-native path: group key handling,
+    Arrow table in / Arrow table out, integer-exact kernels
+    (pyarrow.compute sum/min/max and a threshold count), so the driver
+    hash covers the plumbing end to end. Scale note: like every
+    grouped-map shape this materializes the whole group per call —
+    bounded group keys (sources) only; unbounded keys belong in plain
+    grouped aggregation, which is what the oracle's SQL is.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(table: "pa.Table") -> "pa.Table":
+        n_chars = table.column("n_chars")
+        long_mask = pc.greater_equal(pc.multiply(n_chars, 10), 5 * 200)
+        return pa.Table.from_pydict(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [pc.sum(n_chars).as_py()],
+                "char_spread": [
+                    pc.max(n_chars).as_py() - pc.min(n_chars).as_py()
+                ],
+                "n_long_docs": [pc.sum(pc.cast(long_mask, pa.int64())).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("total_chars", pa.int64()),
+                    ("char_spread", pa.int64()),
+                    ("n_long_docs", pa.int64()),
+                ]
+            ),
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return docs.groupBy("source").applyInArrow(
+        kernel,
+        schema=(
+            "source string, n_docs long, total_chars long, "
+            "char_spread long, n_long_docs long"
+        ),
+    )
