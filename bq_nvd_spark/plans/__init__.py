@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = [
     "udaf_median_chars",
     "argmax_latest_event_per_user",
     "arrow_group_quality",
+    "streaming_funnel_conversion",
     "zorder_cell_census",
     "weighted_sample_docs",
     "pq_adc_recall_topk",

@@ -127,3 +127,116 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Stateful streaming FUNNEL: per-user first-touch step timestamps
+# maintained incrementally. Unlike the running accumulator above (pure
+# fold), funnel state interacts across columns — each batch can lower
+# any step's first-touch time, and the conversion verdict (view before
+# click before purchase) is only decidable from the final state — which
+# is what makes it a genuine custom stateful operator rather than a
+# windowed aggregate.
+
+_INF = (1 << 62)  # "not seen" sentinel; min() folds it away
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("mv", LongType()),
+        StructField("mc", LongType()),
+        StructField("mp", LongType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("mv", LongType()),
+        StructField("mc", LongType()),
+        StructField("mp", LongType()),
+    ]
+)
+
+
+def _funnel_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's events into per-step first-touch micros.
+
+    Emissions are per-batch snapshots; every field is monotonically
+    non-increasing across batches, so the drain's final state per key
+    is the column-wise MIN over all emissions — order- and
+    split-independent by construction."""
+    mv, mc, mp = state.get if state.exists else (_INF, _INF, _INF)
+    for pdf in pdfs:
+        ts = pdf["ts"].astype("int64") // 1000  # micros
+        et = pdf["event_type"]
+        for step, cur in (("view", "mv"), ("click", "mc"), ("purchase", "mp")):
+            hit = ts[et == step]
+            if len(hit):
+                m = int(hit.min())
+                if cur == "mv":
+                    mv = min(mv, m)
+                elif cur == "mc":
+                    mc = min(mc, m)
+                else:
+                    mp = min(mp, m)
+    state.update((mv, mc, mp))
+    yield pd.DataFrame(
+        [(key[0], mv, mc, mp)],
+        columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields],
+    )
+
+
+@query(
+    "streaming_funnel_conversion",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)     AS mv,
+             MIN(CASE WHEN event_type = 'click' THEN ts END)    AS mc,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS mp
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(COUNT(CASE WHEN mv IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_view_users,
+           CAST(COUNT(CASE WHEN mc > mv THEN 1 END) AS BIGINT)
+             AS n_view_then_click,
+           CAST(COUNT(CASE WHEN mc > mv AND mp > mc THEN 1 END) AS BIGINT)
+             AS n_full_funnel
+    FROM pu
+    """,
+)
+def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch funnel (``plans/funnels.py``) maintained as streaming
+    state: one AvailableNow drain, then the conversion counts off the
+    final per-user state — which must equal the batch/oracle answer
+    for any micro-batch split of the input."""
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    snap = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(
+        snap,
+        output_mode="update",
+        name_prefix="streaming_funnel",
+        state_partitions=8,
+    )
+    final = out.groupBy("user_id").agg(
+        F.min("mv").alias("mv"), F.min("mc").alias("mc"), F.min("mp").alias("mp")
+    )
+    seen_v = F.col("mv") < _INF
+    stepped = seen_v & (F.col("mc") < _INF) & (F.col("mc") > F.col("mv"))
+    full = stepped & (F.col("mp") < _INF) & (F.col("mp") > F.col("mc"))
+    return final.agg(
+        F.count(F.when(seen_v, 1)).alias("n_view_users"),
+        F.count(F.when(stepped, 1)).alias("n_view_then_click"),
+        F.count(F.when(full, 1)).alias("n_full_funnel"),
+    )
