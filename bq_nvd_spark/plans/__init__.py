@@ -5,6 +5,7 @@ with every declared operator from SURVEY.md §2.
 """
 
 from bq_nvd_spark.plans import (  # noqa: F401
+    curation,
     events,
     funnels,
     layout,
@@ -86,6 +87,9 @@ _DRIVER_PRIORITY = [
     "sketch_distinct_accuracy",
     "sketch_percentile_accuracy",
     "approx_distinct_users",
+    # -- added late in round 5; lead the round-6 window --
+    "vocab_growth_curve",
+    "incremental_dedup_new_docs",
     "tfidf_top_terms",
     "dedup_survivors",
     "stratified_sample_per_lang",

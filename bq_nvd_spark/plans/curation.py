@@ -1,0 +1,136 @@
+"""Corpus-growth curation diagnostics (EXT scope per SURVEY.md §2.11).
+
+Two operators a continuously-growing training corpus needs that the
+per-snapshot dedup/statistics stack in ``plans/llm.py`` does not cover:
+
+- ``vocab_growth_curve`` — the Heaps'-law diagnostic: cumulative
+  distinct vocabulary vs cumulative token count as the corpus grows
+  (in doc_id order, bucketed into deciles). A corpus whose type curve
+  flattens early is duplicative/boilerplate-heavy; one that stays
+  near-linear is likely noisy (OCR errors, random strings). The whole
+  computation is one explode + two hash aggregations — the window
+  cumsum runs over the 10 bucket rows, never over tokens.
+
+- ``incremental_dedup_new_docs`` — cross-corpus near-dedup for shard
+  ingestion: flag each INCOMING document (here: ``doc_id % 4 == 0``,
+  standing in for "the new shard") whose MinHash LSH band signature
+  collides with any document of the EXISTING corpus (the other 75%).
+  Candidate detection is a semi-join on (band_idx, band_sig) — the
+  incoming side never joins against itself, no pair set is ever
+  materialized, and each side pays signature hashing only for its own
+  rows. This is the O(|new|)-per-ingest shape that makes continuous
+  dedup viable at 100 TB, vs re-running the full-corpus pair pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.llm import _duck_band_cte, _spark_bands
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.sources.tables import load_table
+
+N_BUCKETS = 10  # corpus-growth deciles (by doc_id, the ingest order)
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    tok AS (
+      SELECT (d.doc_id * {N_BUCKETS}) // mx.m AS bucket,
+             UNNEST(string_split(d.text, ' ')) AS tok
+      FROM documents d, mx
+    ),
+    firsts AS (SELECT tok, MIN(bucket) AS fb FROM tok GROUP BY tok),
+    newt AS (SELECT fb AS bucket, COUNT(*) AS new_types FROM firsts GROUP BY fb),
+    cnt AS (SELECT bucket, COUNT(*) AS n_tokens FROM tok GROUP BY bucket)
+    SELECT c.bucket,
+           CAST(SUM(c.n_tokens) OVER (ORDER BY c.bucket) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY c.bucket) AS BIGINT)
+             AS cum_types
+    FROM cnt c LEFT JOIN newt n ON c.bucket = n.bucket
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (tokens, distinct types) after each corpus decile.
+
+    A token's type contribution lands in the decile of its FIRST
+    occurrence (min bucket per token) — so ``cum_types`` at decile d is
+    exactly the vocabulary size of the first (d+1)/10 of the corpus,
+    without computing 10 prefix distinct-counts. Scale shape: one
+    token explode feeding two map-side-combined hash aggs; the
+    unpartitioned cumsum window sees only the N_BUCKETS aggregate rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    toks = docs.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(doc_id * {N_BUCKETS}) div m").alias("bucket"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    newt = firsts.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    cnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cnt.join(newt, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("cum_types"),
+        )
+    )
+
+
+INC_MOD = 4  # doc_id % INC_MOD == 0 plays the incoming shard (25%)
+
+
+@query(
+    "incremental_dedup_new_docs",
+    oracle=_duck_band_cte()
+    + f"""
+    SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {INC_MOD} = 0) d
+    LEFT JOIN (
+      SELECT DISTINCT a.doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND b.doc_id % {INC_MOD} <> 0
+      WHERE a.doc_id % {INC_MOD} = 0
+    ) f ON d.doc_id = f.doc_id
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-incoming-document near-dup verdict against the existing corpus.
+
+    ``pre_filter`` pushes the shard split below the signature stage, so
+    base and incoming each hash only their own rows (together = one full
+    pass, same total cost as a snapshot run but restartable per shard).
+    The semi-join emits no pair rows; the final left join attaches the
+    verdict to every incoming doc, collision or not.
+    """
+    inc_bands = _spark_bands(
+        spark, sf_dir, pre_filter=F.col("doc_id") % INC_MOD == 0
+    )
+    base_bands = _spark_bands(
+        spark, sf_dir, pre_filter=F.col("doc_id") % INC_MOD != 0
+    )
+    flagged = (
+        inc_bands.join(base_bands, ["band_idx", "band_sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    inc_ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INC_MOD == 0)
+        .select("doc_id")
+    )
+    return inc_ids.join(flagged, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )

@@ -77,3 +77,57 @@ def test_arrow_byte_stats_roundtrip(spark, sf_dir):
         assert r["n_bytes"] == j["n_bytes"]
         assert r["n_codepoints"] == j["n_codepoints"]
         assert r["n_ws_tokens"] == j["n_ws_tokens"]
+
+
+def test_vocab_growth_curve_invariants(spark, sf_dir):
+    """Both cumulative series are strictly positive and non-decreasing;
+    the final point equals the exact corpus-wide totals; types never
+    exceed tokens at any prefix (Heaps' curve lies under the diagonal)."""
+    from bq_nvd_spark.plans.curation import vocab_growth_curve
+
+    rows = sorted(
+        vocab_growth_curve(spark, sf_dir).collect(), key=lambda r: r["bucket"]
+    )
+    assert [r["bucket"] for r in rows] == list(range(len(rows)))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_tokens"] > prev["cum_tokens"]
+        assert cur["cum_types"] >= prev["cum_types"]
+    for r in rows:
+        assert 0 < r["cum_types"] <= r["cum_tokens"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("tok").alias("d")
+    ).collect()[0]
+    assert rows[-1]["cum_tokens"] == exact["n"]
+    assert rows[-1]["cum_types"] == exact["d"]
+
+
+def test_incremental_dedup_agrees_with_snapshot_buckets(spark, sf_dir):
+    """A doc is flagged iff it shares an LSH bucket with a base doc —
+    cross-checked against an independently computed bucket census."""
+    from collections import defaultdict
+
+    from bq_nvd_spark.plans.curation import INC_MOD, incremental_dedup_new_docs
+    from bq_nvd_spark.plans.llm import _spark_bands
+
+    buckets = defaultdict(set)
+    for r in _spark_bands(spark, sf_dir).collect():
+        buckets[(r["band_idx"], r["band_sig"])].add(r["doc_id"])
+    expect_flagged = set()
+    for members in buckets.values():
+        if any(d % INC_MOD != 0 for d in members):
+            expect_flagged |= {d for d in members if d % INC_MOD == 0}
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in incremental_dedup_new_docs(spark, sf_dir).collect()
+    }
+    n_incoming = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INC_MOD == 0)
+        .count()
+    )
+    assert len(got) == n_incoming > 0
+    for doc_id, flag in got.items():
+        assert doc_id % INC_MOD == 0
+        assert flag == (doc_id in expect_flagged)
