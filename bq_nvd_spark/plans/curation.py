@@ -64,17 +64,26 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     token explode feeding two map-side-combined hash aggs; the
     unpartitioned cumsum window sees only the N_BUCKETS aggregate rows.
     """
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
     mx = docs.agg((F.max("doc_id") + 1).alias("m"))
     toks = docs.crossJoin(F.broadcast(mx)).select(
         F.expr(f"(doc_id * {N_BUCKETS}) div m").alias("bucket"),
         F.explode(F.split("text", " ")).alias("tok"),
     )
-    firsts = toks.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    # Both output series derive from per-(bucket, token) counts, so the
+    # corpus-sized explode is paid ONCE into this O(vocab x buckets)
+    # relation (materialized — two downstream branches would otherwise
+    # each replay the explode); everything after runs on the aggregate.
+    bt = stage_checkpoint(
+        toks.groupBy("bucket", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    firsts = bt.groupBy("tok").agg(F.min("bucket").alias("fb"))
     newt = firsts.groupBy(F.col("fb").alias("bucket")).agg(
         F.count(F.lit(1)).alias("new_types")
     )
-    cnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    cnt = bt.groupBy("bucket").agg(F.sum("c").alias("n_tokens"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return (
         cnt.join(newt, "bucket", "left")
