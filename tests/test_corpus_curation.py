@@ -103,6 +103,21 @@ def test_vocab_growth_curve_invariants(spark, sf_dir):
     assert rows[-1]["cum_types"] == exact["d"]
 
 
+def test_vocab_growth_pays_the_explode_once(spark, sf_dir):
+    """The corpus-sized token explode is paid exactly once, into the
+    checkpointed per-(bucket, token) relation: the returned plan's two
+    aggregation branches both read the materialized RDD, so no Generate
+    (explode) node — and no documents scan — survives into it. Without
+    the checkpoint each branch replays the explode (the round-5 slim:
+    11 shuffles -> 5)."""
+    from bq_nvd_spark.plans.curation import vocab_growth_curve
+
+    plan = vocab_growth_curve(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    assert "documents" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
 def test_incremental_dedup_agrees_with_snapshot_buckets(spark, sf_dir):
     """A doc is flagged iff it shares an LSH bucket with a base doc —
     cross-checked against an independently computed bucket census."""
