@@ -101,6 +101,7 @@ _DRIVER_PRIORITY = [
     "edit_distance_verified_pairs",
     "customer_balance_tiles",
     "cube_status_priority_census",
+    "event_transition_matrix",
     # -- plans touched by round-5 perf work --
     "ann_lsh_topk",
     "ivf_topk",

@@ -3,7 +3,7 @@ retention, and re-aggregatable sketch rollups.
 
 These are the canonical "mirror warehouse" analytics the reference's
 README motivates (join/aggregate the mirrored data with other
-datasets, ``/root/reference/README.md:7``) — re-expressed as the three
+datasets, ``/root/reference/README.md:7``) — re-expressed as the
 query shapes every events warehouse runs at scale:
 
 - ordered funnel (first-touch step ordering per user);
@@ -12,15 +12,16 @@ query shapes every events warehouse runs at scale:
   100 TB is not the single pass, it is re-aggregation: per-day HLL
   registers merge into monthly/any-window cardinalities without
   rescanning the fact table, where exact distinct counts cannot be
-  re-aggregated at all.
+  re-aggregated at all;
+- Markov transition matrix (consecutive-event pairs per user).
 
-All three are one-or-two-shuffle plans keyed on user_id, with the
-final reduce over a few-row relation.
+All are one-or-two-shuffle plans keyed on user_id, with the final
+reduce over a few-row relation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bq_nvd_spark.plans.registry import query
@@ -168,4 +169,67 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
     return exact.join(merged, "event_type").select(
         "event_type", "exact_users", (err < 0.05).alias("rollup_within_5pct")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, next_type, COUNT(*) AS n_trans
+      FROM nxt WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, CAST(n_trans AS BIGINT) AS n_trans,
+           FLOOR(CAST(n_trans AS DOUBLE)
+                   / CAST(SUM(n_trans) OVER (PARTITION BY event_type)
+                          AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS p_next
+    FROM t
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    The fourth canonical events-warehouse shape (after funnel,
+    retention, and rollup): for every ordered pair of consecutive
+    events of the SAME user — ordered by (ts, event_id); event_id is
+    unique, so the sequence and therefore the counts are deterministic
+    — count the (event_type -> next event_type) transition and its
+    conditional probability.
+
+    Plan shape at 100 TB: ONE shuffle, on user_id, for the LEAD window
+    (partitioned — there is never a global sort of the fact table);
+    the transition counts then hash-aggregate with map-side combine
+    down to an |event-types|^2 relation, and the probability
+    normalization window runs over those few rows only. Probabilities
+    round with the cross-engine floor rule and divide in the same
+    double-op order on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = nxt.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot = Window.partitionBy("event_type")
+    p = (
+        F.col("n_trans").cast("double")
+        / F.sum("n_trans").over(tot).cast("double")
+        * 10000
+    )
+    return t.select(
+        "event_type",
+        "next_type",
+        "n_trans",
+        (F.floor(p + 0.5) / 10000).alias("p_next"),
     )
