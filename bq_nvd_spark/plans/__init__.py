@@ -29,65 +29,15 @@ from bq_nvd_spark import streaming  # noqa: F401  (registers streaming queries)
 from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 
 # The external correctness driver verifies the FIRST 50 registered queries
-# (registration order == dict insertion order).  Round-5 rotation: the 9
-# queries that have NEVER received a driver row lead the window, followed
-# by every query whose physical plan changes this round (vectorized
-# re-rank / shingle kernels, slimmed IVF) so the driver re-verifies their
-# hashes, then previously-verified families on a rotating basis.
+# (registration order == dict insertion order).  Round-6 rotation: the 14
+# queries that have NEVER received a driver row across r01-r05 lead the
+# window (closing the coverage gap — after this round the union of
+# CORRECTNESS_r01-r06 covers all registered names), followed by every
+# query whose physical plan changes this round (foreachBatch upsert sink
+# rewrite, size-guarded survivor anti-joins, SCD2 tie-break), then
+# previously-verified families on a rotating basis.
 _DRIVER_PRIORITY = [
-    # -- never driver-checked before round 5 --
-    "q4_late_order_priorities",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q19_banded_brand_revenue",
-    "q22_idle_rich_customers",
-    "bpe_merge_census",
-    "embedding_int8_census",
-    "quantized_cosine_topk",
-    "udtf_token_chunks",
-    # -- new in round 5 (first driver check) --
-    "theta_overlap_users",
-    "kll_rank_accuracy",
-    "duplicate_span_docs",
-    "span_contamination_census",
-    "funnel_conversion",
-    "weekly_retention_cohorts",
-    "hll_daily_rollup",
-    "scd2_event_type_intervals",
-    "profile_orders_columns",
-    "recursive_month_spine",
-    "lateral_top2_orders",
-    "udaf_median_chars",
-    "argmax_latest_event_per_user",
-    "arrow_group_quality",
-    "streaming_funnel_conversion",
-    "zorder_cell_census",
-    "weighted_sample_docs",
-    "pq_adc_recall_topk",
-    "unigram_surprisal_scores",
-    "streaming_static_enrich",
-    "variant_props_stats",
-    "semantic_dedup_survivors",
-    "moment_stats_by_type",
-    "full_outer_daily_activity",
-    "bpe_train_merges",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_part_census",
-    "q20_excess_volume_suppliers",
-    "grouping_sets_status_priority",
-    "repetition_ngram_profile",
-    "source_mixture_weights",
-    "arrow_byte_stats",
-    "orders_trailing_90d_revenue",
-    "monthly_urgent_gapfill",
-    "streaming_upsert_user_totals",
-    "sketch_distinct_accuracy",
-    "sketch_percentile_accuracy",
-    "approx_distinct_users",
-    # -- added late in round 5; lead the round-6 window --
+    # -- never driver-checked across r01-r05; MUST get a driver row now --
     "vocab_growth_curve",
     "incremental_dedup_new_docs",
     "tfidf_top_terms",
@@ -102,44 +52,66 @@ _DRIVER_PRIORITY = [
     "customer_balance_tiles",
     "cube_status_priority_census",
     "event_transition_matrix",
-    # -- plans touched by round-5 perf work --
-    "ann_lsh_topk",
-    "ivf_topk",
-    "ivf_refined_topk",
-    "embedding_similar_pairs",
-    "cosine_topk",
-    "jaccard_verified_pairs",
-    "dedup_clusters",
-    "minhash_pairs_capped",
+    # -- plans touched by round-6 hardening (re-verify hashes) --
+    "streaming_upsert_user_totals",
+    "semantic_dedup_survivors",
+    "scd2_event_type_intervals",
+    "streaming_funnel_conversion",
+    "stateful_user_totals",
+    # -- r5 bench-regression set (re-verify alongside re-measurement) --
+    "sequence_packing",
+    "q3_top_revenue_orders",
+    "q22_idle_rich_customers",
+    "session_window_per_user",
     # -- rotating re-verification of older families --
-    "regex_normalize_parts",
-    "q10_returned_item_revenue",
-    "pivot_priority_by_segment",
-    "unpivot_lineitem_measures",
-    "q18_large_orders",
-    "orders_above_customer_avg",
-    "order_price_quantiles",
-    "bag_intersect_order_dates",
-    "bag_except_order_dates",
-    "orders_mom_growth",
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
     "q6_forecast_revenue",
+    "q10_returned_item_revenue",
     "q12_priority_buckets",
     "q14_promo_share",
-    "train_val_test_split",
-    "deterministic_sample_docs",
-    "sequence_packing",
-    "decontamination_overlaps",
-    "salted_join_event_weights",
-    "salted_distinct_users_per_type",
-    "rollup_orders_by_month",
+    "q18_large_orders",
+    "nvd_feed_ingest",
+    "nvd_count_cves",
+    "nvd_first_write_wins",
+    "nvd_flagship_linux_cves",
+    "nvd_cvss_vector_parse",
+    "exact_dedup_docs",
+    "minhash_lsh_buckets",
+    "minhash_candidate_pairs",
+    "jaccard_verified_pairs",
+    "dedup_clusters",
+    "simhash_near_dup_pairs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "text_quality_stats",
+    "lang_distribution",
+    "token_counts_top20",
+    "doc_rolling_fingerprint",
     "asof_last_error_per_click",
     "range_join_clicks_after_error",
+    "window_top3_customers_per_nation",
+    "orders_per_region",
+    "topk_orders_by_price",
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_urgent_orders",
+    "rollup_orders_by_month",
+    "pivot_priority_by_segment",
+    "explode_unnest_roundtrip",
+    "json_extract_props",
+    "hof_filter_transform_fold",
     "streaming_tumbling_counts",
     "streaming_dedup_keys",
     "streaming_sliding_counts",
     "streaming_session_counts",
     "streaming_click_error_join",
-    "stateful_user_totals",
+    "nested_exists_returned_items",
+    "doubly_nested_exists",
+    "like_filter_parts",
+    "regex_normalize_parts",
+    "agg_count_scalar",
+    "count_nested_field",
 ]
 
 

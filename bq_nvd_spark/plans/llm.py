@@ -1152,8 +1152,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # actually consumes. Every document survives except non-representative
 # near-dup cluster members (the cluster keeps its minimum-id row, the
 # same survivorship rule as the exact dedup and the reference's
-# first-write-wins ingest, bq_nvd/etl.py:87-88). One broadcast anti-join
-# against the (tiny) drop set — the corpus itself never shuffles.
+# first-write-wins ingest, bq_nvd/etl.py:87-88). One anti-join against
+# the drop set; no forced broadcast — on a low-dup corpus AQE promotes
+# the small build side to a broadcast at runtime, while a high-dup
+# corpus (where |dropped| can approach |corpus|) falls back to a
+# shuffled hash anti-join instead of overflowing a forced broadcast.
 @query(
     "dedup_survivors",
     oracle=_duck_band_cte().replace("WITH ", "WITH RECURSIVE ", 1)
@@ -1182,7 +1185,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = dedup_clusters(spark, sf_dir).filter(
         F.col("doc_id") != F.col("cluster_id")
     )
-    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+    return docs.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )
 

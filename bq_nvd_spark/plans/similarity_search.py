@@ -792,4 +792,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"))
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    return emb.join(F.broadcast(dropped), "vec_id", "left_anti")
+    # No forced broadcast: the dropped set is corpus-proportional on a
+    # high-dup corpus, so let AQE pick broadcast vs shuffled anti-join
+    # from the observed build-side size.
+    return emb.join(dropped, "vec_id", "left_anti")

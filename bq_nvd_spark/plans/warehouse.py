@@ -25,19 +25,19 @@ from bq_nvd_spark.sources.tables import load_table
     "scd2_event_type_intervals",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
     ),
     starts AS (
-      SELECT user_id, event_type, ts AS valid_from
+      SELECT user_id, event_type, ts AS valid_from, event_id
       FROM ordered
       WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type, valid_from,
            LEAD(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to
+                                  ORDER BY valid_from, event_id) AS valid_to
     FROM starts
     """,
 )
@@ -47,7 +47,11 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Change-points (rows whose type differs from the previous row of the
     same user, ordered by ``(ts, event_id)`` for tie-proof determinism)
     open an interval; the next change-point closes it (``valid_to``
-    NULL = current). Both window passes partition on ``user_id``, so
+    NULL = current). ``event_id`` is carried through ``starts`` so the
+    closing window can ALSO break ``valid_from`` ties on it — two
+    change-points for one user at the same ts (distinct event_id,
+    different type) would otherwise make the valid_to assignment
+    engine-arbitrary. Both window passes partition on ``user_id``, so
     the second reuses the first's exchange — one shuffle total, state
     per key bounded by that key's change count, never its event count.
     """
@@ -59,12 +63,13 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
+        "event_id",
         F.lag("event_type").over(w).alias("prev_type"),
     )
     starts = ordered.filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
-    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return starts.select(
         "user_id",
         "event_type",

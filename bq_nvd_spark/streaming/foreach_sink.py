@@ -9,55 +9,66 @@ increasing ``batch_id``, and the sink merges it into a keyed store
 transactionally.
 
 The implementation here is the canonical exactly-once recipe from the
-Structured Streaming guide:
+Structured Streaming guide, with a copy-on-write *bucketed* layout so
+merge cost scales with the delta, not the store:
 
-- the store is a versioned parquet directory (``v{n}``) plus a
-  manifest recording the last applied batch id — read-modify-write
-  never overwrites the version being read;
+- the store is hash-bucketed on the merge key: ``bucket =
+  pmod(xxhash64(key), n_buckets)``; each bucket directory is
+  independently versioned (``b{K}/v{n}``) and a manifest records, per
+  bucket, the live version plus the last applied batch id.
+  Read-modify-write never overwrites the version being read;
+- a micro-batch only rewrites the buckets its keys hash into.  A
+  small delta against a huge store touches few buckets, so rewrite
+  bytes ~ |touched buckets| x bucket size ~ O(|delta|) once
+  ``n_buckets`` is sized so a bucket fits a file-group (the same
+  copy-on-write contract a lakehouse MERGE INTO gives);
 - a replayed batch (same ``batch_id`` after a checkpoint recovery) is
   detected via the manifest and SKIPPED, which is what makes the
-  at-least-once delivery of foreachBatch exactly-once in effect;
-- the merge itself is a keyed UPSERT (replace-by-key): the streaming
-  aggregation runs in update output mode, so each batch delivers the
-  keys whose running totals changed together with their new cumulative
-  values — the sink anti-joins those keys out of the store and unions
-  the fresh rows in, exactly what ``MERGE INTO ... WHEN MATCHED THEN
-  UPDATE WHEN NOT MATCHED THEN INSERT`` does on a lakehouse table.
-  Replace-by-key is naturally idempotent under batch replay; the
-  manifest check makes the skip explicit and cheap.
+  at-least-once delivery of foreachBatch exactly-once in effect.  A
+  crash *between* the bucket write and the manifest commit is also
+  safe: the new version directory is unreferenced until the commit,
+  and replace-by-key re-merge is idempotent (update output mode
+  delivers full cumulative values, not increments);
+- the merge itself is a keyed UPSERT (replace-by-key): the store side
+  is pruned to the touched buckets *before* the anti-join, so the
+  shuffle is |touched-bucket rows| + |batch rows|, exactly what
+  ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+  INSERT`` shuffles on a bucketed lakehouse table.
 
-Scale notes (100 TB): each micro-batch merge shuffles |store-keys| +
-|batch-keys| rows on the key — at warehouse scale the store side would
-be a partitioned table with dynamic partition overwrite (or a MERGE
-INTO on a lakehouse format); the versioned-directory store keeps the
-same transactional contract with plain parquet. State never lives on
-the driver — the manifest is two integers.
+Scale notes (100 TB): state never lives on the driver — the manifest
+is a dict of small integers, and the only ``collect`` is the set of
+touched bucket ids (bounded by ``n_buckets``).  The final result is
+returned as a lazy scan over the live bucket versions; nothing is
+materialized driver-side.  See SCALE.md §"foreachBatch upsert" for
+the full 100 TB narrative.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bq_nvd_spark.plans.registry import query
-from bq_nvd_spark.streaming.micro_batch import stream_events
 
 
 class ParquetUpsertStore:
-    """Keyed parquet store with versioned commits and batch-id dedup."""
+    """Keyed, hash-bucketed parquet store with per-bucket versioned
+    commits and batch-id replay dedup (copy-on-write MERGE INTO)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, n_buckets: int = 8):
         self.root = root
+        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
 
     def _manifest(self) -> dict:
         path = os.path.join(self.root, "manifest.json")
         if not os.path.exists(path):
-            return {"version": -1, "last_batch_id": -1}
+            return {"last_batch_id": -1, "buckets": {}}
         with open(path) as fh:
             return json.load(fh)
 
@@ -67,53 +78,111 @@ class ParquetUpsertStore:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.root, "manifest.json"))
 
+    def _bucket_paths(self, buckets: dict, only: set | None = None) -> list[str]:
+        return [
+            os.path.join(self.root, f"b{k}", f"v{v}")
+            for k, v in buckets.items()
+            if only is None or int(k) in only
+        ]
+
     def current(self, spark: SparkSession) -> DataFrame | None:
+        """Lazy scan over every bucket's live version (no materialization)."""
         m = self._manifest()
-        if m["version"] < 0:
+        if not m["buckets"]:
             return None
-        return spark.read.parquet(os.path.join(self.root, f"v{m['version']}"))
+        return spark.read.parquet(*self._bucket_paths(m["buckets"]))
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int, key: str) -> None:
         """Upsert updated keys into the store, exactly once per batch.
 
         ``batch_df`` carries (key, new cumulative values) for every key
         the batch changed (update output mode), so the merge replaces
-        matching keys and inserts new ones — never re-adds."""
+        matching keys and inserts new ones — never re-adds.  Only the
+        hash buckets containing the batch's keys are rewritten."""
         m = self._manifest()
         if batch_id <= m["last_batch_id"]:
             return  # replayed batch after recovery — already applied
         spark = batch_df.sparkSession
-        old = self.current(spark)
-        if old is None:
+        bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_buckets)).cast("int")
+        batch_df = batch_df.withColumn("__bucket", bucket_of)
+        # The only driver materialization: the touched-bucket id set,
+        # bounded by n_buckets regardless of store or delta size.
+        touched = {
+            r["__bucket"] for r in batch_df.select("__bucket").distinct().collect()
+        }
+        old_paths = self._bucket_paths(m["buckets"], only=touched)
+        if not old_paths:
             combined = batch_df
         else:
+            # Partition pruning by construction: only touched buckets
+            # are scanned, so the anti-join shuffles O(|delta|)-scale
+            # rows, never the whole store.
+            # partitionBy strips __bucket from data files; recompute it
+            # from the key (it is derivable — that is why hash-bucketing
+            # needs no stored column).
+            old = spark.read.parquet(*old_paths).withColumn("__bucket", bucket_of)
             kept = old.join(batch_df.select(key), on=key, how="left_anti")
             combined = kept.unionByName(batch_df)
-        next_version = m["version"] + 1
-        combined.write.mode("overwrite").parquet(
-            os.path.join(self.root, f"v{next_version}")
+        new_version = batch_id  # monotonic and unique (replays skipped above)
+        (
+            combined.repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(self.root, f"delta{new_version}"))
         )
-        self._commit({"version": next_version, "last_batch_id": batch_id})
+        buckets = dict(m["buckets"])
+        delta_root = os.path.join(self.root, f"delta{new_version}")
+        for k in touched:
+            # Move each written bucket partition under its bucket dir as
+            # the next version; the manifest flip below publishes it.
+            src = os.path.join(delta_root, f"__bucket={k}")
+            dst = os.path.join(self.root, f"b{k}", f"v{new_version}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(src):
+                # A crash between write and commit leaves an unpublished
+                # dst from the same batch id; discard it and re-publish.
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+                buckets[str(k)] = new_version
+        shutil.rmtree(delta_root, ignore_errors=True)
+        self._commit({"last_batch_id": batch_id, "buckets": buckets})
 
 
-def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: int) -> None:
-    """Split the events table into n parquet chunks by event-id range so
-    the file stream (maxFilesPerTrigger=1) delivers n micro-batches.
-    Range-by-id keeps the split deterministic; the merge result is
-    split-independent anyway (integer sums commute)."""
+def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: int):
+    """Split the events table into n parquet chunk directories so the
+    file stream (maxFilesPerTrigger=1) delivers the events across n
+    micro-batches.  Chunking by ``pmod(event_id, n)`` is deterministic,
+    needs no global sort and no driver-side max(), and fills every
+    residue class for any realistically dense id fixture; if a residue
+    were empty the stream simply delivers fewer batches — the merge
+    result is split-independent (integer sums commute).
+
+    Returns the event schema so callers never re-read a chunk directory
+    that may not exist (partition columns are stripped from data files,
+    so ``ev.schema`` is exactly the streamed schema)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    step = (hi + n - 1) // n
     # One partitioned write emits every chunk directory in a single pass
     # (repartition on the chunk key -> each chunk lands as one file, so
-    # maxFilesPerTrigger=1 still yields exactly n micro-batches).
+    # maxFilesPerTrigger=1 still yields one micro-batch per chunk).
     (
-        ev.withColumn("chunk", (F.col("event_id") / step).cast("int"))
+        ev.withColumn("chunk", F.pmod(F.col("event_id"), F.lit(n)).cast("int"))
         .repartition("chunk")
         .write.mode("overwrite")
         .partitionBy("chunk")
         .parquet(stage_dir)
     )
+    return ev.schema
+
+
+def _durable_workdir(tag: str) -> str:
+    """A per-query scratch dir that OUTLIVES the query call, so the
+    returned DataFrame stays a lazy scan (the driver collects after we
+    return).  The previous run's dir is wiped on entry, bounding disk
+    use to one run."""
+    work = os.path.join(tempfile.gettempdir(), f"bq_nvd_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    return work
 
 
 @query(
@@ -128,48 +197,47 @@ def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: in
 )
 def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals maintained by a foreachBatch merge sink
-    across 4 micro-batches; the final store must equal the one-shot
-    batch aggregate (the oracle) regardless of how events were split."""
-    with tempfile.TemporaryDirectory(prefix="bq_nvd_upsert_") as work:
-        stage = os.path.join(work, "stage")
-        _staged_event_chunks(spark, sf_dir, stage, n=4)
-        store = ParquetUpsertStore(os.path.join(work, "store"))
+    across ~4 micro-batches; the final store must equal the one-shot
+    batch aggregate (the oracle) regardless of how events were split.
+    Returns the store's lazy scan — no driver-side materialization."""
+    work = _durable_workdir("upsert")
+    stage = os.path.join(work, "stage")
+    schema = _staged_event_chunks(spark, sf_dir, stage, n=4)
+    store = ParquetUpsertStore(os.path.join(work, "store"))
 
-        schema = spark.read.parquet(os.path.join(stage, "chunk=0")).schema
-        raw = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(stage, "chunk=*"))
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "chunk=*"))
+    )
+    partials = raw.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint")).alias(
+            "cents"
+        ),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store.merge_batch(batch_df, batch_id, key="user_id")
+
+    ckpt = os.path.join(work, "ckpt")
+    # Size the state-store count to the keyspace (~150 users), not the
+    # session's batch-shuffle width — same rationale and conf-restore
+    # discipline as run_available_now(state_partitions=...): 32 stores
+    # x per-batch snapshot I/O dominates a small-state stream.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            partials.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
         )
-        partials = raw.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint")).alias(
-                "cents"
-            ),
-        )
-
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            store.merge_batch(batch_df, batch_id, key="user_id")
-
-        ckpt = os.path.join(work, "ckpt")
-        # Size the state-store count to the keyspace (~150 users), not the
-        # session's batch-shuffle width — same rationale and conf-restore
-        # discipline as run_available_now(state_partitions=...): 32 stores
-        # x per-batch snapshot I/O dominates a small-state stream.
-        saved = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            (
-                partials.writeStream.foreachBatch(sink)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", saved)
-        # Materialize before the tempdir vanishes.
-        final = store.current(spark)
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return store.current(spark).drop("__bucket").select(
+        "user_id", "n_events", "cents"
+    )

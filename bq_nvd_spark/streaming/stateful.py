@@ -171,7 +171,15 @@ def _funnel_update(
     split-independent by construction."""
     mv, mc, mp = state.get if state.exists else (_INF, _INF, _INF)
     for pdf in pdfs:
-        ts = pdf["ts"].astype("int64") // 1000  # micros
+        # Normalize to micros explicitly: astype("int64") on the Series
+        # would inherit whatever unit Arrow delivered (ns today, us if a
+        # future pandas/Arrow config changes), silently scaling every
+        # value and collapsing strict orderings into ties.  Going
+        # through datetime64[us] pins the unit regardless of input.
+        ts = pd.Series(
+            pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+            index=pdf.index,
+        )
         et = pdf["event_type"]
         for step, cur in (("view", "mv"), ("click", "mc"), ("purchase", "mp")):
             hit = ts[et == step]

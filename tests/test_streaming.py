@@ -116,3 +116,29 @@ def test_upsert_store_replay_and_merge(spark, tmp_path):
     store.merge_batch(stale, batch_id=1, key="user_id")
     again = {r["user_id"]: (r["n_events"], r["cents"]) for r in store.current(spark).collect()}
     assert again == got
+
+
+def test_upsert_store_rewrites_only_touched_buckets(spark, tmp_path):
+    """Copy-on-write contract: a batch touching one key must republish
+    only that key's hash bucket — every other bucket keeps its version
+    (rewrite bytes scale with the delta, not the store)."""
+    import json
+
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    store = ParquetUpsertStore(str(tmp_path / "store"), n_buckets=8)
+    seed = spark.createDataFrame(
+        [(i, 1, i * 10) for i in range(40)],
+        "user_id long, n_events long, cents long",
+    )
+    store.merge_batch(seed, batch_id=0, key="user_id")
+    before = json.load(open(tmp_path / "store" / "manifest.json"))["buckets"]
+    assert len(before) > 1  # 40 uniform keys spread over several buckets
+
+    one = spark.createDataFrame([(7, 5, 999)], "user_id long, n_events long, cents long")
+    store.merge_batch(one, batch_id=1, key="user_id")
+    after = json.load(open(tmp_path / "store" / "manifest.json"))["buckets"]
+    changed = [k for k in after if after[k] != before.get(k)]
+    assert len(changed) == 1  # exactly the bucket user 7 hashes into
+    got = {r["user_id"]: (r["n_events"], r["cents"]) for r in store.current(spark).collect()}
+    assert got[7] == (5, 999) and len(got) == 40
