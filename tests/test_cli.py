@@ -143,3 +143,61 @@ def test_store_format_seam_orc(spark, tmp_path):
     # and re-ingest dedups against the ORC store exactly like parquet
     again = ingest_feed(spark, store, YEAR_FEED)
     assert (again.loaded, again.skipped) == (0, True)
+
+
+def test_store_format_seam_json_with_options(spark, tmp_path):
+    """Second non-default format through the same seam, WITH writer/reader
+    options passed through — the configuration surface the reference's
+    load-job config occupies (bq_nvd/bq.py:190-193 sets source_format +
+    schema on the LoadJobConfig). ``compression=gzip`` must reach the
+    JSON writer (files end .json.gz) and the reader must scan them back
+    through the same options dict."""
+    store = NvdStore(
+        spark,
+        str(tmp_path / "json_store"),
+        format="json",
+        options={"compression": "gzip"},
+    )
+    result = ingest_feed(spark, store, YEAR_FEED)
+    assert result.loaded == 8
+    part = os.path.join(store.path, "_pub_year=2024")
+    data_files = [n for n in os.listdir(part) if not n.startswith(("_", "."))]
+    assert data_files and all(n.endswith(".json.gz") for n in data_files)
+
+    # read-back + dedup flow through the option-carrying scan
+    assert store.count_cves() == 8
+    again = ingest_feed(spark, store, YEAR_FEED)
+    assert (again.loaded, again.skipped) == (0, True)
+
+
+def test_store_options_reach_reader(spark, tmp_path):
+    """Reader options genuinely pass through the seam: a JSON store whose
+    files carry a non-default date layout only round-trips when the
+    configured read options are applied — the same store WITHOUT the
+    option must parse differently. Proves options aren't write-only."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "opt_store")
+    opts = {"dateFormat": "dd/MM/yyyy", "timestampFormat": "dd/MM/yyyy HH:mm:ss"}
+    store = NvdStore(spark, path, format="json", options=opts)
+    store.ensure()
+    # hand-write one record with the custom date layout into the partition
+    os.makedirs(os.path.join(path, "_pub_year=2024"), exist_ok=True)
+    with open(os.path.join(path, "_pub_year=2024", "rec.json"), "w") as fh:
+        fh.write(
+            '{"cve": {"CVE_data_meta": {"ID": "CVE-2024-0001"}},'
+            ' "publishedDate": "31/12/2024 23:59:59"}\n'
+        )
+    got = store.read().select(ID_COL, "publishedDate").collect()
+    ids = {r[0] for r in got}
+    assert "CVE-2024-0001" in ids
+    ts = [r[1] for r in got if r[0] == "CVE-2024-0001"][0]
+    assert ts is not None and ts.year == 2024 and ts.month == 12 and ts.day == 31
+
+    # control: same files, options stripped -> the custom layout can no
+    # longer be parsed into a timestamp (permissive mode nulls it)
+    bare = NvdStore(spark, path, format="json")
+    bare_ts = {
+        r[0]: r[1] for r in bare.read().select(ID_COL, "publishedDate").collect()
+    }
+    assert bare_ts.get("CVE-2024-0001") is None

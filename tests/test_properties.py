@@ -242,6 +242,82 @@ def test_connected_components_match_union_find(spark, edges):
 
 
 # --------------------------------------------------------------------------
+# Adversarial shapes for the CC/dedup family: the failure modes a 100 TB
+# corpus actually produces — a chain whose diameter exceeds the round
+# budget, a boilerplate mega-bucket sitting exactly at the pair cap, and
+# degenerate empty inputs.
+
+
+def test_cc_long_chain_exceeding_max_iter_raises(spark):
+    """A path graph of diameter > max_iter must raise the documented
+    RuntimeError (graph.py:86-94) rather than silently splitting the
+    component — min-label propagation moves the label one hop per round."""
+    import pytest
+
+    from bq_nvd_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=3).collect()
+    # and with enough rounds the same chain collapses to one cluster
+    ok = connected_components(df, max_iter=15)
+    assert {r.cluster_id for r in ok.collect()} == {0}
+    assert ok.count() == 13
+
+
+def test_cc_empty_edges(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bq_nvd_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("src", LongType()), StructField("dst", LongType())])
+    )
+    assert connected_components(empty, max_iter=2).count() == 0
+
+
+def test_capped_pairs_bucket_at_cap_boundary(spark):
+    """One LSH bucket with exactly PAIR_BUCKET_CAP members emits all
+    C(cap, 2) pairs; one member more and the bucket is dropped entirely
+    (0 pairs) — never a partial or O(n²) emission. An empty band set
+    yields an empty pair set."""
+    from bq_nvd_spark.plans.llm import PAIR_BUCKET_CAP, _capped_pairs
+
+    def bands_of(n_docs):
+        return spark.createDataFrame(
+            [(0, "sig", i) for i in range(n_docs)],
+            "band_idx int, band_sig string, doc_id long",
+        )
+
+    cap = PAIR_BUCKET_CAP
+    at_cap = _capped_pairs(bands_of(cap)).collect()
+    assert len(at_cap) == cap * (cap - 1) // 2
+    # pairs are ordered (doc_a < doc_b) and distinct
+    assert all(r.doc_a < r.doc_b for r in at_cap)
+    assert len({(r.doc_a, r.doc_b) for r in at_cap}) == len(at_cap)
+
+    assert _capped_pairs(bands_of(cap + 1)).count() == 0
+    assert _capped_pairs(bands_of(1)).count() == 0
+    assert _capped_pairs(bands_of(0)).count() == 0
+
+
+def test_capped_pairs_mixed_buckets(spark):
+    """A capped mega-bucket must not suppress pairs from healthy buckets
+    sharing the band index, and duplicate candidate pairs across buckets
+    collapse to one row (the .distinct contract the verifier relies on)."""
+    from bq_nvd_spark.plans.llm import PAIR_BUCKET_CAP, _capped_pairs
+
+    rows = [(0, "mega", i) for i in range(PAIR_BUCKET_CAP + 5)]
+    rows += [(0, "ok", 100), (0, "ok", 101)]
+    rows += [(1, "other", 100), (1, "other", 101), (1, "other", 102)]
+    bands = spark.createDataFrame(rows, "band_idx int, band_sig string, doc_id long")
+    got = {(r.doc_a, r.doc_b) for r in _capped_pairs(bands).collect()}
+    # (100, 101) appears in two buckets -> one row; mega bucket contributes none
+    assert got == {(100, 101), (100, 102), (101, 102)}
+
+
+# --------------------------------------------------------------------------
 # Span dedup: the Spark explode/hash-agg/join pipeline must agree with a
 # direct Python computation of duplicated fixed-length token spans.
 
