@@ -52,6 +52,10 @@ _DRIVER_PRIORITY = [
     "customer_balance_tiles",
     "cube_status_priority_census",
     "event_transition_matrix",
+    # -- new in round 6 (first driver check) --
+    "dedup_survivors_by_quality",
+    "dedup_cluster_size_histogram",
+    "oov_rate_by_vocab",
     # -- plans touched by round-6 hardening (re-verify hashes) --
     "streaming_upsert_user_totals",
     "semantic_dedup_survivors",

@@ -143,3 +143,68 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inc_ids.join(flagged, "doc_id", "left").select(
         "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
     )
+
+
+VOCAB_K = 500  # the frozen tokenizer's vocabulary budget
+
+
+@query(
+    "oov_rate_by_vocab",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM counts ORDER BY n DESC, tok LIMIT {VOCAB_K})
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           FLOOR(SUM(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.lang
+    """,
+)
+def oov_rate_by_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language out-of-vocabulary rate under a frozen top-K vocab.
+
+    The tokenizer-coverage diagnostic run before committing a vocabulary:
+    build the corpus-global top-K token vocabulary (count DESC, token ASC
+    — the tie at the K boundary is deterministic in both engines), then
+    measure what fraction of each language's token OCCURRENCES falls
+    outside it. Scale shape: one explode into a map-side-combined token
+    census; the top-K is an aggregate-side ``orderBy().limit()`` over the
+    vocabulary relation (never the corpus); the membership join
+    broadcasts the K-row vocab, so the second corpus pass is a
+    broadcast-hash lookup with no shuffle. Rate rounds half-up to 4
+    decimals (cross-engine float discipline, see FIXTURES.md).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "oov_tokens",
+            (
+                F.floor(F.col("oov_tokens") / F.col("total_tokens") * 10000 + 0.5)
+                / 10000
+            ).alias("oov_rate"),
+        )
+    )

@@ -1191,6 +1191,109 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E2 survivorship, quality-aware: real curation pipelines rarely keep
+# the minimum-id duplicate — they keep the BEST one (longest, highest
+# quality score, preferred source). Same cluster set as dedup_survivors,
+# different survivorship rule: per cluster keep argmax(n_chars), ties
+# broken on minimum doc_id so the choice is deterministic and
+# cross-engine hashable. The ranking window runs over CLUSTER MEMBERS
+# only (the tiny relation near-dup clustering produces), never the
+# corpus; the corpus pays one anti-join whose build side AQE sizes.
+@query(
+    "dedup_survivors_by_quality",
+    oracle=_duck_band_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _DUCK_VERIFIED_PAIRS_CTES
+    + """
+    , sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM vpairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM vpairs
+    ),
+    walk(id, rep) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, w.rep FROM sym s JOIN walk w ON w.id = s.b
+    ),
+    clusters AS (
+      SELECT id, MIN(rep) AS rep FROM walk GROUP BY id
+    ),
+    ranked AS (
+      SELECT c.id,
+             ROW_NUMBER() OVER (PARTITION BY c.rep
+                                ORDER BY d.n_chars DESC, c.id) AS rn
+      FROM clusters c JOIN documents d ON d.doc_id = c.id
+    ),
+    dropped AS (SELECT id FROM ranked WHERE rn > 1)
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+    """,
+)
+def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    members = dedup_clusters(spark, sf_dir).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    dropped = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# E2 observability: the cluster-SIZE histogram — the first thing an
+# operator looks at after a dedup run (a fat tail of giant clusters
+# means boilerplate is leaking through the shingle choice; all-size-2
+# means the threshold is too tight). Two tiny aggregations over the
+# cluster relation; the corpus is never touched.
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=_duck_band_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _DUCK_VERIFIED_PAIRS_CTES
+    + """
+    , sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM vpairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM vpairs
+    ),
+    walk(id, rep) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, w.rep FROM sym s JOIN walk w ON w.id = s.b
+    ),
+    clusters AS (
+      SELECT id, MIN(rep) AS rep FROM walk GROUP BY id
+    ),
+    sizes AS (
+      SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY rep
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes
+    GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes = (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+# --------------------------------------------------------------------------
 # E4f: BPE merge census — the first step of byte-pair-encoding vocabulary
 # training: count every adjacent token pair across the corpus and rank
 # the top merge candidates (count DESC, pair ASC so ties are
