@@ -279,3 +279,58 @@ def kll_rank_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("exact_p90") * 100 + 0.5).cast("bigint").alias("exact_p90_x100"),
         ok.alias("rank_within_3pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# E7e: heavy hitters — approximate frequent-item detection, the census
+# that at 100 TB replaces "GROUP BY token ORDER BY count DESC" when only
+# the handful of dominant values matter (boilerplate tokens, hot keys,
+# abusive user ids). Spark ships the Karp–Shenker–Papadimitriou
+# one-pass algorithm as ``df.stat.freqItems``: every item with relative
+# frequency STRICTLY ABOVE the support threshold is guaranteed present
+# (false positives possible, false negatives not). The query turns that
+# guarantee into a driver-hashable contract, same shape as
+# sketch_distinct_accuracy: the oracle emits the exact heavy hitters
+# plus literal TRUE; Spark computes membership of each exact hitter in
+# the sketch output, so the hash fails if freqItems ever drops a true
+# heavy hitter.
+HH_SUPPORT = 0.02  # tokens above 2% of all occurrences
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS c FROM toks)
+    SELECT tok, CAST(n AS BIGINT) AS n, TRUE AS in_sketch
+    FROM counts, tot
+    WHERE n > {HH_SUPPORT} * c
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens plus the freqItems-found-it assertion.
+
+    Scale shape: the exact side is one explode into a map-side-combined
+    token census (the same relation every text-analysis query builds);
+    the total is a one-row broadcast; ``freqItems`` is a single
+    O(1/support)-state pass over the token stream — no shuffle at all
+    for the sketch, which is the point at 100 TB. The membership check
+    joins the (tiny) exact-hitter relation against the one-row sketch
+    result.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("c"))
+    hitters = counts.join(F.broadcast(tot)).filter(
+        F.col("n") > HH_SUPPORT * F.col("c")
+    )
+    sketch = toks.stat.freqItems(["tok"], support=HH_SUPPORT)  # 1 row
+    return hitters.join(F.broadcast(sketch)).select(
+        "tok",
+        "n",
+        F.array_contains(F.col("tok_freqItems"), F.col("tok")).alias("in_sketch"),
+    )
