@@ -118,6 +118,38 @@ def test_upsert_store_replay_and_merge(spark, tmp_path):
     assert again == got
 
 
+def test_staged_event_chunks_sparse_ids(spark, tmp_path):
+    """Staging must not assume event_ids are dense from zero: a fixture
+    whose minimum id is far above the chunk step used to crash the
+    schema re-read of chunk=0 (the chunk layout may skip residues, and
+    the streamed schema now comes from the source DataFrame, never from
+    re-reading a chunk directory)."""
+    import datetime
+
+    from bq_nvd_spark.streaming.foreach_sink import _staged_event_chunks
+
+    sf_dir = str(tmp_path / "sf")
+    stage = str(tmp_path / "stage")
+    ev = spark.createDataFrame(
+        [
+            (1_000_003, datetime.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+            (1_000_007, datetime.datetime(2024, 1, 2), 2, "click", 2.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os as _os
+
+    _os.makedirs(sf_dir, exist_ok=True)
+    ev.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    schema = _staged_event_chunks(spark, sf_dir, stage, n=4)
+    assert "event_id" in schema.fieldNames() and "chunk" not in schema.fieldNames()
+    back = (
+        spark.read.schema(schema).parquet(f"{stage}/chunk=*").select("event_id")
+    )
+    assert {r.event_id for r in back.collect()} == {1_000_003, 1_000_007}
+
+
 def test_upsert_store_rewrites_only_touched_buckets(spark, tmp_path):
     """Copy-on-write contract: a batch touching one key must republish
     only that key's hash bucket — every other bucket keeps its version
