@@ -68,9 +68,11 @@ class ParquetUpsertStore:
     def _manifest(self) -> dict:
         path = os.path.join(self.root, "manifest.json")
         if not os.path.exists(path):
-            return {"last_batch_id": -1, "buckets": {}}
+            return {"last_batch_id": -1, "buckets": {}, "history": []}
         with open(path) as fh:
-            return json.load(fh)
+            m = json.load(fh)
+        m.setdefault("history", [])
+        return m
 
     def _commit(self, manifest: dict) -> None:
         tmp = os.path.join(self.root, "manifest.json.tmp")
@@ -91,6 +93,56 @@ class ParquetUpsertStore:
         if not m["buckets"]:
             return None
         return spark.read.parquet(*self._bucket_paths(m["buckets"]))
+
+    def read_at(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
+        """Snapshot read: the store AS OF the commit for ``batch_id``
+        (time travel). Version directories are immutable and commits
+        only add new ones, so every snapshot in ``history`` stays
+        readable until ``vacuum`` retires it — the same contract a
+        lakehouse table's ``VERSION AS OF`` gives. Raises if the
+        snapshot predates retention."""
+        m = self._manifest()
+        snap: dict | None = None
+        for entry in m["history"]:
+            if entry["batch_id"] <= batch_id:
+                snap = entry
+        if snap is None:
+            return None
+        paths = self._bucket_paths(snap["buckets"])
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"snapshot for batch_id<={batch_id} was vacuumed "
+                f"(missing {len(missing)} bucket versions)"
+            )
+        return spark.read.parquet(*paths) if paths else None
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete bucket-version directories referenced ONLY by commits
+        older than the last ``keep_last`` snapshots; returns the number
+        of directories removed. The manifest's retained history shrinks
+        accordingly, so ``read_at`` fails cleanly (never reads a
+        half-deleted snapshot) for retired versions."""
+        m = self._manifest()
+        keep = m["history"][-max(keep_last, 1):]
+        live: set[str] = set()
+        for entry in keep:
+            live.update(self._bucket_paths(entry["buckets"]))
+        live.update(self._bucket_paths(m["buckets"]))
+        removed = 0
+        for bucket_dir in sorted(os.listdir(self.root)):
+            if not bucket_dir.startswith("b"):
+                continue
+            bpath = os.path.join(self.root, bucket_dir)
+            if not os.path.isdir(bpath):
+                continue
+            for v in sorted(os.listdir(bpath)):
+                vpath = os.path.join(bpath, v)
+                if vpath not in live:
+                    shutil.rmtree(vpath, ignore_errors=True)
+                    removed += 1
+        self._commit({**m, "history": keep})
+        return removed
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int, key: str) -> None:
         """Upsert updated keys into the store, exactly once per batch.
@@ -145,7 +197,10 @@ class ParquetUpsertStore:
                 os.replace(src, dst)
                 buckets[str(k)] = new_version
         shutil.rmtree(delta_root, ignore_errors=True)
-        self._commit({"last_batch_id": batch_id, "buckets": buckets})
+        history = m["history"] + [{"batch_id": batch_id, "buckets": buckets}]
+        self._commit(
+            {"last_batch_id": batch_id, "buckets": buckets, "history": history}
+        )
 
 
 def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: int):

@@ -174,3 +174,36 @@ def test_upsert_store_rewrites_only_touched_buckets(spark, tmp_path):
     assert len(changed) == 1  # exactly the bucket user 7 hashes into
     got = {r["user_id"]: (r["n_events"], r["cents"]) for r in store.current(spark).collect()}
     assert got[7] == (5, 999) and len(got) == 40
+
+
+def test_upsert_store_time_travel_and_vacuum(spark, tmp_path):
+    """Snapshot reads: read_at(batch) sees the store as of that commit
+    (version dirs are immutable), and vacuum retires old snapshots while
+    keeping the live view intact — retired reads fail cleanly."""
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    store = ParquetUpsertStore(str(tmp_path / "store"), n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20)], "user_id long, n_events long, cents long"
+    )
+    store.merge_batch(b0, batch_id=0, key="user_id")
+    b1 = spark.createDataFrame(
+        [(1, 3, 99), (5, 1, 50)], "user_id long, n_events long, cents long"
+    )
+    store.merge_batch(b1, batch_id=1, key="user_id")
+
+    at0 = {r["user_id"]: r["cents"] for r in store.read_at(spark, 0).collect()}
+    assert at0 == {1: 10, 2: 20}  # pre-update snapshot
+    at1 = {r["user_id"]: r["cents"] for r in store.read_at(spark, 1).collect()}
+    assert at1 == {1: 99, 2: 20, 5: 50}
+    assert store.read_at(spark, -1) is None  # before any commit
+
+    removed = store.vacuum(keep_last=1)
+    assert removed >= 1  # batch-0's superseded bucket version retired
+    # live view unaffected; the retired snapshot is gone from history so
+    # read_at resolves to no-snapshot rather than a half-deleted scan
+    live = {r["user_id"]: r["cents"] for r in store.current(spark).collect()}
+    assert live == at1
+    assert store.read_at(spark, 0) is None
+    still = {r["user_id"]: r["cents"] for r in store.read_at(spark, 1).collect()}
+    assert still == at1
