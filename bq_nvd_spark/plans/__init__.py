@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_size_histogram",
     "oov_rate_by_vocab",
     "heavy_hitter_tokens",
+    "streaming_cdc_user_totals",
     # -- plans touched by round-6 hardening (re-verify hashes) --
     "streaming_upsert_user_totals",
     "semantic_dedup_survivors",

@@ -144,19 +144,41 @@ class ParquetUpsertStore:
         self._commit({**m, "history": keep})
         return removed
 
-    def merge_batch(self, batch_df: DataFrame, batch_id: int, key: str) -> None:
+    def merge_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        key: str,
+        delete_col: str | None = None,
+    ) -> None:
         """Upsert updated keys into the store, exactly once per batch.
 
         ``batch_df`` carries (key, new cumulative values) for every key
         the batch changed (update output mode), so the merge replaces
         matching keys and inserts new ones — never re-adds.  Only the
-        hash buckets containing the batch's keys are rewritten."""
+        hash buckets containing the batch's keys are rewritten.
+
+        ``delete_col`` names an optional boolean tombstone column (CDC
+        feeds carry one): marked rows have their keys REMOVED from the
+        store instead of upserted — ``MERGE ... WHEN MATCHED AND
+        is_deleted THEN DELETE``.  Tombstoned keys still count as
+        touched (their buckets are rewritten without them), and the
+        column itself never reaches the stored data."""
         m = self._manifest()
         if batch_id <= m["last_batch_id"]:
             return  # replayed batch after recovery — already applied
         spark = batch_df.sparkSession
         bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_buckets)).cast("int")
+        upserts = batch_df
+        if delete_col is not None:
+            # Tombstones: their keys join the anti-join (removing the old
+            # rows) but contribute no replacement rows.
+            upserts = batch_df.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+            batch_df = batch_df.drop(delete_col)
         batch_df = batch_df.withColumn("__bucket", bucket_of)
+        upserts = upserts.withColumn("__bucket", bucket_of)
         # The only driver materialization: the touched-bucket id set,
         # bounded by n_buckets regardless of store or delta size.
         touched = {
@@ -164,7 +186,7 @@ class ParquetUpsertStore:
         }
         old_paths = self._bucket_paths(m["buckets"], only=touched)
         if not old_paths:
-            combined = batch_df
+            combined = upserts
         else:
             # Partition pruning by construction: only touched buckets
             # are scanned, so the anti-join shuffles O(|delta|)-scale
@@ -174,7 +196,7 @@ class ParquetUpsertStore:
             # needs no stored column).
             old = spark.read.parquet(*old_paths).withColumn("__bucket", bucket_of)
             kept = old.join(batch_df.select(key), on=key, how="left_anti")
-            combined = kept.unionByName(batch_df)
+            combined = kept.unionByName(upserts)
         new_version = batch_id  # monotonic and unique (replays skipped above)
         (
             combined.repartition("__bucket")
@@ -196,6 +218,11 @@ class ParquetUpsertStore:
                 shutil.rmtree(dst, ignore_errors=True)
                 os.replace(src, dst)
                 buckets[str(k)] = new_version
+            else:
+                # Tombstones emptied this bucket: no partition dir was
+                # written, so retire the bucket from the live map (the
+                # old version stays on disk for snapshot reads).
+                buckets.pop(str(k), None)
         shutil.rmtree(delta_root, ignore_errors=True)
         history = m["history"] + [{"batch_id": batch_id, "buckets": buckets}]
         self._commit(
@@ -296,3 +323,77 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.current(spark).drop("__bucket").select(
         "user_id", "n_events", "cents"
     )
+
+
+@query(
+    "streaming_cdc_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+    FROM events
+    GROUP BY user_id
+    HAVING arg_max(event_type, event_id) <> 'error'
+    """,
+)
+def streaming_cdc_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: per-user totals where a user whose LATEST event (by
+    event_id) is an ``error`` is tombstoned out of the store — ``MERGE
+    ... WHEN MATCHED AND is_deleted THEN DELETE``.
+
+    The tombstone verdict is a cumulative streaming aggregate
+    (``max_by(event_type, event_id)``), so each micro-batch re-emits a
+    changed user with their CURRENT verdict: a user deleted in batch 2
+    reappears in batch 3 when a newer non-error event arrives.  That
+    makes the final store split-independent — it must equal the batch
+    oracle for ANY chunking of the events — which is exactly the
+    replay-safe CDC contract.  Same bucketed copy-on-write store as
+    ``streaming_upsert_user_totals``; deletes rewrite only the buckets
+    the tombstoned keys hash into."""
+    work = _durable_workdir("cdc")
+    stage = os.path.join(work, "stage")
+    schema = _staged_event_chunks(spark, sf_dir, stage, n=4)
+    store = ParquetUpsertStore(os.path.join(work, "store"))
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "chunk=*"))
+    )
+    partials = (
+        raw.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents"),
+            F.max_by("event_type", "event_id").alias("last_type"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "cents",
+            (F.col("last_type") == "error").alias("is_deleted"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store.merge_batch(
+            batch_df, batch_id, key="user_id", delete_col="is_deleted"
+        )
+
+    ckpt = os.path.join(work, "ckpt")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            partials.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return store.current(spark).select("user_id", "n_events", "cents")

@@ -176,6 +176,47 @@ def test_upsert_store_rewrites_only_touched_buckets(spark, tmp_path):
     assert got[7] == (5, 999) and len(got) == 40
 
 
+def test_upsert_store_cdc_deletes(spark, tmp_path):
+    """CDC merge: a tombstoned key is removed from the store (MERGE ...
+    WHEN MATCHED THEN DELETE), the tombstone column never reaches the
+    stored data, a delete that empties a whole bucket retires it from
+    the live map, and replaying the delete batch stays a no-op."""
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    store = ParquetUpsertStore(str(tmp_path / "store"), n_buckets=2)
+    seed = spark.createDataFrame(
+        [(i, 1, i * 10) for i in range(8)],
+        "user_id long, n_events long, cents long",
+    )
+    store.merge_batch(seed, batch_id=0, key="user_id")
+
+    # batch 1: update key 1, delete key 2, insert key 9
+    b1 = spark.createDataFrame(
+        [(1, 4, 111, False), (2, 0, 0, True), (9, 1, 90, False)],
+        "user_id long, n_events long, cents long, is_deleted boolean",
+    )
+    store.merge_batch(b1, batch_id=1, key="user_id", delete_col="is_deleted")
+    cur = store.current(spark)
+    assert "is_deleted" not in cur.columns
+    got = {r["user_id"]: r["cents"] for r in cur.collect()}
+    assert 2 not in got and got[1] == 111 and got[9] == 90 and len(got) == 8
+
+    # batch 2: delete EVERYTHING (empties both buckets)
+    b2 = spark.createDataFrame(
+        [(u, 0, 0, True) for u in got],
+        "user_id long, n_events long, cents long, is_deleted boolean",
+    )
+    store.merge_batch(b2, batch_id=2, key="user_id", delete_col="is_deleted")
+    assert store.current(spark) is None  # live map fully retired
+    # snapshot of batch 1 still readable (versions are immutable)
+    snap = {r["user_id"]: r["cents"] for r in store.read_at(spark, 1).collect()}
+    assert snap == got
+
+    # replaying the delete batch is a no-op
+    store.merge_batch(b2, batch_id=2, key="user_id", delete_col="is_deleted")
+    assert store.current(spark) is None
+
+
 def test_upsert_store_time_travel_and_vacuum(spark, tmp_path):
     """Snapshot reads: read_at(batch) sees the store as of that commit
     (version dirs are immutable), and vacuum retires old snapshots while
