@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     "oov_rate_by_vocab",
     "heavy_hitter_tokens",
     "streaming_cdc_user_totals",
+    "streaming_approx_daily_users",
     # -- plans touched by round-6 hardening (re-verify hashes) --
     "streaming_upsert_user_totals",
     "semantic_dedup_survivors",

@@ -417,3 +417,56 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_prefix="stream_enrich",
         state_partitions=8,
     )
+
+
+# --------------------------------------------------------------------------
+# T4 × E7: APPROXIMATE distinct counting inside a streaming aggregation.
+# Exact COUNT(DISTINCT) is unsupported in streaming (state would be the
+# full per-group value set — unbounded); approx_count_distinct is the
+# operator Structured Streaming actually offers at 100 TB: per-group
+# state is a ~KB HLL++ register set regardless of cardinality, and the
+# register merge is order/partitioning-independent, so AvailableNow
+# drains of any chunking agree. Contract shape: the oracle emits the
+# exact per-day cardinality (DuckDB, batch) plus literal TRUE; Spark
+# joins the STREAMED estimate against the batch-exact side and computes
+# the <5% bound, so the driver hash fails if streaming HLL drifts —
+# same gate as plans/sketches.py::sketch_distinct_accuracy but across
+# the streaming engine.
+@query(
+    "streaming_approx_daily_users",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bq_nvd_spark.plans.sketches import RSD
+    from bq_nvd_spark.sources.tables import load_table
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id", RSD).alias("approx_users"))
+        .select(F.col("w.start").cast("date").alias("day"), "approx_users")
+    )
+    streamed = run_available_now(
+        agg,
+        output_mode="complete",
+        name_prefix="stream_approx_users",
+        state_partitions=8,
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return exact.join(streamed, "day").select(
+        "day", "exact_users", (err < 0.05).alias("within_5pct")
+    )
