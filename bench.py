@@ -106,7 +106,10 @@ def main() -> None:
             start = time.perf_counter()
             n = force_count(QUERIES[name](spark, sf_dir), name)
             samples.append(time.perf_counter() - start)
-        med = sorted(samples)[len(samples) // 2]
+        # Lower median: with an even repeat count the upper-middle sample
+        # is the warm-up-contaminated one (run 1 absorbs codegen/Arrow
+        # spin-up), so picking it would defeat the median's purpose.
+        med = sorted(samples)[(len(samples) - 1) // 2]
         timings[name] = round(med, 3)
         runs[name] = [round(s, 3) for s in samples]
         total += med

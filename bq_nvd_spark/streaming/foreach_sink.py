@@ -71,6 +71,14 @@ class ParquetUpsertStore:
             return {"last_batch_id": -1, "buckets": {}, "history": []}
         with open(path) as fh:
             m = json.load(fh)
+        if "buckets" not in m:
+            # Pre-bucketed single-version layout ("version" key): its data
+            # is invisible to the bucket layout, so refuse loudly rather
+            # than silently starting an empty store next to it.
+            raise ValueError(
+                f"{path} is a legacy single-version store manifest; "
+                "migrate it by re-ingesting into a fresh store directory"
+            )
         m.setdefault("history", [])
         return m
 
@@ -195,7 +203,18 @@ class ParquetUpsertStore:
             # from the key (it is derivable — that is why hash-bucketing
             # needs no stored column).
             old = spark.read.parquet(*old_paths).withColumn("__bucket", bucket_of)
-            kept = old.join(batch_df.select(key), on=key, how="left_anti")
+            # Null-safe equality: a NULL merge key (streaming groupBy
+            # emits a NULL group when the raw key is NULL) must replace /
+            # delete the store's NULL row — plain `on=key` would never
+            # match it and NULL rows would duplicate every batch.
+            # (xxhash64(NULL) is the seed, not NULL, so NULL keys live in
+            # an ordinary bucket and reach this join.)
+            keys = batch_df.select(key).alias("__b")
+            kept = old.alias("__o").join(
+                keys,
+                F.col(f"__o.{key}").eqNullSafe(F.col(f"__b.{key}")),
+                "left_anti",
+            )
             combined = kept.unionByName(upserts)
         new_version = batch_id  # monotonic and unique (replays skipped above)
         (
@@ -259,9 +278,28 @@ def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: in
 def _durable_workdir(tag: str) -> str:
     """A per-query scratch dir that OUTLIVES the query call, so the
     returned DataFrame stays a lazy scan (the driver collects after we
-    return).  The previous run's dir is wiped on entry, bounding disk
-    use to one run."""
-    work = os.path.join(tempfile.gettempdir(), f"bq_nvd_{tag}")
+    return).  The dir is PID-scoped: a concurrent process (driver vs
+    bench, two mirror runs) can never wipe a store another session's
+    lazy DataFrame still reads.  Our own previous run's dir is wiped on
+    entry (same-process callers consume results before re-invoking),
+    and dirs left by dead processes are garbage-collected."""
+    base = tempfile.gettempdir()
+    prefix = f"bq_nvd_{tag}_"
+    for name in os.listdir(base):
+        if not name.startswith(prefix):
+            continue
+        try:
+            pid = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if pid != os.getpid():
+            try:
+                os.kill(pid, 0)  # raises if the owner is gone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — leave it
+    work = os.path.join(base, f"{prefix}{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     return work
@@ -320,9 +358,10 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
-    return store.current(spark).drop("__bucket").select(
-        "user_id", "n_events", "cents"
-    )
+    final = store.current(spark)
+    if final is None:  # empty source -> empty store, not a crash
+        return spark.createDataFrame([], "user_id long, n_events long, cents bigint")
+    return final.select("user_id", "n_events", "cents")
 
 
 @query(
@@ -396,4 +435,7 @@ def streaming_cdc_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
-    return store.current(spark).select("user_id", "n_events", "cents")
+    final = store.current(spark)
+    if final is None:  # every user tombstoned -> empty result, not a crash
+        return spark.createDataFrame([], "user_id long, n_events long, cents bigint")
+    return final.select("user_id", "n_events", "cents")

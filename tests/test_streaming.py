@@ -217,6 +217,51 @@ def test_upsert_store_cdc_deletes(spark, tmp_path):
     assert store.current(spark) is None
 
 
+def test_upsert_store_null_key_replaces_and_deletes(spark, tmp_path):
+    """A NULL merge key (a streaming groupBy emits a NULL group when the
+    raw key is NULL) must behave like any other key: replaced on upsert
+    (never duplicated across batches — requires null-safe join equality)
+    and removable by a tombstone."""
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    store = ParquetUpsertStore(str(tmp_path / "store"), n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(None, 1, 10), (1, 1, 100)], "user_id long, n_events long, cents long"
+    )
+    store.merge_batch(b0, batch_id=0, key="user_id")
+    b1 = spark.createDataFrame(
+        [(None, 3, 30)], "user_id long, n_events long, cents long"
+    )
+    store.merge_batch(b1, batch_id=1, key="user_id")
+    rows = store.current(spark).collect()
+    got = {r["user_id"]: r["cents"] for r in rows}
+    assert got == {None: 30, 1: 100} and len(rows) == 2  # replaced, not duplicated
+
+    b2 = spark.createDataFrame(
+        [(None, 0, 0, True)],
+        "user_id long, n_events long, cents long, is_deleted boolean",
+    )
+    store.merge_batch(b2, batch_id=2, key="user_id", delete_col="is_deleted")
+    assert {r["user_id"] for r in store.current(spark).collect()} == {1}
+
+
+def test_upsert_store_rejects_legacy_manifest(spark, tmp_path):
+    import json
+
+    import pytest
+
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    root = tmp_path / "store"
+    root.mkdir()
+    (root / "manifest.json").write_text(
+        json.dumps({"version": 3, "last_batch_id": 2})
+    )
+    store = ParquetUpsertStore(str(root))
+    with pytest.raises(ValueError, match="legacy"):
+        store.current(spark)
+
+
 def test_upsert_store_time_travel_and_vacuum(spark, tmp_path):
     """Snapshot reads: read_at(batch) sees the store as of that commit
     (version dirs are immutable), and vacuum retires old snapshots while
