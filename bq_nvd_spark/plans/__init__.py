@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = [
     "heavy_hitter_tokens",
     "streaming_cdc_user_totals",
     "streaming_approx_daily_users",
+    "label_cohesion_stats",
     # -- plans touched by round-6 hardening (re-verify hashes) --
     "streaming_upsert_user_totals",
     "semantic_dedup_survivors",

@@ -796,3 +796,93 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # high-dup corpus, so let AQE pick broadcast vs shuffled anti-join
     # from the observed build-side size.
     return emb.join(dropped, "vec_id", "left_anti")
+
+
+# --------------------------------------------------------------------------
+# E3g: intra-label cohesion WITHOUT pairs — the sum-vector identity
+#   sum_{i!=j} <v_i, v_j>  =  ||sum_i v_i||^2  -  sum_i ||v_i||^2
+# turns an O(n^2)-pair statistic (mean pairwise dot within a label, the
+# standard cluster-cohesion diagnostic) into two O(n) aggregations.
+# At 100 TB this is the difference between impossible and one shuffle:
+# a label with 10^9 members never materializes a pair. All sums run in
+# integer units (components quantized at 1e-5) so partial aggregation
+# is order-exact across any partitioning; the single cast to double
+# happens once per label on the final division. Overflow headroom:
+# |sum q| <= n * 1e5 * max|v| keeps (sum q)^2 inside int64 for n well
+# past 10^6 rows per label at this fixture's value range — at larger n,
+# raise to DECIMAL(38) sums, same plan.
+_COH_SCALE = 100_000  # 1e-5 quantization; squares land in S^2 = 1e10 units
+
+
+@query(
+    "label_cohesion_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    x AS (
+      SELECT label, i,
+             CAST(FLOOR(v[i] * {_COH_SCALE} + 0.5) AS BIGINT) AS q
+      FROM e, UNNEST(range(1, 65)) t(i)
+    ),
+    comp AS (
+      SELECT label, i,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS sq
+      FROM x GROUP BY label, i
+    ),
+    agg AS (
+      SELECT label,
+             CAST(SUM(s * s) AS BIGINT) AS tot,
+             CAST(SUM(sq) AS BIGINT) AS self
+      FROM comp GROUP BY label
+    ),
+    nv AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+    SELECT nv.label,
+           CAST(nv.n AS BIGINT) AS n_vecs,
+           FLOOR(CAST(agg.tot - agg.self AS DOUBLE)
+                 / (nv.n * (nv.n - 1))
+                 / {_COH_SCALE}.0 / {_COH_SCALE}.0 * 1000000 + 0.5) / 1000000
+             AS cohesion_r
+    FROM nv JOIN agg ON nv.label = agg.label
+    """,
+)
+def label_cohesion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean intra-label pairwise dot product, pair-free.
+
+    One posexplode feeding a (label, pos) aggregation (map-side combine
+    absorbs the 64x row expansion), then a per-label rollup of the
+    component sums — both shuffles keyed on label(+pos), output one row
+    per label. The naive formulation is a self-join producing
+    n^2/|labels| pair rows; this plan's peak relation is |labels| x 64.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * _COH_SCALE + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    comp = x.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("sq"),
+    )
+    agg = comp.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("tot"),
+        F.sum("sq").alias("self"),
+    )
+    nv = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    coh = (
+        (F.col("tot") - F.col("self")).cast("double")
+        / (F.col("n_vecs") * (F.col("n_vecs") - 1))
+        / float(_COH_SCALE)
+        / float(_COH_SCALE)
+    )
+    return nv.join(agg, "label").select(
+        "label",
+        "n_vecs",
+        (F.floor(coh * 1_000_000 + 0.5) / 1_000_000).alias("cohesion_r"),
+    )

@@ -375,3 +375,58 @@ def test_duplicate_spans_match_python_reference(spark, docs):
         .collect()
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# Upsert store: arbitrary sequences of upsert/tombstone batches (with
+# replays and NULL keys) must leave the store equal to a dict reference
+# model — the replace-by-key MERGE contract under any batch shaping.
+
+_BATCHES = st.lists(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),  # key
+            st.integers(min_value=0, max_value=99),  # value
+            st.booleans(),  # tombstone?
+        ),
+        min_size=1,
+        max_size=4,
+        # one row per key within a batch (update output mode emits each
+        # changed key once)
+        unique_by=lambda r: r[0],
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+_UPSERT_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(batches=_BATCHES, replay=st.booleans())
+@_UPSERT_SETTINGS
+def test_upsert_store_matches_dict_model(spark, tmp_path_factory, batches, replay):
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    root = tmp_path_factory.mktemp("upsert_prop")
+    store = ParquetUpsertStore(str(root), n_buckets=3)
+    model: dict = {}
+    schema = "user_id long, cents long, is_deleted boolean"
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        store.merge_batch(df, batch_id=bid, key="user_id", delete_col="is_deleted")
+        if replay:  # at-least-once delivery: replay must be a no-op
+            store.merge_batch(
+                df, batch_id=bid, key="user_id", delete_col="is_deleted"
+            )
+        for k, v, dead in rows:
+            if dead:
+                model.pop(k, None)
+            else:
+                model[k] = v
+    final = store.current(spark)
+    got = {} if final is None else {r["user_id"]: r["cents"] for r in final.collect()}
+    assert got == model
