@@ -101,7 +101,15 @@ def main() -> None:
             # (e.g. an object-hash collect_list over the fact table)
             # taxes whichever query happens to run next (measured 5× on
             # the worst pair). A real cluster's executors don't share a
-            # heap with the driver.
+            # heap with the driver. Checkpoint blocks likewise: release
+            # the previous run's pinned localCheckpoint storage OUTSIDE
+            # the timing window (the registry would release it at query
+            # entry anyway, but that lands inside the measurement).
+            from bq_nvd_spark.operators.checkpoint import (
+                release_stage_checkpoints,
+            )
+
+            release_stage_checkpoints(spark)
             spark.sparkContext._jvm.System.gc()
             start = time.perf_counter()
             n = force_count(QUERIES[name](spark, sf_dir), name)

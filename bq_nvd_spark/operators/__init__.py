@@ -17,7 +17,10 @@ oracle-checked queries that exercise them live in ``bq_nvd_spark.plans``.
   (checkpoint-dir) upgrade path for cluster deployments
 """
 
-from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+from bq_nvd_spark.operators.checkpoint import (
+    release_stage_checkpoints,
+    stage_checkpoint,
+)
 from bq_nvd_spark.operators.graph import connected_components
 from bq_nvd_spark.operators.multimodal import decode_media, frame_sample
 from bq_nvd_spark.operators.similarity import (
@@ -44,5 +47,6 @@ __all__ = [
     "langid_predict",
     "salted_agg",
     "salted_join",
+    "release_stage_checkpoints",
     "stage_checkpoint",
 ]

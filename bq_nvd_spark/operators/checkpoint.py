@@ -1,4 +1,5 @@
-"""Lineage-truncating materialization with a cluster-safe upgrade path.
+"""Lineage-truncating materialization with a cluster-safe upgrade path
+and an explicit block lifecycle.
 
 Iterative plans (connected components) and multi-consumer subplans (the
 shingle token set, the IVF corpus relations) materialize intermediate
@@ -17,21 +18,95 @@ cluster), DataFrames checkpoint THERE and survive executor loss;
 otherwise behavior is unchanged (executor-local). Call sites opt in by
 replacing ``df.localCheckpoint(eager=True)`` with
 ``stage_checkpoint(df)`` — no per-call-site configuration.
+
+Block lifecycle: a localCheckpoint pins its blocks in executor storage
+until the RDD is unpersisted; nothing in Spark releases them when the
+consuming query finishes, so a long-lived session serving many queries
+(or re-running one) accumulates pinned storage and later runs pay
+eviction/GC — measured on local[32] as the same query slowing 2× per
+repeat. ``stage_checkpoint`` therefore records the persistent-RDD ids
+it creates, and ``release_stage_checkpoints`` unpersists them. The
+query registry calls it on every TOP-LEVEL query invocation (before
+building the new plan), which encodes the engine-wide contract that a
+query's lazily-held result must be fully consumed before the next
+registered query runs on the same session — the same
+consume-before-reinvoke contract the streaming upsert store documents.
+
+On the reliable-checkpoint branch the files live in the configured
+fault-tolerant directory; deployments should set
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so the
+ContextCleaner removes them when the checkpointed RDD is GC'd (that
+path has no pinned executor blocks, so the per-run slowdown above does
+not apply).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+# Persistent-RDD ids created by stage_checkpoint, keyed by Spark
+# applicationId so a stopped-and-restarted session never releases ids
+# belonging to a different application. Appends happen wherever the
+# plan is built (including streaming micro-batch threads); release
+# happens on the registry's top-level entry in the driver thread.
+_TRACKED: dict[str, list[int]] = {}
+
+
+def _persistent_rdd_entries(sc):
+    """Yield ``(rdd_id, java_rdd)`` for every currently-persisted RDD.
+
+    ``SparkContext.getPersistentRDDs`` is not surfaced by the Java/
+    Python APIs, so walk the Scala map via py4j (iterator of Tuple2).
+    """
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        yield t._1(), t._2()
 
 
 def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 
-    Uses a RELIABLE checkpoint (rewritable across executor loss) when
+    Uses a RELIABLE checkpoint (recomputable across executor loss) when
     the session has a checkpoint directory configured, else an
-    executor-local one (fast, local-mode default).
+    executor-local one (fast, local-mode default) whose block ids are
+    tracked for later ``release_stage_checkpoints``.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    # RDD.persist registers in the context's persistentRdds map at call
+    # time (localCheckpoint persists immediately even when lazy), so a
+    # before/after diff of the map keys identifies exactly the blocks
+    # this call pinned — without touching RDDs the caller cached.
+    before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
+    out = df.localCheckpoint(eager=eager)
+    new = [
+        rdd_id
+        for rdd_id, _ in _persistent_rdd_entries(sc)
+        if rdd_id not in before
+    ]
+    _TRACKED.setdefault(sc.applicationId, []).extend(new)
+    return out
+
+
+def release_stage_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every block ``stage_checkpoint`` has pinned so far.
+
+    Returns the number of RDDs released. Safe to call at any point
+    where no lazily-held DataFrame from a previous query remains
+    unconsumed (its lineage was truncated, so dropping the blocks would
+    make it unrecomputable). The registry calls this automatically at
+    each top-level query entry; harnesses that hold results across
+    query invocations must consume them first.
+    """
+    sc = spark.sparkContext
+    ids = set(_TRACKED.pop(sc.applicationId, ()))
+    if not ids:
+        return 0
+    released = 0
+    for rdd_id, jrdd in _persistent_rdd_entries(sc):
+        if rdd_id in ids:
+            jrdd.unpersist(False)
+            released += 1
+    return released

@@ -4,7 +4,112 @@ Importing this package populates the registry (``QUERIES`` / ``ORACLES``)
 with every declared operator from SURVEY.md §2.
 """
 
-from bq_nvd_spark.plans import (  # noqa: F401
+from bq_nvd_spark.plans.registry import ORACLES, QUERIES
+
+# The external correctness driver verifies the FIRST 50 registered queries
+# (registration order == dict insertion order).  Round-7 rotation: queries
+# whose implementation or runtime changed this round lead (the
+# stage_checkpoint lifecycle fix touches every checkpoint-using plan, the
+# upsert-store retention/workdir changes touch both foreachBatch queries,
+# and bpe_train_merges dropped its dead final-round rewrite), followed by
+# the longest-unverified tail — every query whose latest driver row dates
+# from r1, then the r2 cohort (4 r2 names remain for the r8 window:
+# langid_ngram_pred, bpe_token_stats, lang_group_profile,
+# multimodal_resize_thumb).
+_DRIVER_PRIORITY = [
+    # -- round-7 changed: checkpoint-lifecycle users --
+    "bpe_train_merges",
+    "pq_adc_recall_topk",
+    "ivf_refined_topk",
+    "ivf_topk",
+    "decontamination_overlaps",
+    "jaccard_verified_pairs",
+    "quantized_cosine_topk",
+    "theta_overlap_users",
+    "vocab_growth_curve",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_survivors_by_quality",
+    "semantic_dedup_survivors",
+    # -- round-7 changed: upsert-store retention / workdir --
+    "streaming_upsert_user_totals",
+    "streaming_cdc_user_totals",
+    # -- round-7 measured under the skew fixture --
+    "salted_join_event_weights",
+    # -- last driver row r1 (most overdue) --
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_urgent_orders",
+    "agg_count_scalar",
+    "group_agg_order_stats",
+    "like_filter_parts",
+    "topk_orders_by_price",
+    "distinct_market_segments",
+    "window_top3_customers_per_nation",
+    "window_running_order_total",
+    "set_intersect_custkeys",
+    "set_except_custkeys",
+    "set_union_keys",
+    "orders_per_region",
+    # -- last driver row r2 --
+    "nested_exists_returned_items",
+    "doubly_nested_exists",
+    "nested_projection_dotted_path",
+    "count_nested_field",
+    "explode_unnest_roundtrip",
+    "hof_filter_transform_fold",
+    "quality_filtered_docs",
+    "token_length_histogram",
+    "nvd_severity_summary",
+    "nvd_cpe_product_counts",
+    "nvd_assigner_stats",
+    "nvd_reference_tag_counts",
+    "nvd_av_severity_matrix",
+    "nvd_cwe_counts",
+    "nvd_modification_lag",
+    "nvd_v2_v3_score_gap",
+    "nvd_version_bounds",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+]
+
+def _reorder(registry: dict) -> None:
+    head = {k: registry[k] for k in _DRIVER_PRIORITY if k in registry}
+    tail = {k: v for k, v in registry.items() if k not in head}
+    registry.clear()
+    registry.update(head)
+    registry.update(tail)
+
+
+def finalize_registry() -> None:
+    """Assert the driver window is intact, then put it first.
+
+    A typo or a renamed query in _DRIVER_PRIORITY would otherwise be
+    dropped silently by _reorder's ``if k in registry``, quietly
+    shrinking the verified first-50 window. Checked against QUERIES
+    only: ORACLES legitimately lacks the oracle=None entries.
+
+    Called from the bottom of this module (the ``import plans`` path)
+    AND from the bottom of ``bq_nvd_spark.streaming`` (the
+    ``import streaming`` path): whichever package finishes registering
+    LAST runs the reorder over the complete registry, so the window
+    order no longer depends on which package a caller imports first —
+    previously a streaming-first import reordered before the streaming
+    queries existed, pushing them out of the first-50 window.
+    Idempotent.
+    """
+    unknown = set(_DRIVER_PRIORITY) - QUERIES.keys()
+    assert not unknown, f"_DRIVER_PRIORITY names not in QUERIES: {sorted(unknown)}"
+    _reorder(QUERIES)
+    _reorder(ORACLES)
+
+
+# These imports populate QUERIES/ORACLES as a side effect; they sit
+# BELOW the finalize_registry definition so the circular
+# streaming -> micro_batch -> plans import can call it when streaming
+# registration completes.
+from bq_nvd_spark.plans import (  # noqa: E402,F401
     curation,
     events,
     funnels,
@@ -25,113 +130,13 @@ from bq_nvd_spark.plans import (  # noqa: F401
     temporal_joins,
     warehouse,
 )
-from bq_nvd_spark import streaming  # noqa: F401  (registers streaming queries)
-from bq_nvd_spark.plans.registry import ORACLES, QUERIES
+from bq_nvd_spark import streaming  # noqa: E402,F401  (registers streaming queries)
 
-# The external correctness driver verifies the FIRST 50 registered queries
-# (registration order == dict insertion order).  Round-6 rotation: the 14
-# queries that have NEVER received a driver row across r01-r05 lead the
-# window (closing the coverage gap — after this round the union of
-# CORRECTNESS_r01-r06 covers all registered names), followed by every
-# query whose physical plan changes this round (foreachBatch upsert sink
-# rewrite, size-guarded survivor anti-joins, SCD2 tie-break), then
-# previously-verified families on a rotating basis.
-_DRIVER_PRIORITY = [
-    # -- never driver-checked across r01-r05; MUST get a driver row now --
-    "vocab_growth_curve",
-    "incremental_dedup_new_docs",
-    "tfidf_top_terms",
-    "dedup_survivors",
-    "stratified_sample_per_lang",
-    "streaming_dedup_within_watermark",
-    "label_centroids",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q21_waiting_suppliers",
-    "edit_distance_verified_pairs",
-    "customer_balance_tiles",
-    "cube_status_priority_census",
-    "event_transition_matrix",
-    # -- new in round 6 (first driver check) --
-    "dedup_survivors_by_quality",
-    "dedup_cluster_size_histogram",
-    "oov_rate_by_vocab",
-    "heavy_hitter_tokens",
-    "streaming_cdc_user_totals",
-    "streaming_approx_daily_users",
-    "label_cohesion_stats",
-    # -- plans touched by round-6 hardening (re-verify hashes) --
-    "streaming_upsert_user_totals",
-    "semantic_dedup_survivors",
-    "scd2_event_type_intervals",
-    "streaming_funnel_conversion",
-    "stateful_user_totals",
-    # -- r5 bench-regression set (re-verify alongside re-measurement) --
-    "sequence_packing",
-    "q3_top_revenue_orders",
-    "q22_idle_rich_customers",
-    "session_window_per_user",
-    # -- rotating re-verification of older families --
-    "q1_pricing_summary",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q10_returned_item_revenue",
-    "q12_priority_buckets",
-    "q14_promo_share",
-    "q18_large_orders",
-    "nvd_feed_ingest",
-    "nvd_count_cves",
-    "nvd_first_write_wins",
-    "nvd_flagship_linux_cves",
-    "nvd_cvss_vector_parse",
-    "exact_dedup_docs",
-    "minhash_lsh_buckets",
-    "minhash_candidate_pairs",
-    "jaccard_verified_pairs",
-    "dedup_clusters",
-    "simhash_near_dup_pairs",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "ivf_topk",
-    "text_quality_stats",
-    "lang_distribution",
-    "token_counts_top20",
-    "doc_rolling_fingerprint",
-    "asof_last_error_per_click",
-    "range_join_clicks_after_error",
-    "window_top3_customers_per_nation",
-    "orders_per_region",
-    "topk_orders_by_price",
-    "anti_join_customers_without_orders",
-    "semi_join_customers_with_urgent_orders",
-    "rollup_orders_by_month",
-    "pivot_priority_by_segment",
-    "explode_unnest_roundtrip",
-    "json_extract_props",
-    "hof_filter_transform_fold",
-    "streaming_tumbling_counts",
-    "streaming_dedup_keys",
-    "streaming_sliding_counts",
-    "streaming_session_counts",
-    "streaming_click_error_join",
-    "nested_exists_returned_items",
-    "doubly_nested_exists",
-    "like_filter_parts",
-    "regex_normalize_parts",
-    "agg_count_scalar",
-    "count_nested_field",
-]
+if getattr(streaming, "_REGISTERED", False):
+    # plans-first import: streaming finished above, registry complete.
+    # (streaming-first import: streaming.__init__ is still mid-flight
+    # here and calls finalize_registry itself once its last module
+    # registers.)
+    finalize_registry()
 
-
-def _reorder(registry: dict) -> None:
-    head = {k: registry[k] for k in _DRIVER_PRIORITY if k in registry}
-    tail = {k: v for k, v in registry.items() if k not in head}
-    registry.clear()
-    registry.update(head)
-    registry.update(tail)
-
-
-_reorder(QUERIES)
-_reorder(ORACLES)
-
-__all__ = ["QUERIES", "ORACLES"]
+__all__ = ["QUERIES", "ORACLES", "finalize_registry"]

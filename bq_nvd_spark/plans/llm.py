@@ -1646,6 +1646,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         outs.append(
             top.select(F.lit(r).alias("merge_round"), "pair", "n")
         )
+        if r == BPE_ROUNDS - 1:
+            # The final round's rewrite feeds nothing (the output is the
+            # merge table, not the rewritten corpus) — materializing it
+            # eagerly was a full wasted corpus pass, 1/ROUNDS of the
+            # query's rewrite cost.
+            break
         a = F.element_at(F.split("pair", " "), 1)
         b = F.element_at(F.split("pair", " "), 2)
         doubled = F.replace(

@@ -10,6 +10,7 @@ identically on both sides to make the hash deterministic.
 from __future__ import annotations
 
 import functools
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+# Registered queries compose (dedup_survivors calls dedup_clusters, both
+# registered), so the per-entry checkpoint release below must fire only
+# at the TOP-LEVEL invocation — releasing mid-build would drop blocks
+# the outer plan just pinned. Thread-local depth keeps streaming
+# micro-batch threads (which never enter through the registry) out of
+# the accounting.
+_DEPTH = threading.local()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -38,7 +47,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         @functools.wraps(fn)
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)
-            return fn(spark, sf_dir)
+            depth = getattr(_DEPTH, "value", 0)
+            if depth == 0:
+                # A new top-level query means the previous one's result
+                # has been consumed (engine-wide contract, see
+                # operators/checkpoint.py): release the executor blocks
+                # its stage_checkpoints pinned so a long-lived session
+                # doesn't accumulate storage run over run.
+                from bq_nvd_spark.operators.checkpoint import (
+                    release_stage_checkpoints,
+                )
+
+                release_stage_checkpoints(spark)
+            _DEPTH.value = depth + 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _DEPTH.value = depth
 
         QUERIES[name] = wrapper
         if oracle is not None:

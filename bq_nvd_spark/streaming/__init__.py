@@ -17,3 +17,13 @@ from bq_nvd_spark.streaming.stateful import (  # noqa: F401
     running_user_totals,
     stateful_user_totals,
 )
+
+# Registration-complete handshake with bq_nvd_spark.plans: whichever
+# package finishes last runs the driver-window reorder over the full
+# registry (see plans.finalize_registry). Must be the LAST statements
+# in this module.
+_REGISTERED = True
+
+from bq_nvd_spark.plans import finalize_registry  # noqa: E402
+
+finalize_registry()

@@ -45,6 +45,7 @@ the full 100 TB narrative.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -60,9 +61,18 @@ class ParquetUpsertStore:
     """Keyed, hash-bucketed parquet store with per-bucket versioned
     commits and batch-id replay dedup (copy-on-write MERGE INTO)."""
 
-    def __init__(self, root: str, n_buckets: int = 8):
+    def __init__(self, root: str, n_buckets: int = 8, max_history: int = 32):
+        """``max_history`` bounds snapshot retention: once the manifest
+        holds more than this many commits, ``merge_batch`` auto-vacuums
+        down to the newest ``max_history`` (a long-lived stream would
+        otherwise grow the manifest and superseded bucket-version
+        directories without bound — O(batches × n_buckets) disk).
+        Snapshots inside the retention window stay time-travelable via
+        ``read_at``; pass a larger value (or call ``vacuum`` manually
+        with your own policy) if you need deeper history."""
         self.root = root
         self.n_buckets = n_buckets
+        self.max_history = max(int(max_history), 1)
         os.makedirs(root, exist_ok=True)
 
     def _manifest(self) -> dict:
@@ -107,8 +117,12 @@ class ParquetUpsertStore:
         (time travel). Version directories are immutable and commits
         only add new ones, so every snapshot in ``history`` stays
         readable until ``vacuum`` retires it — the same contract a
-        lakehouse table's ``VERSION AS OF`` gives. Raises if the
-        snapshot predates retention."""
+        lakehouse table's ``VERSION AS OF`` gives. Returns ``None``
+        when no RETAINED snapshot covers ``batch_id`` (either the store
+        never saw a batch that early, or vacuum trimmed the history
+        past it); raises only when a retained snapshot's bucket-version
+        directories are missing on disk (a half-deleted snapshot —
+        i.e. files were removed behind the manifest's back)."""
         m = self._manifest()
         snap: dict | None = None
         for entry in m["history"]:
@@ -247,6 +261,12 @@ class ParquetUpsertStore:
         self._commit(
             {"last_batch_id": batch_id, "buckets": buckets, "history": history}
         )
+        if len(history) > self.max_history:
+            # Retention: without this a long-lived stream accumulates
+            # one snapshot (manifest entry + superseded bucket version
+            # dirs) per batch forever. Runs after the commit so a crash
+            # mid-vacuum never loses the batch itself.
+            self.vacuum(keep_last=self.max_history)
 
 
 def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: int):
@@ -275,54 +295,88 @@ def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: in
     return ev.schema
 
 
+def _proc_start_token(pid: int) -> str | None:
+    """The process's kernel start time (clock ticks since boot, field 22
+    of /proc/<pid>/stat) — a token that distinguishes two processes
+    that reused the same PID.  None when unreadable (no /proc, or the
+    process is gone/unreadable)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read().decode("ascii", "replace")
+        # comm can contain spaces/parens; fields are counted after the
+        # LAST ')' per proc(5).
+        return stat.rsplit(")", 1)[1].split()[19]
+    except (OSError, IndexError):
+        return None
+
+
+_CREATED_WORKDIRS: set[str] = set()
+
+
+def _cleanup_workdirs() -> None:
+    for path in _CREATED_WORKDIRS:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _durable_workdir(tag: str) -> str:
     """A per-query scratch dir that OUTLIVES the query call, so the
     returned DataFrame stays a lazy scan (the driver collects after we
-    return).  The dir is PID-scoped: a concurrent process (driver vs
-    bench, two mirror runs) can never wipe a store another session's
-    lazy DataFrame still reads.  Our own previous run's dir is wiped on
-    entry (same-process callers consume results before re-invoking),
-    and dirs left by dead processes are garbage-collected."""
+    return).  The dir is scoped by (pid, process-start-token): a
+    concurrent process (driver vs bench, two mirror runs) can never
+    wipe a store another session's lazy DataFrame still reads, and a
+    REUSED pid cannot masquerade as a live owner (the start token
+    differs).  Our own previous run's dir is wiped on entry (the
+    consume-before-reinvoke contract: callers consume results before
+    re-invoking), dirs left by dead processes are garbage-collected,
+    and an atexit hook removes this process's dirs so the final run
+    does not leak /tmp space."""
     base = tempfile.gettempdir()
     prefix = f"bq_nvd_{tag}_"
+    my_token = _proc_start_token(os.getpid()) or "0"
     for name in os.listdir(base):
         if not name.startswith(prefix):
             continue
+        ident = name[len(prefix):]
+        pid_s, _, token = ident.partition("_")
         try:
-            pid = int(name[len(prefix):])
+            pid = int(pid_s)
         except ValueError:
             continue
-        if pid != os.getpid():
-            try:
-                os.kill(pid, 0)  # raises if the owner is gone
-            except ProcessLookupError:
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
-            except PermissionError:
-                pass  # alive under another uid — leave it
-    work = os.path.join(base, f"{prefix}{os.getpid()}")
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the owner is gone
+            alive = True
+        except ProcessLookupError:
+            alive = False
+        except PermissionError:
+            alive = True  # alive under another uid — leave it
+        if alive and token:
+            # PID exists but may be a different (reused) process: the
+            # owner is only really alive if its start token matches.
+            alive = _proc_start_token(pid) == token
+        if not alive:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    work = os.path.join(base, f"{prefix}{os.getpid()}_{my_token}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
+    if not _CREATED_WORKDIRS:
+        atexit.register(_cleanup_workdirs)
+    _CREATED_WORKDIRS.add(work)
     return work
 
 
-@query(
-    "streaming_upsert_user_totals",
-    oracle="""
-    SELECT user_id,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running totals maintained by a foreachBatch merge sink
-    across ~4 micro-batches; the final store must equal the one-shot
-    batch aggregate (the oracle) regardless of how events were split.
-    Returns the store's lazy scan — no driver-side materialization."""
-    work = _durable_workdir("upsert")
+def run_upsert_totals_stream(
+    spark: SparkSession, sf_dir: str, work: str, n_chunks: int
+) -> DataFrame:
+    """The upsert-totals pipeline with a parameterizable micro-batch
+    count: stage the events into ``n_chunks`` file chunks, stream them
+    through a foreachBatch merge sink (one batch per chunk), and return
+    the final store's lazy scan. Shared by the registered query (n=4)
+    and scripts/streaming_floor.py, which sweeps n to separate the
+    streaming engine's fixed per-batch cost from per-row work."""
     stage = os.path.join(work, "stage")
-    schema = _staged_event_chunks(spark, sf_dir, stage, n=4)
+    schema = _staged_event_chunks(spark, sf_dir, stage, n=n_chunks)
     store = ParquetUpsertStore(os.path.join(work, "store"))
 
     raw = (
@@ -365,6 +419,29 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_upsert_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals maintained by a foreachBatch merge sink
+    across ~4 micro-batches; the final store must equal the one-shot
+    batch aggregate (the oracle) regardless of how events were split.
+    Returns the store's lazy scan — no driver-side materialization.
+
+    Consume-before-reinvoke: the returned DataFrame reads this
+    process's scratch store, which the NEXT in-process invocation of
+    this query wipes — collect the result before re-invoking."""
+    work = _durable_workdir("upsert")
+    return run_upsert_totals_stream(spark, sf_dir, work, n_chunks=4)
+
+
+@query(
     "streaming_cdc_user_totals",
     oracle="""
     SELECT user_id,
@@ -388,7 +465,11 @@ def streaming_cdc_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle for ANY chunking of the events — which is exactly the
     replay-safe CDC contract.  Same bucketed copy-on-write store as
     ``streaming_upsert_user_totals``; deletes rewrite only the buckets
-    the tombstoned keys hash into."""
+    the tombstoned keys hash into.
+
+    Consume-before-reinvoke: the returned DataFrame reads this
+    process's scratch store, which the NEXT in-process invocation of
+    this query wipes — collect the result before re-invoking."""
     work = _durable_workdir("cdc")
     stage = os.path.join(work, "stage")
     schema = _staged_event_chunks(spark, sf_dir, stage, n=4)

@@ -270,3 +270,29 @@ def test_runtime_bloom_filter_prunes_application_side(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_salted_join_plan_spreads_hot_key(spark):
+    """The salted-join rewrite's plan shape: the physical join keys are
+    (key, _salt) — so a hot key spreads over n_salts reducers — and the
+    dimension side carries the explode that replicates it once per
+    salt. Pinned on the plan, not timing (scripts/skew_stress.py holds
+    the measured salted-vs-unsalted numbers; SCALE.md quotes them)."""
+    from bq_nvd_spark.operators.skew import salted_join
+
+    fact = spark.range(1000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 3).alias("k")
+    )
+    dim = spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    out = salted_join(fact, dim, ["k"], id_col="event_id", n_salts=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # join condition includes the salt on both sides
+    assert "_salt" in plan
+    joins = [ln for ln in plan.splitlines() if "Join" in ln and "_salt" in ln]
+    assert joins, f"no join keyed on _salt in plan:\n{plan}"
+    # the dimension replication is an explode/generate, not a crossJoin
+    assert "Generate explode" in plan or "Explode" in plan
+    # result parity with the naive join on this tiny fixture
+    naive = sorted(map(tuple, fact.join(dim, "k").select("k", "w").collect()))
+    salted = sorted(map(tuple, out.select("k", "w").collect()))
+    assert naive == salted
