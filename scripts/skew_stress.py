@@ -89,6 +89,9 @@ def main() -> None:
         .appName("skew-stress")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         # The whole point is the SHUFFLE join path: a 1 000-row dim would
         # broadcast and skew would be moot, so forbid it everywhere.
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -112,6 +115,14 @@ def main() -> None:
             F.count(F.lit(1)), F.sum("n"), F.sum("s")
         ).collect()
 
+    def run_naive_pure_join():
+        # Global agg after the join: no per-key output distribution is
+        # required downstream, which is the regime AQE's skew-join CAN
+        # optimize (splitting a skewed partition breaks a required
+        # hash distribution, so AQE declines when a same-key agg
+        # follows).
+        fact.join(dim, "k").select(F.sum(F.col("v") * F.col("w"))).collect()
+
     def run_salted():
         from bq_nvd_spark.operators.skew import salted_join
 
@@ -119,10 +130,22 @@ def main() -> None:
             salted_join(fact, dim, ["k"], id_col="event_id", n_salts=args.salts)
         ).select(F.count(F.lit(1)), F.sum("n"), F.sum("s")).collect()
 
-    def set_skew(enabled: bool):
+    def set_skew(enabled: bool, tuned: bool = False):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.enabled", "true" if enabled else "false"
+        )
+        # Default skewedPartitionThresholdInBytes is 256 MB; this
+        # fixture's hot shuffle partition compresses below that, so the
+        # DEFAULT config never flags it — "tuned" lowers the thresholds
+        # to what a deployment sized for this data would use.
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32m" if tuned else "256m",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "16m" if tuned else "64m",
         )
 
     # Warm: parquet footers + codegen outside every timing window.
@@ -133,11 +156,23 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     set_skew(False)
-    results["unsalted_aqe_skew_off"] = {"runs": timed(run_naive, args.repeats)}
+    results["agg_unsalted_skew_off"] = {"runs": timed(run_naive, args.repeats)}
     set_skew(True)
-    results["unsalted_aqe_skew_on"] = {"runs": timed(run_naive, args.repeats)}
+    results["agg_unsalted_skew_on_default"] = {
+        "runs": timed(run_naive, args.repeats)
+    }
+    set_skew(True, tuned=True)
+    results["agg_unsalted_skew_on_tuned"] = {"runs": timed(run_naive, args.repeats)}
     set_skew(False)
-    results["salted"] = {"runs": timed(run_salted, args.repeats)}
+    results["agg_salted"] = {"runs": timed(run_salted, args.repeats)}
+    set_skew(False)
+    results["purejoin_unsalted_skew_off"] = {
+        "runs": timed(run_naive_pure_join, args.repeats)
+    }
+    set_skew(True, tuned=True)
+    results["purejoin_unsalted_skew_on_tuned"] = {
+        "runs": timed(run_naive_pure_join, args.repeats)
+    }
     for v in results.values():
         v["median_sec"] = median(v["runs"])
 
