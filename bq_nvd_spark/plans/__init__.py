@@ -110,6 +110,7 @@ def finalize_registry() -> None:
 # streaming -> micro_batch -> plans import can call it when streaming
 # registration completes.
 from bq_nvd_spark.plans import (  # noqa: E402,F401
+    clustering,
     curation,
     events,
     funnels,

@@ -208,3 +208,74 @@ def oov_rate_by_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E6 widening: sliding-window document chunking — the context-window
+# prep step every LLM training/RAG pipeline runs before tokenization
+# (sequence_packing is the complement: it PACKS whole docs into fixed
+# budgets; this SPLITS long docs into overlapping windows). Pure index
+# arithmetic: the chunk relation is derived from token COUNTS and
+# boundary tokens, never materializing the chunk arrays, so the row
+# blowup is ceil(len/stride) per doc and every value hash-matches
+# exactly (no floats).
+#
+# Scale shape: one per-row split + one explode of an integer sequence —
+# row-local, zero shuffle before whatever the consumer does next. At
+# 100 TB this is a map-only stage; the output inherits the input's
+# partitioning.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "chunk_documents_sliding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS L
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, L, UNNEST(range(1, L + 1, {CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(LEAST({CHUNK_TOKENS}, L - start + 1) AS BIGINT) AS n_tokens,
+           toks[CAST(start AS BIGINT)] AS head_tok,
+           toks[CAST(LEAST(start + {CHUNK_TOKENS} - 1, L) AS BIGINT)] AS tail_tok
+    FROM c
+    """,
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows (size CHUNK_TOKENS, stride
+    CHUNK_STRIDE) per document: chunk index, its token count, and its
+    boundary tokens — the manifest a downstream tokenize/embed stage
+    consumes. Chunks are described by index arithmetic over the
+    token array; the text is never copied per chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("L"),
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        "L",
+        F.explode(
+            F.sequence(F.lit(1), F.col("L"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    n_tokens = F.least(F.lit(CHUNK_TOKENS), F.col("L") - F.col("start") + 1)
+    return c.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.element_at("toks", F.col("start").cast("int")).alias("head_tok"),
+        F.element_at(
+            "toks",
+            F.least(F.col("start") + CHUNK_TOKENS - 1, F.col("L")).cast("int"),
+        ).alias("tail_tok"),
+    )

@@ -1617,12 +1617,14 @@ _BPE_ORACLE = (
 )
 
 
-@query("bpe_train_merges", oracle=_BPE_ORACLE)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned merge table after BPE_ROUNDS train iterations:
-    (merge_round, winning pair, its corpus frequency at adoption time)."""
-    from functools import reduce as _reduce
-
+def _bpe_run(
+    spark: SparkSession, sf_dir: str, *, rewrite_final: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run BPE_ROUNDS train iterations; returns (per-round winner
+    frames, the corpus after the LAST adopted merge). Training only
+    needs the winners, so it skips the final rewrite (a full corpus
+    pass feeding nothing); encoding needs the rewritten corpus, so it
+    pays it."""
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1655,11 +1657,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         outs.append(
             top.select(F.lit(r).alias("merge_round"), "pair", "n")
         )
-        if r == BPE_ROUNDS - 1:
-            # The final round's rewrite feeds nothing (the output is the
-            # merge table, not the rewritten corpus) — materializing it
-            # eagerly was a full wasted corpus pass, 1/ROUNDS of the
-            # query's rewrite cost.
+        if r == BPE_ROUNDS - 1 and not rewrite_final:
             break
         a = F.element_at(F.split("pair", " "), 1)
         b = F.element_at(F.split("pair", " "), 2)
@@ -1681,4 +1679,53 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", rewritten.alias("t")
             )
         )
+    return outs, cur
+
+
+@query("bpe_train_merges", oracle=_BPE_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table after BPE_ROUNDS train iterations:
+    (merge_round, winning pair, its corpus frequency at adoption time)."""
+    from functools import reduce as _reduce
+
+    outs, _ = _bpe_run(spark, sf_dir, rewrite_final=False)
     return _reduce(DataFrame.unionAll, outs)
+
+
+ENCODE_TOP_TOKENS = 50
+
+_BPE_ENCODE_ORACLE = (
+    "WITH d0 AS (SELECT doc_id, text AS t FROM documents),"
+    + ",".join(_duck_bpe_round(r) for r in range(BPE_ROUNDS))
+    + f"""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(t, ' ')) AS tok FROM d{BPE_ROUNDS})
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT {ENCODE_TOP_TOKENS}
+    """
+)
+
+
+@query("bpe_encode_top_tokens", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the BPE loop: encode the corpus with every
+    learned merge (train → rewrite, BPE_ROUNDS times) and census the
+    resulting token stream — the top vocabulary entries a tokenizer
+    built from these merges would actually emit. Closes the
+    train→encode round trip the reference tokenizer pipelines run.
+
+    Scale shape: identical per-round cost to bpe_train_merges plus one
+    final explode + hash-agg census; the merge table stays a 1-row
+    broadcast per round and the corpus is only ever rewritten by
+    narrow projections."""
+    _, encoded = _bpe_run(spark, sf_dir, rewrite_final=True)
+    return (
+        encoded.select(F.explode(F.split("t", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(ENCODE_TOP_TOKENS)
+    )
