@@ -13,10 +13,16 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # upsert-store retention/workdir changes touch both foreachBatch queries,
 # and bpe_train_merges dropped its dead final-round rewrite), followed by
 # the longest-unverified tail — every query whose latest driver row dates
-# from r1, then the r2 cohort (4 r2 names remain for the r8 window:
+# from r1, then the r2 cohort (8 r2 names remain for the r8 window:
 # langid_ngram_pred, bpe_token_stats, lang_group_profile,
-# multimodal_resize_thumb).
+# multimodal_resize_thumb, nvd_version_bounds, multimodal_decode_features,
+# multimodal_frame_sample, nvd_v2_v3_score_gap).
 _DRIVER_PRIORITY = [
+    # -- new in round 7 (first driver check) --
+    "kmeans_lloyd_clusters",
+    "bpe_encode_top_tokens",
+    "chunk_documents_sliding",
+    "textrank_keywords",
     # -- round-7 changed: checkpoint-lifecycle users --
     "bpe_train_merges",
     "pq_adc_recall_topk",
@@ -68,10 +74,6 @@ _DRIVER_PRIORITY = [
     "nvd_av_severity_matrix",
     "nvd_cwe_counts",
     "nvd_modification_lag",
-    "nvd_v2_v3_score_gap",
-    "nvd_version_bounds",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
 ]
 
 def _reorder(registry: dict) -> None:

@@ -1729,3 +1729,127 @@ def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(ENCODE_TOP_TOKENS)
     )
+
+
+# --------------------------------------------------------------------------
+# E4j: TextRank keyword extraction — PageRank over the corpus token
+# co-occurrence graph (Mihalcea & Tarau 2004), the graph-centrality
+# complement to frequency-based TF-IDF: a token ranks high when its
+# NEIGHBORS rank high, not merely when it is common.
+#
+# Exactness: PageRank is usually float-iterated; here every quantity is
+# an integer. Scores live in micro-units (PR_0 = 1e6), the per-edge
+# contribution w·PR/W rounds half-up via pure integer division
+# ((2·w·PR + W) div (2·W)), and the damping by 0.85 is the rational
+# 17/20 applied the same way — so both engines produce bit-identical
+# iterates and the oracle is an exact hash gate on an iterative graph
+# algorithm (same discipline as kmeans_lloyd_clusters and the CC
+# operator).
+#
+# Scale shape per iteration: ONE equi-join of the edge relation against
+# the k-row score relation (both hash-partitioned on token), one
+# map-side-combined hash agg on dst. Edges/out-weights are built once
+# and stage_checkpointed; the driver loops over TEXTRANK_ITERS rounds,
+# never rows. No window, no sort until the final top-k.
+TEXTRANK_ITERS = 3
+TEXTRANK_TOP = 30
+_PR0 = 1_000_000
+
+
+def _duck_textrank_iter(r: int) -> str:
+    return f"""
+    c{r} AS (
+      SELECT e.dst, SUM((2 * e.w * p.pr + wt.tw) // (2 * wt.tw)) AS s
+      FROM e JOIN p{r} p ON p.tok = e.src JOIN wt ON wt.src = e.src
+      GROUP BY e.dst
+    ),
+    p{r + 1} AS (
+      SELECT p.tok,
+             CAST(150000 + (COALESCE(c.s, 0) * 17 + 10) // 20 AS BIGINT) AS pr
+      FROM p{r} p LEFT JOIN c{r} c ON c.dst = p.tok
+    )"""
+
+
+_TEXTRANK_ORACLE = (
+    """
+    WITH t AS (
+      SELECT string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    prs AS (
+      SELECT UNNEST(list_transform(range(1, len(tk)),
+                                   i -> [tk[i], tk[i + 1]])) AS pq
+      FROM t
+    ),
+    und AS (
+      SELECT pq[1] AS src, pq[2] AS dst FROM prs WHERE pq[1] <> pq[2]
+      UNION ALL
+      SELECT pq[2] AS src, pq[1] AS dst FROM prs WHERE pq[1] <> pq[2]
+    ),
+    e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+          FROM und GROUP BY src, dst),
+    wt AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY src),
+    p0 AS (SELECT DISTINCT src AS tok, CAST("""
+    + str(_PR0)
+    + """ AS BIGINT) AS pr FROM e),"""
+    + ",".join(_duck_textrank_iter(r) for r in range(TEXTRANK_ITERS))
+    + f"""
+    SELECT tok, pr FROM p{TEXTRANK_ITERS}
+    ORDER BY pr DESC, tok
+    LIMIT {TEXTRANK_TOP}
+    """
+)
+
+
+@query("textrank_keywords", oracle=_TEXTRANK_ORACLE)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank: top keywords by damped graph centrality
+    after TEXTRANK_ITERS exact-integer PageRank rounds over the
+    adjacent-token co-occurrence graph (undirected, self-loops
+    dropped)."""
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rel = docs.select(F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pair_arr = F.zip_with(
+        F.slice("toks", F.lit(1), F.size("toks") - 1),
+        F.slice("toks", F.lit(2), F.size("toks") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    prs = tok_rel.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = prs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(prs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    e = stage_checkpoint(
+        und.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    )
+    wt = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    pr = e.select("src").distinct().select(
+        F.col("src").alias("tok"), F.lit(_PR0).cast("long").alias("pr")
+    )
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            e.join(pr, e["src"] == pr["tok"])
+            .join(wt, "src")
+            .select(
+                "dst",
+                F.expr("(2 * w * pr + tw) div (2 * tw)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            pr.join(contrib, pr["tok"] == contrib["dst"], "left")
+            .select(
+                "tok",
+                (
+                    F.lit(150000)
+                    + F.expr("(coalesce(s, 0L) * 17 + 10) div 20")
+                ).cast("long").alias("pr"),
+            )
+        )
+    return pr.orderBy(F.desc("pr"), F.asc("tok")).limit(TEXTRANK_TOP)
