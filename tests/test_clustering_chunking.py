@@ -87,8 +87,10 @@ def test_kmeans_update_tightens_or_holds_inertia(spark, sf_dir):
     inertia1 = a1.agg(F.sum("d2")).collect()[0][0]
     a2 = assign(update(a1))
     inertia2 = a2.agg(F.sum("d2")).collect()[0][0]
-    # Micro-rounding the mean can cost at most a half-unit per
-    # coordinate; allow that slack (64 dims * 1 unit per vector).
+    # Exact Lloyd's never increases inertia; rounding the mean to micro
+    # ints adds at most n_members*||c̃-c*||² per cluster (bias-variance
+    # identity), i.e. ≤ 64 dims × (0.5 micro)² = 16 micro² per vector.
+    # 64n is a safe integer ceiling for that slack.
     n = emb.count()
     assert inertia2 <= inertia1 + 64 * n
 
@@ -147,3 +149,31 @@ def test_bpe_encode_census_consistent_with_training_rewrite(spark, sf_dir):
         tok = pair.replace(" ", "~")
         if tok in encoded:
             assert encoded[tok] <= n_at_adoption
+
+
+def test_textrank_scores_bounded_and_nodes_are_cooccurring_tokens(spark, sf_dir):
+    """Damped-PageRank invariants: every score is at least the (1-d)
+    floor of 150 000 micro, the ranking is (pr desc, tok) with no
+    duplicates, and every ranked token participates in at least one
+    adjacent-pair co-occurrence with a DIFFERENT token (the node-set
+    definition)."""
+    from bq_nvd_spark.plans.llm import TEXTRANK_TOP, textrank_keywords
+    from bq_nvd_spark.sources.tables import load_table
+
+    rows = textrank_keywords(spark, sf_dir).collect()
+    assert 0 < len(rows) <= TEXTRANK_TOP
+    assert all(r["pr"] >= 150_000 for r in rows)
+    # descending, ties broken by token
+    key = [(-r["pr"], r["tok"]) for r in rows]
+    assert key == sorted(key)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_rows = docs.select(F.split("text", " ").alias("toks")).collect()
+    cooccur = set()
+    for r in toks_rows:
+        t = r["toks"]
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                cooccur.add(a)
+                cooccur.add(b)
+    assert all(r["tok"] in cooccur for r in rows)
