@@ -36,7 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Contract: consume (collect/count/write) each returned DataFrame
+    BEFORE invoking the next query on the same session. Invoking a
+    query releases the previous query's checkpoint blocks and scratch
+    stores (bq_nvd_spark/operators/checkpoint.py), so a still-lazy
+    earlier result is no longer recomputable afterwards. Serial
+    run-then-consume harnesses (the driver, bench.py) satisfy this
+    naturally."""
     return dict(plans.QUERIES)
 
 

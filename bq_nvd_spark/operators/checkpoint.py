@@ -42,14 +42,19 @@ not apply).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 # Persistent-RDD ids created by stage_checkpoint, keyed by Spark
 # applicationId so a stopped-and-restarted session never releases ids
 # belonging to a different application. Appends happen wherever the
 # plan is built (including streaming micro-batch threads); release
-# happens on the registry's top-level entry in the driver thread.
+# happens on the registry's top-level entry in the driver thread — the
+# lock keeps an append racing a pop from extending an orphaned list
+# (ids that no later release would ever see, re-creating the leak).
 _TRACKED: dict[str, list[int]] = {}
+_TRACKED_LOCK = threading.Lock()
 
 
 def _persistent_rdd_entries(sc):
@@ -86,7 +91,8 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
         for rdd_id, _ in _persistent_rdd_entries(sc)
         if rdd_id not in before
     ]
-    _TRACKED.setdefault(sc.applicationId, []).extend(new)
+    with _TRACKED_LOCK:
+        _TRACKED.setdefault(sc.applicationId, []).extend(new)
     return out
 
 
@@ -101,7 +107,8 @@ def release_stage_checkpoints(spark: SparkSession) -> int:
     query invocations must consume them first.
     """
     sc = spark.sparkContext
-    ids = set(_TRACKED.pop(sc.applicationId, ()))
+    with _TRACKED_LOCK:
+        ids = set(_TRACKED.pop(sc.applicationId, ()))
     if not ids:
         return 0
     released = 0

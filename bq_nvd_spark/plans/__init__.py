@@ -102,7 +102,10 @@ def finalize_registry() -> None:
     Idempotent.
     """
     unknown = set(_DRIVER_PRIORITY) - QUERIES.keys()
-    assert not unknown, f"_DRIVER_PRIORITY names not in QUERIES: {sorted(unknown)}"
+    if unknown:  # a real raise, not assert: survives python -O
+        raise ValueError(
+            f"_DRIVER_PRIORITY names not in QUERIES: {sorted(unknown)}"
+        )
     _reorder(QUERIES)
     _reorder(ORACLES)
 

@@ -1300,6 +1300,26 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic). One explode + one hash aggregation — the map-side
 # partial agg absorbs the Zipfian pair skew, and a real trainer iterates
 # this census with the winning pair merged back in.
+def _adjacent_pair_rel(rel: DataFrame, text_col: str, combine) -> DataFrame:
+    """One row per adjacent token pair of ``text_col``, combined by
+    ``combine(a, b)`` (shared by the BPE census/trainer and TextRank).
+
+    The split is projected ONCE into an attribute before the pair HOF:
+    a lambda that re-references an inline split(text) expression
+    re-splits the string per element (O(tokens²) per doc — measured 6×
+    slower at sf0.1). zip_with over the two shifted slices of the
+    materialized array is O(tokens)."""
+    tok_rel = rel.select(F.split(text_col, " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = F.zip_with(
+        F.slice("toks", F.lit(1), F.size("toks") - 1),
+        F.slice("toks", F.lit(2), F.size("toks") - 1),
+        combine,
+    )
+    return tok_rel.select(F.explode(pairs).alias("pair"))
+
+
 @query(
     "bpe_merge_census",
     oracle="""
@@ -1321,21 +1341,8 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Project the split ONCE into an attribute before the pair HOF: a
-    # lambda that re-references an inline split(text) expression
-    # re-splits the string per element (O(tokens²) per doc — measured
-    # 6× slower at sf0.1). zip_with over the two shifted slices of the
-    # materialized array is O(tokens).
-    tok_rel = docs.select(F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    pairs = F.zip_with(
-        F.slice("toks", F.lit(1), F.size("toks") - 1),
-        F.slice("toks", F.lit(2), F.size("toks") - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     return (
-        tok_rel.select(F.explode(pairs).alias("pair"))
+        _adjacent_pair_rel(docs, "text", lambda a, b: F.concat_ws(" ", a, b))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
@@ -1621,10 +1628,11 @@ def _bpe_run(
     spark: SparkSession, sf_dir: str, *, rewrite_final: bool
 ) -> tuple[list[DataFrame], DataFrame]:
     """Run BPE_ROUNDS train iterations; returns (per-round winner
-    frames, the corpus after the LAST adopted merge). Training only
-    needs the winners, so it skips the final rewrite (a full corpus
-    pass feeding nothing); encoding needs the rewritten corpus, so it
-    pays it."""
+    frames, the working corpus). With ``rewrite_final=True`` the corpus
+    reflects EVERY adopted merge (the encode path pays the final
+    rewrite); with ``rewrite_final=False`` the last merge is adopted in
+    the winner table but never applied to the corpus — train callers
+    only consume the winners, so they skip that full corpus pass."""
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1633,20 +1641,8 @@ def _bpe_run(
     outs: list[DataFrame] = []
     cur = docs
     for r in range(BPE_ROUNDS):
-        # Split once into an attribute, then pair via zip_with of the
-        # two shifted slices — O(tokens) per doc. (An inline split
-        # referenced from inside the pair lambda re-splits per element:
-        # O(tokens²), measured 6× slower; see bpe_merge_census.)
-        tok_rel = cur.select(F.split("t", " ").alias("toks")).filter(
-            F.size("toks") >= 2
-        )
-        pairs = F.zip_with(
-            F.slice("toks", F.lit(1), F.size("toks") - 1),
-            F.slice("toks", F.lit(2), F.size("toks") - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
         census = (
-            tok_rel.select(F.explode(pairs).alias("pair"))
+            _adjacent_pair_rel(cur, "t", lambda a, b: F.concat_ws(" ", a, b))
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("n"))
         )
@@ -1810,17 +1806,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
     docs = load_table(spark, sf_dir, "documents")
-    tok_rel = docs.select(F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= 2
+    prs = (
+        _adjacent_pair_rel(
+            docs, "text", lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+        )
+        .select(F.col("pair.a").alias("a"), F.col("pair.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
     )
-    pair_arr = F.zip_with(
-        F.slice("toks", F.lit(1), F.size("toks") - 1),
-        F.slice("toks", F.lit(2), F.size("toks") - 1),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
-    prs = tok_rel.select(F.explode(pair_arr).alias("p")).select(
-        F.col("p.a").alias("a"), F.col("p.b").alias("b")
-    ).filter(F.col("a") != F.col("b"))
     und = prs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(prs.select(F.col("b").alias("src"), F.col("a").alias("dst")))

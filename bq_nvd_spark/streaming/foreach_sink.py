@@ -151,6 +151,16 @@ class ParquetUpsertStore:
         for entry in keep:
             live.update(self._bucket_paths(entry["buckets"]))
         live.update(self._bucket_paths(m["buckets"]))
+        # Commit the trimmed history BEFORE deleting: vacuum now runs on
+        # the streaming hot path (merge_batch auto-vacuum), and a crash
+        # between delete and commit would leave "retained" entries
+        # pointing at missing directories (read_at would raise on a
+        # snapshot the manifest still advertises). Commit-first is
+        # crash-safe: a crash after the commit merely leaves orphan
+        # version dirs that the directory scan below — being
+        # filesystem-driven, not manifest-driven — removes on the next
+        # vacuum.
+        self._commit({**m, "history": keep})
         removed = 0
         for bucket_dir in sorted(os.listdir(self.root)):
             if not bucket_dir.startswith("b"):
@@ -163,7 +173,6 @@ class ParquetUpsertStore:
                 if vpath not in live:
                     shutil.rmtree(vpath, ignore_errors=True)
                     removed += 1
-        self._commit({**m, "history": keep})
         return removed
 
     def merge_batch(
@@ -352,9 +361,14 @@ def _durable_workdir(tag: str) -> str:
         except PermissionError:
             alive = True  # alive under another uid — leave it
         if alive and token:
-            # PID exists but may be a different (reused) process: the
-            # owner is only really alive if its start token matches.
-            alive = _proc_start_token(pid) == token
+            # PID exists but may be a different (reused) process: declare
+            # the owner dead ONLY on a positive token mismatch. An
+            # unreadable token (no /proc, hidepid, other-uid) cannot
+            # disprove liveness — keep the dir rather than wiping a
+            # store another live session's lazy DataFrame still reads.
+            observed = _proc_start_token(pid)
+            if observed is not None and observed != token:
+                alive = False
         if not alive:
             shutil.rmtree(os.path.join(base, name), ignore_errors=True)
     work = os.path.join(base, f"{prefix}{os.getpid()}_{my_token}")

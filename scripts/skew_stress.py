@@ -40,8 +40,11 @@ from pyspark.sql import functions as F
 def build_fixture(spark: SparkSession, root: str, n_rows: int, n_keys: int) -> None:
     """Deterministic zipf-ish fact table: 40% of rows on key 0, the rest
     log-uniform over [1, n_keys) (mass ∝ 1/rank — zipf(1) shape)."""
-    if os.path.isdir(os.path.join(root, "fact")) and os.path.isdir(
-        os.path.join(root, "dim")
+    # Trust the cache only if both writes COMPLETED (_SUCCESS marker) —
+    # a killed prior run leaves a partial directory that isdir alone
+    # would accept, silently timing the wrong row count.
+    if os.path.exists(os.path.join(root, "fact", "_SUCCESS")) and os.path.exists(
+        os.path.join(root, "dim", "_SUCCESS")
     ):
         return
     base = spark.range(n_rows).withColumn("u", F.rand(seed=7))
