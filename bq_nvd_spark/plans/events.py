@@ -14,7 +14,7 @@ watermark (streaming variant) bounds state, and AQE handles key skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bq_nvd_spark.plans.registry import query
@@ -396,4 +396,189 @@ def moment_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "n", "sx", "sy", "sxy", "sxx", "syy",
         corr.alias("corr_r"), slope.alias("slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 widening: calendar gap-fill — the time-series densification every
+# warehouse rollup needs before charting/joining: a day with no events
+# must still produce a row (count 0), and running measures carry the
+# last observed value forward across the gap. The spine is generated,
+# not scanned: (min_day, max_day) is a 1-row aggregate, the day
+# sequence explodes from it, and the cross with the (tiny) event-type
+# dimension is a broadcast — so the fill costs O(days × types) extra
+# rows regardless of fact size, and the carry-forward is one window
+# per type ordered by day (bounded partitions: days, not events).
+@query(
+    "gap_fill_daily_counts",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM base),
+    days AS (
+      SELECT CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT t.event_type, d.day FROM types t CROSS JOIN days d)
+    SELECT s.event_type, s.day,
+           COALESCE(b.n_events, 0) AS n_events,
+           LAST_VALUE(b.cents IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cents_carried
+    FROM spine s LEFT JOIN base b
+      ON b.event_type = s.event_type AND b.day = s.day
+    """,
+)
+def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type: zero-filled counts plus the
+    last observed daily cents carried across gap days (NULL until the
+    type's first active day)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    span = base.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    days = span.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(base, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            F.last("cents", ignorenulls=True).over(w).alias("cents_carried"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 widening: robust outlier gate — median absolute deviation per
+# event type, entirely in exact integer cents so both engines select
+# literally identical medians (lower median = the element at
+# row_number (n+1)//2 of the value-sorted partition — an actual data
+# element, never an interpolation, so no float averaging exists to
+# diverge). The curation use: value-distribution outliers are the
+# numeric twin of text-quality outliers, and MAD is the robust scale
+# estimator that a few corrupt rows cannot drag the way stddev can.
+#
+# Scale shape: two windowed selections partitioned by the (tiny) type
+# key + two broadcast joins of the 5-row median relations; the fact
+# table is scanned twice (once per median pass), never shuffled wider
+# than (type) partitions, and the final gate is one map-side-combined
+# aggregation.
+@query(
+    "value_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT event_type, cents AS med_cents FROM ranked
+      WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT v.event_type, ABS(v.cents - m.med_cents) AS d, v.event_id,
+             m.med_cents
+      FROM v JOIN med m USING (event_type)
+    ),
+    dranked AS (
+      SELECT event_type, d, med_cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, med_cents, d AS mad_cents FROM dranked
+      WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type,
+           MAX(mad.med_cents) AS med_cents,
+           MAX(mad.mad_cents) AS mad_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier census: lower-median cents, the median
+    absolute deviation, and how many events sit more than 3 MADs from
+    the median."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "event_id",
+    )
+
+    def lower_median(rel: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        return (
+            rel.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(f"med_{col}"))
+        )
+
+    med = lower_median(v, "cents").withColumnRenamed("med_cents", "med_cents")
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+        "event_id",
+        "med_cents",
+    )
+    mad = lower_median(dev, "d").withColumnRenamed("med_d", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
     )
