@@ -1845,3 +1845,95 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.orderBy(F.desc("pr"), F.asc("tok")).limit(TEXTRANK_TOP)
+
+
+# --------------------------------------------------------------------------
+# E4k: collocation mining — adjacent-pair PMI, the phrase-extraction
+# step tokenizer/vocab pipelines run to promote multi-word units
+# ("new york") before training. Classic PMI is log p(ab)/(p(a)p(b));
+# the log is monotone, so ranking by the RATIO n_ab·N / (n_a·n_b)
+# orders identically and keeps every input an exact integer: the
+# ratio is fixed to 1e-4 with the suite's floor form, computed from
+# bit-identical BIGINT products on both engines. A minimum pair count
+# keeps the rare-pair noise PMI is notorious for out of the top list.
+#
+# Scale shape: the unigram and bigram censuses are two map-side
+# combined hash aggs over one explode each; the join of bigrams
+# against the two unigram relations is broadcast-eligible (vocab ≪
+# corpus) and the final ordering is a bounded top-k.
+PMI_MIN_COUNT = 5
+PMI_TOP = 30
+
+
+@query(
+    "collocation_pmi_top",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM uni),
+    t AS (
+      SELECT string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    big AS (
+      SELECT pq[1] AS a, pq[2] AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM (
+        SELECT UNNEST(list_transform(range(1, len(tk)),
+                                     i -> [tk[i], tk[i + 1]])) AS pq
+        FROM t
+      )
+      GROUP BY 1, 2
+    )
+    SELECT big.a, big.b, big.n_ab,
+           FLOOR(CAST(big.n_ab * tot.big_n AS DOUBLE)
+                 / (ua.n * ub.n) * 10000 + 0.5) / 10000 AS pmi_ratio
+    FROM big
+    JOIN uni ua ON ua.tok = big.a
+    JOIN uni ub ON ub.tok = big.b
+    CROSS JOIN tot
+    WHERE big.n_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi_ratio DESC, big.a, big.b
+    LIMIT {PMI_TOP}
+    """,
+)
+def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI ratio (n_ab·N / (n_a·n_b), the
+    log-free monotone equivalent), over adjacent token pairs with at
+    least PMI_MIN_COUNT occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("big_n"))
+    big = (
+        _adjacent_pair_rel(
+            docs, "text", lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+        )
+        .select(F.col("pair.a").alias("a"), F.col("pair.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_COUNT)
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("nb"))
+    ratio = (
+        F.floor(
+            (F.col("n_ab") * F.col("big_n")).cast("double")
+            / (F.col("na") * F.col("nb"))
+            * 10000
+            + 0.5
+        )
+        / 10000
+    )
+    return (
+        big.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "n_ab", ratio.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), F.asc("a"), F.asc("b"))
+        .limit(PMI_TOP)
+    )

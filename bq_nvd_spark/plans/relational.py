@@ -1935,3 +1935,69 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.5 widening: RFM segmentation — the canonical warehouse customer
+# scoring (recency / frequency / monetary quartiles → a 3-digit
+# segment code). All three metrics are exact (a date, a count, cents);
+# NTILE(4) is deterministic on both engines given a total order, so
+# every ORDER BY carries c_custkey as the tie-break. Scale shape: one
+# map-side-combined aggregation over orders, then three NTILE windows
+# over the CUSTOMER-grain relation (orders-of-magnitude smaller than
+# the fact table), each a single global sort of customer rows — at a
+# larger deployment the same windows run per business unit
+# (partitionBy) to keep sorts bounded.
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, last_order, n_orders, cents,
+           r, f, mo, CAST(r * 100 + f * 10 + mo AS BIGINT) AS segment
+    FROM (
+      SELECT custkey, last_order, n_orders, cents,
+             CAST(NTILE(4) OVER (ORDER BY last_order, custkey) AS BIGINT) AS r,
+             CAST(NTILE(4) OVER (ORDER BY n_orders, custkey) AS BIGINT)   AS f,
+             CAST(NTILE(4) OVER (ORDER BY cents, custkey) AS BIGINT)      AS mo
+      FROM m
+    )
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM quartiles and the combined segment code
+    (recency·100 + frequency·10 + monetary), quartiles assigned by
+    NTILE with custkey tie-breaks so both engines bucket identically."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("cents"),
+    )
+    r = F.ntile(4).over(Window.orderBy("last_order", "custkey")).cast("long")
+    f = F.ntile(4).over(Window.orderBy("n_orders", "custkey")).cast("long")
+    mo = F.ntile(4).over(Window.orderBy("cents", "custkey")).cast("long")
+    return m.select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        "cents",
+        r.alias("r"),
+        f.alias("f"),
+        mo.alias("mo"),
+    ).select(
+        "*",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("mo"))
+        .cast("long")
+        .alias("segment"),
+    )
