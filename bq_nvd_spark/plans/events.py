@@ -560,7 +560,7 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", F.col(col).alias(f"med_{col}"))
         )
 
-    med = lower_median(v, "cents").withColumnRenamed("med_cents", "med_cents")
+    med = lower_median(v, "cents")
     dev = v.join(F.broadcast(med), "event_type").select(
         "event_type",
         F.abs(F.col("cents") - F.col("med_cents")).alias("d"),

@@ -1887,8 +1887,13 @@ PMI_TOP = 30
       GROUP BY 1, 2
     )
     SELECT big.a, big.b, big.n_ab,
-           FLOOR(CAST(big.n_ab * tot.big_n AS DOUBLE)
-                 / (ua.n * ub.n) * 10000 + 0.5) / 10000 AS pmi_ratio
+           -- doubles BEFORE the multiplies: BIGINT products overflow
+           -- past ~3e9 total tokens (Spark would wrap, DuckDB would
+           -- raise — a silent-garbage vs hard-error divergence); the
+           -- double product is computed identically on both engines.
+           FLOOR(CAST(big.n_ab AS DOUBLE) * CAST(tot.big_n AS DOUBLE)
+                 / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS pmi_ratio
     FROM big
     JOIN uni ua ON ua.tok = big.a
     JOIN uni ub ON ub.tok = big.b
@@ -1920,10 +1925,13 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("na"))
     ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("nb"))
+    # Cast to double BEFORE multiplying (mirrors the oracle): integer
+    # products overflow int64 once the token census passes ~3e9.
     ratio = (
         F.floor(
-            (F.col("n_ab") * F.col("big_n")).cast("double")
-            / (F.col("na") * F.col("nb"))
+            F.col("n_ab").cast("double")
+            * F.col("big_n").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
             * 10000
             + 0.5
         )

@@ -177,3 +177,88 @@ def test_textrank_scores_bounded_and_nodes_are_cooccurring_tokens(spark, sf_dir)
                 cooccur.add(a)
                 cooccur.add(b)
     assert all(r["tok"] in cooccur for r in rows)
+
+
+def test_gap_fill_and_rfm_and_pmi_on_fixture(spark, sf_dir):
+    """Fixture-level invariants for the round-7 warehouse queries:
+    gap-fill emits a dense day×type grid with zero-filled gap days and
+    a carry that never regresses to NULL after first activity; RFM
+    covers every customer exactly once with quartiles in 1..4; PMI
+    rows all meet the min-count gate and rank deterministically."""
+    from bq_nvd_spark.plans.events import gap_fill_daily_counts
+    from bq_nvd_spark.plans.llm import PMI_MIN_COUNT, collocation_pmi_top
+    from bq_nvd_spark.plans.relational import customer_rfm_segments
+    from bq_nvd_spark.sources.tables import load_table
+
+    gf = gap_fill_daily_counts(spark, sf_dir).collect()
+    by_type = {}
+    for r in gf:
+        by_type.setdefault(r["event_type"], []).append(r)
+    days_per_type = {t: len(rs) for t, rs in by_type.items()}
+    # dense grid: every type spans the same calendar
+    assert len(set(days_per_type.values())) == 1
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["day"])
+        seen_value = False
+        for r in rs:
+            assert r["n_events"] >= 0
+            if r["cents_carried"] is not None:
+                seen_value = True
+            if seen_value:
+                assert r["cents_carried"] is not None  # carry never drops
+
+    rfm = customer_rfm_segments(spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rfm) == n_cust
+    for r in rfm:
+        assert 1 <= r["r"] <= 4 and 1 <= r["f"] <= 4 and 1 <= r["mo"] <= 4
+        assert r["segment"] == r["r"] * 100 + r["f"] * 10 + r["mo"]
+
+    pmi = collocation_pmi_top(spark, sf_dir).collect()
+    assert all(r["n_ab"] >= PMI_MIN_COUNT for r in pmi)
+    key = [(-r["pmi_ratio"], r["a"], r["b"]) for r in pmi]
+    assert key == sorted(key)
+
+
+def test_lower_median_even_count_and_mad_edge(spark):
+    """value_mad_outliers' lower-median on synthetic data: an even-count
+    partition must select the LOWER middle element (not interpolate),
+    an all-equal partition yields MAD 0 with 0 outliers, and a single
+    far value beyond 3 MADs is counted."""
+    import pandas as pd
+
+    from bq_nvd_spark.plans.events import value_mad_outliers
+
+    # even: values 1,2,3,4 -> lower median 2; deviations 1,0,1,2 ->
+    # sorted 0,1,1,2 -> lower median (mad) 1; outliers: |v-2|>3 -> none
+    # flat: all 5.00 -> med 5.00, mad 0; outlier rule d>0 -> the 9.00 row
+    rows = []
+    eid = 0
+    for v in (1, 2, 3, 4):
+        rows.append(("even", eid, float(v))); eid += 1
+    for v in (5, 5, 5, 9):
+        rows.append(("flat", eid, float(v))); eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_type", "event_id", "value"])
+    # load_table's events repair expects a ts column; value is what the
+    # query reads.
+    pdf["ts"] = pd.Timestamp("2026-01-01").as_unit("us")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(f"{d}/events.parquet")
+        # value_mad_outliers only reads events; other tables untouched
+        out = {
+            r["event_type"]: r
+            for r in value_mad_outliers(spark, d).collect()
+        }
+    assert out["even"]["med_cents"] == 200
+    assert out["even"]["mad_cents"] == 100
+    assert out["even"]["n_outliers"] == 0
+    assert out["flat"]["med_cents"] == 500
+    assert out["flat"]["mad_cents"] == 0
+    assert out["flat"]["n_outliers"] == 1  # 9.00 sits 400 > 3*0 cents away
