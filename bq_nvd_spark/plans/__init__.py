@@ -13,11 +13,12 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # upsert-store retention/workdir changes touch both foreachBatch queries,
 # and bpe_train_merges dropped its dead final-round rewrite), followed by
 # the longest-unverified tail — every query whose latest driver row dates
-# from r1, then the r2 cohort (12 r2 names remain for the r8 window:
+# from r1, then the r2 cohort (13 r2 names remain for the r8 window:
 # langid_ngram_pred, bpe_token_stats, lang_group_profile,
 # multimodal_resize_thumb, nvd_version_bounds, multimodal_decode_features,
 # multimodal_frame_sample, nvd_v2_v3_score_gap, nvd_cwe_counts,
-# nvd_modification_lag, nvd_reference_tag_counts, nvd_av_severity_matrix).
+# nvd_modification_lag, nvd_reference_tag_counts, nvd_av_severity_matrix,
+# nvd_assigner_stats).
 _DRIVER_PRIORITY = [
     # -- new in round 7 (first driver check) --
     "kmeans_lloyd_clusters",
@@ -28,6 +29,7 @@ _DRIVER_PRIORITY = [
     "value_mad_outliers",
     "collocation_pmi_top",
     "customer_rfm_segments",
+    "cross_source_contamination_matrix",
     # -- round-7 changed: checkpoint-lifecycle users --
     "bpe_train_merges",
     "pq_adc_recall_topk",
@@ -74,7 +76,6 @@ _DRIVER_PRIORITY = [
     "token_length_histogram",
     "nvd_severity_summary",
     "nvd_cpe_product_counts",
-    "nvd_assigner_stats",
 ]
 
 def _reorder(registry: dict) -> None:

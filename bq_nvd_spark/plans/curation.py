@@ -279,3 +279,97 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("start") + CHUNK_TOKENS - 1, F.col("L")).cast("int"),
         ).alias("tail_tok"),
     )
+
+
+# --------------------------------------------------------------------------
+# E2/E6 widening: provenance contamination matrix — which SOURCES share
+# verbatim 5-gram spans with which. The dedup family answers "which
+# documents duplicate"; a curation pipeline also needs the rollup one
+# level up (scrape A re-crawls scrape B, a mirror sneaks into two
+# feeds) to decide whole-source exclusion weights. Shared-span count
+# plus the containment ratio (shared / smaller side's gram set — the
+# asymmetric-size-robust overlap measure) per source pair.
+#
+# Scale shape: the gram relation is DISTINCT (source, gram) — bounded
+# by vocabulary, not corpus — and the self-join on gram fans out at
+# most (#sources sharing the gram)² per gram; #sources is the
+# provenance cardinality (dozens, not millions), so the join is
+# sources²-bounded per gram. At 100 TB the gram relation would take
+# the same document-frequency cap decontamination_overlaps applies
+# before its join; the 5-gram construction itself is O(tokens) per doc
+# (array slices over a projected attribute — see _adjacent_pair_rel's
+# rationale in llm.py).
+GRAM_N = 5
+
+
+@query(
+    "cross_source_contamination_matrix",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT source,
+             array_to_string(tk[i : i + {GRAM_N} - 1], ' ') AS gram
+      FROM (SELECT source, string_split(text, ' ') AS tk FROM documents),
+           UNNEST(range(1, len(tk) - {GRAM_N} + 2)) t(i)
+      WHERE len(tk) >= {GRAM_N}
+    ),
+    per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+                FROM g GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           FLOOR(COUNT(*) / LEAST(pa.n_grams, pb.n_grams) * 10000 + 0.5)
+             / 10000 AS containment
+    FROM g a
+    JOIN g b ON a.gram = b.gram AND a.source < b.source
+    JOIN per_src pa ON pa.source = a.source
+    JOIN per_src pb ON pb.source = b.source
+    GROUP BY a.source, b.source, pa.n_grams, pb.n_grams
+    """,
+)
+def cross_source_contamination_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source-pair overlap census: distinct shared 5-grams and the
+    containment ratio against the smaller side's gram set."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rel = docs.select(
+        "source", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= GRAM_N)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (GRAM_N - 1)),
+        lambda i: F.array_join(F.slice("toks", i, GRAM_N), " "),
+    )
+    g = (
+        tok_rel.select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    per_src = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("source").alias("source_a"), "gram")
+    b = g.select(F.col("source").alias("source_b"), "gram")
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("na")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("nb")
+    )
+    return (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.floor(
+                    F.col("n_shared")
+                    / F.least("na", "nb")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("containment"),
+        )
+    )
