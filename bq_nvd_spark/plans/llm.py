@@ -1859,8 +1859,9 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: the unigram and bigram censuses are two map-side
 # combined hash aggs over one explode each; the join of bigrams
-# against the two unigram relations is broadcast-eligible (vocab ≪
-# corpus) and the final ordering is a bounded top-k.
+# against the two unigram relations is left UNHINTED — the vocabulary
+# grows with the corpus, so AQE decides broadcast-vs-shuffle from the
+# census's measured size — and the final ordering is a bounded top-k.
 PMI_MIN_COUNT = 5
 PMI_TOP = 30
 
@@ -1937,9 +1938,15 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 10000
     )
+    # No broadcast hint on the unigram census joins: ua/ub is the full
+    # token vocabulary, which grows with the corpus (billions of
+    # distinct tokens at web scale) — forcing it driver-side would OOM.
+    # AQE picks broadcast when the census actually fits and a shuffle
+    # join otherwise; `big` is already n_ab-thresholded, so both joins
+    # are selective either way. `tot` stays hinted (one row).
     return (
-        big.join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
+        big.join(ua, "a")
+        .join(ub, "b")
         .crossJoin(F.broadcast(tot))
         .select("a", "b", "n_ab", ratio.alias("pmi_ratio"))
         .orderBy(F.desc("pmi_ratio"), F.asc("a"), F.asc("b"))
