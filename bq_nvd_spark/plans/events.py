@@ -486,10 +486,15 @@ def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numeric twin of text-quality outliers, and MAD is the robust scale
 # estimator that a few corrupt rows cannot drag the way stddev can.
 #
-# Scale shape: two windowed selections partitioned by the (tiny) type
-# key + two broadcast joins of the 5-row median relations; the fact
-# table is scanned twice (once per median pass), never shuffled wider
-# than (type) partitions, and the final gate is one map-side-combined
+# Scale shape: both per-type medians come from
+# operators/rank_select.exact_rank_values — histogram-refinement rank
+# selection, so each is a handful of map-side-combined column-pruned
+# scans and a ≤ types×8192-row shuffle. The earlier form ranked with
+# row_number() OVER (PARTITION BY event_type) — a ~5-key partition of
+# the whole fact table, i.e. five reducers each sorting 1/5th of
+# 100 TB, twice; no Window (and no sort) remains in the plan (pinned
+# by tests/test_scale_paths.py). The 5-row median relations broadcast
+# into the deviation pass and the final gate is one map-side-combined
 # aggregation.
 @query(
     "value_mad_outliers",
@@ -541,30 +546,34 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type robust outlier census: lower-median cents, the median
     absolute deviation, and how many events sit more than 3 MADs from
     the median."""
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
+
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("cents"),
-        "event_id",
     )
 
     def lower_median(rel: DataFrame, col: str) -> DataFrame:
-        w = Window.partitionBy("event_type").orderBy(col, "event_id")
-        wn = Window.partitionBy("event_type")
-        return (
-            rel.withColumn("rn", F.row_number().over(w))
-            .withColumn("n", F.count(F.lit(1)).over(wn))
-            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-            .select("event_type", F.col(col).alias(f"med_{col}"))
+        # exact element at rank (n+1)//2 per type — tie-break
+        # independent, so it matches the oracle's ROW_NUMBER selection
+        cuts = exact_rank_values(
+            rel, col, lambda n: {"m": (n + 1) // 2}, group_col="event_type"
+        )
+        rows = sorted(
+            ((g, int(c["m"])) for g, c in cuts.items()),
+            key=lambda kv: (kv[0] is None, kv[0] or ""),
+        )
+        return spark.createDataFrame(
+            rows, f"event_type string, med_{col} long"
         )
 
     med = lower_median(v, "cents")
     dev = v.join(F.broadcast(med), "event_type").select(
         "event_type",
         F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
-        "event_id",
         "med_cents",
     )
     mad = lower_median(dev, "d").withColumnRenamed("med_d", "mad_cents")

@@ -1940,14 +1940,21 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # §2.5 widening: RFM segmentation — the canonical warehouse customer
 # scoring (recency / frequency / monetary quartiles → a 3-digit
-# segment code). All three metrics are exact (a date, a count, cents);
-# NTILE(4) is deterministic on both engines given a total order, so
-# every ORDER BY carries c_custkey as the tie-break. Scale shape: one
-# map-side-combined aggregation over orders, then three NTILE windows
-# over the CUSTOMER-grain relation (orders-of-magnitude smaller than
-# the fact table), each a single global sort of customer rows — at a
-# larger deployment the same windows run per business unit
-# (partitionBy) to keep sorts bounded.
+# segment code). All three metrics are exact (a date, a count, cents).
+#
+# Quartiles are VALUE-based: the cutoff for quartile k is the exact
+# value at ascending rank ⌈k·n/4⌉, and a customer's bucket is
+# 1 + (#cutoffs its value exceeds) — ties share a bucket, the
+# standard scalable definition. The earlier row-based NTILE(4) form
+# needed three un-partitioned global-sort windows (the whole customer
+# relation through ONE task, three times — the worst plan shape in
+# the repo at 10⁹ customers); the cutoffs now come from
+# operators/rank_select.exact_rank_values — per metric, one min/max/
+# count aggregate plus 1–3 histogram-refinement scans, every pass
+# map-side combined, no Window and no global sort anywhere in the
+# plan (pinned by tests/test_scale_paths.py). The customer-grain
+# aggregate is stage_checkpointed so the six cutoff scans and the
+# final projection share one materialization of the orders rollup.
 @query(
     "customer_rfm_segments",
     oracle="""
@@ -1958,43 +1965,96 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS cents
       FROM orders GROUP BY o_custkey
-    )
-    SELECT custkey, last_order, n_orders, cents,
-           r, f, mo, CAST(r * 100 + f * 10 + mo AS BIGINT) AS segment
-    FROM (
-      SELECT custkey, last_order, n_orders, cents,
-             CAST(NTILE(4) OVER (ORDER BY last_order, custkey) AS BIGINT) AS r,
-             CAST(NTILE(4) OVER (ORDER BY n_orders, custkey) AS BIGINT)   AS f,
-             CAST(NTILE(4) OVER (ORDER BY cents, custkey) AS BIGINT)      AS mo
+    ),
+    ranked AS (
+      SELECT m.*,
+             ROW_NUMBER() OVER (ORDER BY last_order) AS rr,
+             ROW_NUMBER() OVER (ORDER BY n_orders)   AS rf,
+             ROW_NUMBER() OVER (ORDER BY cents)      AS rm,
+             COUNT(*) OVER () AS n
       FROM m
+    ),
+    -- the VALUE at rank ⌈k·n/4⌉ is tie-break independent, so the
+    -- arbitrary ROW_NUMBER tie order above cannot change a cutoff
+    cut AS (
+      SELECT
+        MAX(CASE WHEN rr = (1*n + 3) // 4 THEN last_order END) AS cr1,
+        MAX(CASE WHEN rr = (2*n + 3) // 4 THEN last_order END) AS cr2,
+        MAX(CASE WHEN rr = (3*n + 3) // 4 THEN last_order END) AS cr3,
+        MAX(CASE WHEN rf = (1*n + 3) // 4 THEN n_orders END)   AS cf1,
+        MAX(CASE WHEN rf = (2*n + 3) // 4 THEN n_orders END)   AS cf2,
+        MAX(CASE WHEN rf = (3*n + 3) // 4 THEN n_orders END)   AS cf3,
+        MAX(CASE WHEN rm = (1*n + 3) // 4 THEN cents END)      AS cm1,
+        MAX(CASE WHEN rm = (2*n + 3) // 4 THEN cents END)      AS cm2,
+        MAX(CASE WHEN rm = (3*n + 3) // 4 THEN cents END)      AS cm3
+      FROM ranked
+    )
+    SELECT custkey, last_order, n_orders, cents, r, f, mo,
+           CAST(r * 100 + f * 10 + mo AS BIGINT) AS segment
+    FROM (
+      SELECT m.custkey, m.last_order, m.n_orders, m.cents,
+             CAST(1 + (CASE WHEN m.last_order > c.cr1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m.last_order > c.cr2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m.last_order > c.cr3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r,
+             CAST(1 + (CASE WHEN m.n_orders > c.cf1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m.n_orders > c.cf2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m.n_orders > c.cf3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f,
+             CAST(1 + (CASE WHEN m.cents > c.cm1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m.cents > c.cm2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m.cents > c.cm3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mo
+      FROM m CROSS JOIN cut c
     )
     """,
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer RFM quartiles and the combined segment code
-    (recency·100 + frequency·10 + monetary), quartiles assigned by
-    NTILE with custkey tie-breaks so both engines bucket identically."""
-    from pyspark.sql.window import Window
+    (recency·100 + frequency·10 + monetary); quartile cutoffs are the
+    exact values at ranks ⌈k·n/4⌉, selected distributedly (no global
+    sort), and ties on a cutoff value share the lower bucket."""
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
 
     orders = load_table(spark, sf_dir, "orders")
-    m = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-        ).alias("cents"),
+    m = stage_checkpoint(
+        orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+            ).alias("cents"),
+        )
+        # integer twin of last_order for the rank selector; monotone
+        # bijective with the date, so date comparisons == day comparisons
+        .withColumn("last_days", F.datediff("last_order", F.lit("1970-01-01")))
     )
-    r = F.ntile(4).over(Window.orderBy("last_order", "custkey")).cast("long")
-    f = F.ntile(4).over(Window.orderBy("n_orders", "custkey")).cast("long")
-    mo = F.ntile(4).over(Window.orderBy("cents", "custkey")).cast("long")
+    quartile_ranks = lambda n: {  # noqa: E731 — value at rank ⌈k·n/4⌉
+        str(k): (k * n + 3) // 4 for k in (1, 2, 3)
+    }
+    cuts = {
+        col: exact_rank_values(m, col, quartile_ranks).get(None, {})
+        for col in ("last_days", "n_orders", "cents")
+    }
+
+    def bucket(col: str, c: dict):
+        b = F.lit(1)
+        for k in ("1", "2", "3"):
+            # empty orders => no cutoffs; the relation is empty so the
+            # literal fallback never reaches a row
+            b = b + F.when(F.col(col) > F.lit(c.get(k, 0)), 1).otherwise(0)
+        return b.cast("long")
+
     return m.select(
         "custkey",
         "last_order",
         "n_orders",
         "cents",
-        r.alias("r"),
-        f.alias("f"),
-        mo.alias("mo"),
+        bucket("last_days", cuts["last_days"]).alias("r"),
+        bucket("n_orders", cuts["n_orders"]).alias("f"),
+        bucket("cents", cuts["cents"]).alias("mo"),
     ).select(
         "*",
         (F.col("r") * 100 + F.col("f") * 10 + F.col("mo"))

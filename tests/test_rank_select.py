@@ -1,0 +1,123 @@
+"""exact_rank_values: distributed order statistics vs sorted() truth,
+and the plan-shape pin that keeps the two rescued queries free of
+un-partitioned (single-task) Window sorts."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.operators.rank_select import exact_rank_values
+
+
+def _truth(values, rank):
+    return sorted(values)[rank - 1]
+
+
+def test_ungrouped_matches_sorted_truth(spark):
+    rng = random.Random(7)
+    vals = [rng.randint(-(10**12), 10**12) for _ in range(500)]
+    vals += [vals[0]] * 25  # heavy ties on one value
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    n = len(vals)
+    ranks = {"min": 1, "q1": (n + 3) // 4, "med": (n + 1) // 2, "max": n}
+    got = exact_rank_values(df, "v", lambda m: ranks)[None]
+    for label, rk in ranks.items():
+        assert got[label] == _truth(vals, rk), label
+
+
+def test_grouped_matches_sorted_truth(spark):
+    rng = random.Random(11)
+    rows = []
+    per_group = {}
+    for g in ("a", "b", "c"):
+        vs = [rng.randint(0, 10**6) for _ in range(rng.randint(3, 80))]
+        per_group[g] = vs
+        rows += [(g, v) for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = exact_rank_values(
+        df, "v", lambda n: {"med": (n + 1) // 2}, group_col="g"
+    )
+    for g, vs in per_group.items():
+        assert got[g]["med"] == _truth(vs, (len(vs) + 1) // 2), g
+
+
+def test_single_value_and_tiny_spans_short_circuit(spark):
+    df = spark.createDataFrame([(5,), (5,), (5,)], "v long")
+    got = exact_rank_values(df, "v", lambda n: {"m": (n + 1) // 2})
+    assert got[None]["m"] == 5
+
+
+def test_narrow_buckets_force_multiple_refinement_rounds(spark):
+    # n_buckets=2 on a wide span exercises the iterative descent
+    vals = list(range(0, 1000, 7))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = exact_rank_values(
+        df, "v", lambda n: {"med": (n + 1) // 2}, n_buckets=2
+    )
+    assert got[None]["med"] == _truth(vals, (len(vals) + 1) // 2)
+
+
+def test_out_of_range_rank_raises(spark):
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    with pytest.raises(ValueError, match="out of"):
+        exact_rank_values(df, "v", lambda n: {"bad": n + 1})
+
+
+def _logical_window_partition_sizes(df):
+    """Partition-spec arity of every Window node in the optimized
+    logical plan (the logical plan is AQE-independent, unlike
+    executedPlan)."""
+    sizes = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            sizes.append(node.partitionSpec().size())
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return sizes
+
+
+@pytest.mark.parametrize(
+    "name", ["customer_rfm_segments", "value_mad_outliers"]
+)
+def test_rescued_queries_have_no_unpartitioned_window(spark, sf_dir, name):
+    """The round-7 verdict's two worst scale shapes: three global-sort
+    NTILE windows (RFM) and two ~5-key partition sorts of the fact
+    table (MAD). Both now select ranks via histogram refinement; pin
+    that NO un-partitioned Window ever returns to these plans."""
+    from bq_nvd_spark.plans import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    assert all(s > 0 for s in _logical_window_partition_sizes(df))
+
+
+def test_rfm_buckets_match_ntile_on_distinct_values(spark):
+    """On an all-distinct metric with n divisible by 4, value-based
+    quartiles coincide with row-based NTILE(4) — the semantics change
+    only collapses ties (and shifts ⌈k·n/4⌉-vs-NTILE remainder
+    placement when 4 ∤ n)."""
+    from pyspark.sql.window import Window
+
+    vals = random.Random(3).sample(range(10**6), 200)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    cuts = exact_rank_values(
+        df, "v", lambda n: {str(k): (k * n + 3) // 4 for k in (1, 2, 3)}
+    )[None]
+    bucket = F.lit(1)
+    for k in ("1", "2", "3"):
+        bucket = bucket + F.when(F.col("v") > F.lit(cuts[k]), 1).otherwise(0)
+    got = {
+        (r["v"], r["b"])
+        for r in df.select("v", bucket.alias("b")).collect()
+    }
+    want = {
+        (r["v"], r["nt"])
+        for r in df.select(
+            "v", F.ntile(4).over(Window.orderBy("v")).alias("nt")
+        ).collect()
+    }
+    assert got == want
