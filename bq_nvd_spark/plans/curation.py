@@ -290,28 +290,42 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the containment ratio (shared / smaller side's gram set — the
 # asymmetric-size-robust overlap measure) per source pair.
 #
-# Scale shape: the gram relation is DISTINCT (source, gram) — bounded
-# by vocabulary, not corpus — and the self-join on gram fans out at
-# most (#sources sharing the gram)² per gram; #sources is the
-# provenance cardinality (dozens, not millions), so the join is
-# sources²-bounded per gram. At 100 TB the gram relation would take
-# the same document-frequency cap decontamination_overlaps applies
-# before its join; the 5-gram construction itself is O(tokens) per doc
-# (array slices over a projected attribute — see _adjacent_pair_rel's
-# rationale in llm.py).
+# Scale shape: the whole matrix is computed over the CAPPED gram
+# universe — grams in more than MATRIX_GRAM_DOC_CAP distinct documents
+# (boilerplate: licence headers, navigation chrome) are dropped by the
+# same document-frequency census decontamination_overlaps runs, so the
+# (source, gram) relation entering the self-join is bounded by the
+# rare-gram vocabulary rather than the corpus. The join on gram then
+# fans out at most (#sources sharing the gram)² per gram; #sources is
+# the provenance cardinality (dozens, not millions), so the join is
+# sources²-bounded per gram. The df census itself is one map-side-
+# combined aggregate over the exploded gram relation (linear, the
+# accepted decontamination shape), and the 5-gram construction is
+# O(tokens) per doc (array slices over a projected attribute — see
+# _adjacent_pair_rel's rationale in llm.py). The cap sits far above
+# the sf0.01/sf0.1 maximum document frequency (3–4), so test-scale
+# output is identical to the uncapped form.
 GRAM_N = 5
+MATRIX_GRAM_DOC_CAP = 50
 
 
 @query(
     "cross_source_contamination_matrix",
     oracle=f"""
-    WITH g AS (
-      SELECT DISTINCT source,
+    WITH dg AS (
+      SELECT DISTINCT doc_id, source,
              array_to_string(tk[i : i + {GRAM_N} - 1], ' ') AS gram
-      FROM (SELECT source, string_split(text, ' ') AS tk FROM documents),
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+            FROM documents),
            UNNEST(range(1, len(tk) - {GRAM_N} + 2)) t(i)
       WHERE len(tk) >= {GRAM_N}
     ),
+    rare AS (
+      SELECT gram FROM dg
+      GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) <= {MATRIX_GRAM_DOC_CAP}
+    ),
+    g AS (SELECT DISTINCT source, gram FROM dg JOIN rare USING (gram)),
     per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
                 FROM g GROUP BY source)
     SELECT a.source AS source_a, b.source AS source_b,
@@ -328,18 +342,36 @@ GRAM_N = 5
 def cross_source_contamination_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Source-pair overlap census: distinct shared 5-grams and the
-    containment ratio against the smaller side's gram set."""
+    """Source-pair overlap census over the rare-gram universe
+    (document frequency ≤ MATRIX_GRAM_DOC_CAP): distinct shared
+    5-grams and the containment ratio against the smaller side's
+    gram set."""
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
     tok_rel = docs.select(
-        "source", F.split("text", " ").alias("toks")
+        "doc_id", "source", F.split("text", " ").alias("toks")
     ).filter(F.size("toks") >= GRAM_N)
     grams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - (GRAM_N - 1)),
         lambda i: F.array_join(F.slice("toks", i, GRAM_N), " "),
     )
+    # materialized once: the df census and the capped (source, gram)
+    # projection both read it (same pattern as decontamination_overlaps)
+    dg = stage_checkpoint(
+        tok_rel.select(
+            "doc_id", "source", F.explode(grams).alias("gram")
+        ).distinct()
+    )
+    rare = (
+        dg.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") <= MATRIX_GRAM_DOC_CAP)
+        .select("gram")
+    )
     g = (
-        tok_rel.select("source", F.explode(grams).alias("gram"))
+        dg.join(rare, "gram", "left_semi")
+        .select("source", "gram")
         .distinct()
     )
     per_src = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
