@@ -61,18 +61,38 @@ class ParquetUpsertStore:
     """Keyed, hash-bucketed parquet store with per-bucket versioned
     commits and batch-id replay dedup (copy-on-write MERGE INTO)."""
 
-    def __init__(self, root: str, n_buckets: int = 8, max_history: int = 32):
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int = 8,
+        max_history: int = 32,
+        vacuum_slack: int | None = None,
+    ):
         """``max_history`` bounds snapshot retention: once the manifest
         holds more than this many commits, ``merge_batch`` auto-vacuums
-        down to the newest ``max_history`` (a long-lived stream would
-        otherwise grow the manifest and superseded bucket-version
-        directories without bound — O(batches × n_buckets) disk).
-        Snapshots inside the retention window stay time-travelable via
-        ``read_at``; pass a larger value (or call ``vacuum`` manually
-        with your own policy) if you need deeper history."""
+        (a long-lived stream would otherwise grow the manifest and
+        superseded bucket-version directories without bound —
+        O(batches × n_buckets) disk).
+
+        ``vacuum_slack`` is the hysteresis band (default
+        ``max(1, max_history // 4)``): each auto-vacuum trims to
+        ``max_history - vacuum_slack`` snapshots, so the next trigger
+        is ``vacuum_slack + 1`` batches away and the vacuum's
+        full-store directory scan amortizes instead of running on
+        EVERY batch once the stream reaches the cap. Retention is
+        therefore ``max_history - vacuum_slack ≤ retained ≤
+        max_history``; ``read_at`` is only guaranteed for the last
+        ``max_history - vacuum_slack`` commits. Pass a larger
+        ``max_history`` (or call ``vacuum`` manually with your own
+        policy) if you need deeper history; ``vacuum_slack=0`` restores
+        the exact-cap (vacuum-every-batch-at-cap) behavior."""
         self.root = root
         self.n_buckets = n_buckets
         self.max_history = max(int(max_history), 1)
+        if vacuum_slack is None:
+            vacuum_slack = max(1, self.max_history // 4)
+        self.vacuum_slack = min(max(int(vacuum_slack), 0),
+                                self.max_history - 1)
         os.makedirs(root, exist_ok=True)
 
     def _manifest(self) -> dict:
@@ -274,8 +294,15 @@ class ParquetUpsertStore:
             # Retention: without this a long-lived stream accumulates
             # one snapshot (manifest entry + superseded bucket version
             # dirs) per batch forever. Runs after the commit so a crash
-            # mid-vacuum never loses the batch itself.
-            self.vacuum(keep_last=self.max_history)
+            # mid-vacuum never loses the batch itself. Trimming BELOW
+            # the cap (hysteresis) keeps the vacuum's full-store
+            # directory scan off the per-batch hot path: the next
+            # trigger is vacuum_slack + 1 batches away, so the O(all
+            # bucket-version dirs) walk amortizes to O(dirs / slack)
+            # per batch instead of running on every commit at the cap.
+            self.vacuum(
+                keep_last=max(self.max_history - self.vacuum_slack, 1)
+            )
 
 
 def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: int):

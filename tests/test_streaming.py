@@ -293,3 +293,50 @@ def test_upsert_store_time_travel_and_vacuum(spark, tmp_path):
     assert store.read_at(spark, 0) is None
     still = {r["user_id"]: r["cents"] for r in store.read_at(spark, 1).collect()}
     assert still == at1
+
+
+def test_auto_vacuum_hysteresis_amortizes_scans(spark, tmp_path):
+    """At the retention cap, vacuum must NOT run on every batch: with
+    slack s, each auto-vacuum trims to max_history - s, so over
+    2×max_history steady-state batches the full-store scan fires about
+    once per s+1 commits, while retention stays inside the documented
+    [max_history - s, max_history] band."""
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    store = ParquetUpsertStore(
+        str(tmp_path / "store"), n_buckets=2, max_history=8, vacuum_slack=3
+    )
+    calls = []
+    inner = store.vacuum
+    store.vacuum = lambda keep_last=1: calls.append(keep_last) or inner(
+        keep_last
+    )
+    n = 2 * store.max_history
+    for bid in range(n):
+        df = spark.createDataFrame(
+            [(bid % 3, bid)], "user_id long, cents long"
+        )
+        store.merge_batch(df, batch_id=bid, key="user_id")
+        assert len(store._manifest()["history"]) <= store.max_history + 1
+    # triggers at history lengths 9, then every slack+1 = 4 batches:
+    # 16 batches -> first trigger at batch 8, then 12 (len 9 again) ...
+    expected = (n - store.max_history - 1) // (store.vacuum_slack + 1) + 1
+    assert len(calls) == expected
+    assert all(k == store.max_history - store.vacuum_slack for k in calls)
+    retained = len(store._manifest()["history"])
+    assert store.max_history - store.vacuum_slack <= retained <= store.max_history
+    # live view correct after all the churn
+    got = {r["user_id"]: r["cents"] for r in store.current(spark).collect()}
+    assert got == {0: 15, 1: 13, 2: 14}
+
+
+def test_vacuum_slack_zero_restores_exact_cap(spark, tmp_path):
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    store = ParquetUpsertStore(
+        str(tmp_path / "store"), n_buckets=2, max_history=2, vacuum_slack=0
+    )
+    for bid in range(5):
+        df = spark.createDataFrame([(0, bid)], "user_id long, cents long")
+        store.merge_batch(df, batch_id=bid, key="user_id")
+        assert len(store._manifest()["history"]) <= 2
