@@ -42,19 +42,41 @@ not apply).
 
 from __future__ import annotations
 
+import logging
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Persistent-RDD ids created by stage_checkpoint, keyed by Spark
-# applicationId so a stopped-and-restarted session never releases ids
-# belonging to a different application. Appends happen wherever the
-# plan is built (including streaming micro-batch threads); release
-# happens on the registry's top-level entry in the driver thread — the
-# lock keeps an append racing a pop from extending an orphaned list
-# (ids that no later release would ever see, re-creating the leak).
-_TRACKED: dict[str, list[int]] = {}
+logger = logging.getLogger(__name__)
+
+# (rdd_id, pinning_query_name) pairs created by stage_checkpoint,
+# keyed by Spark applicationId so a stopped-and-restarted session
+# never releases ids belonging to a different application. Appends
+# happen wherever the plan is built (including streaming micro-batch
+# threads); release happens on the registry's top-level entry in the
+# driver thread — the lock keeps an append racing a pop from extending
+# an orphaned list (ids that no later release would ever see,
+# re-creating the leak).
+#
+# Cross-thread assumption, stated precisely: the release contract is
+# SEQUENTIAL — by the time a top-level registered query enters, every
+# pin recorded so far belongs to work that has finished (the previous
+# query's plan, or a streaming query that ran to completion inside it;
+# every stream in this engine is availableNow/awaitTermination'd, so
+# micro-batch threads never outlive their owning query). A deployment
+# that runs a CONTINUOUS background stream concurrently with registry
+# queries would violate this: the registry entry would unpersist
+# blocks the live stream still needs. Such a deployment must not share
+# one SparkSession between an open-ended stream that stage_checkpoints
+# and the registry — or must release manually instead.
+_TRACKED: dict[str, list[tuple[int, str | None]]] = {}
 _TRACKED_LOCK = threading.Lock()
+
+# Name of the top-level registered query currently building a plan on
+# this thread; stage_checkpoint stamps it onto each pin so a later
+# release can say WHOSE blocks it is dropping. Thread-local: streaming
+# micro-batch threads pin anonymously (None).
+_CURRENT_QUERY = threading.local()
 
 
 def _persistent_rdd_entries(sc):
@@ -86,8 +108,9 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     # this call pinned — without touching RDDs the caller cached.
     before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
     out = df.localCheckpoint(eager=eager)
+    owner = getattr(_CURRENT_QUERY, "name", None)
     new = [
-        rdd_id
+        (rdd_id, owner)
         for rdd_id, _ in _persistent_rdd_entries(sc)
         if rdd_id not in before
     ]
@@ -96,7 +119,9 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return out
 
 
-def release_stage_checkpoints(spark: SparkSession) -> int:
+def release_stage_checkpoints(
+    spark: SparkSession, entering: str | None = None
+) -> int:
     """Unpersist every block ``stage_checkpoint`` has pinned so far.
 
     Returns the number of RDDs released. Safe to call at any point
@@ -105,12 +130,31 @@ def release_stage_checkpoints(spark: SparkSession) -> int:
     make it unrecomputable). The registry calls this automatically at
     each top-level query entry; harnesses that hold results across
     query invocations must consume them first.
+
+    ``entering`` names the query whose invocation triggered the
+    release; the log line it produces is the breadcrumb for the
+    interleaved-consumption failure mode — if a held DataFrame later
+    dies with a missing-checkpoint-block error, this line says exactly
+    which invocation dropped whose blocks and how to avoid it.
     """
     sc = spark.sparkContext
     with _TRACKED_LOCK:
-        ids = set(_TRACKED.pop(sc.applicationId, ()))
+        pins = _TRACKED.pop(sc.applicationId, ())
+    ids = {rdd_id for rdd_id, _ in pins}
     if not ids:
         return 0
+    owners = sorted({owner or "<unregistered plan>" for _, owner in pins})
+    logger.info(
+        "entering top-level query %r: releasing %d stage-checkpoint "
+        "block(s) pinned by %s. If you still hold an unconsumed "
+        "DataFrame from %s, it is now unrecomputable (its lineage was "
+        "truncated) — consume each registered query's result before "
+        "invoking the next, or collect it first.",
+        entering or "<manual release>",
+        len(ids),
+        ", ".join(owners),
+        "that query" if len(owners) == 1 else "those queries",
+    )
     released = 0
     for rdd_id, jrdd in _persistent_rdd_entries(sc):
         if rdd_id in ids:

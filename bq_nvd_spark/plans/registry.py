@@ -47,23 +47,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         @functools.wraps(fn)
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)
+            from bq_nvd_spark.operators import checkpoint as _ckpt
+
             depth = getattr(_DEPTH, "value", 0)
             if depth == 0:
                 # A new top-level query means the previous one's result
                 # has been consumed (engine-wide contract, see
                 # operators/checkpoint.py): release the executor blocks
                 # its stage_checkpoints pinned so a long-lived session
-                # doesn't accumulate storage run over run.
-                from bq_nvd_spark.operators.checkpoint import (
-                    release_stage_checkpoints,
-                )
-
-                release_stage_checkpoints(spark)
+                # doesn't accumulate storage run over run. The entering
+                # query's name goes into the release log line so an
+                # interleaved-consumption crash is traceable to the
+                # invocation that dropped the blocks.
+                _ckpt.release_stage_checkpoints(spark, entering=name)
+                # Stamp the top-level name on this thread so every pin
+                # the plan creates records its owner.
+                _ckpt._CURRENT_QUERY.name = name
             _DEPTH.value = depth + 1
             try:
                 return fn(spark, sf_dir)
             finally:
                 _DEPTH.value = depth
+                if depth == 0:
+                    _ckpt._CURRENT_QUERY.name = None
 
         QUERIES[name] = wrapper
         if oracle is not None:

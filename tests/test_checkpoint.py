@@ -97,3 +97,51 @@ def test_shape_preserved(spark):
     out = stage_checkpoint(df)
     assert out.columns == ["id", "dbl"]
     assert out.orderBy("id").collect()[4]["dbl"] == 8
+
+
+def test_release_log_names_pinning_and_releasing_queries(
+    spark, sf_dir, caplog
+):
+    """The interleaved-consumption breadcrumb: entering a top-level
+    registered query releases the previous query's pinned blocks with a
+    log line naming BOTH queries and the remedy, so a later
+    missing-checkpoint-block crash on a held DataFrame is actionable."""
+    import logging
+
+    from bq_nvd_spark.operators.checkpoint import release_stage_checkpoints
+    from bq_nvd_spark.plans import QUERIES
+
+    # a query that stage_checkpoints (pins blocks under its own name)...
+    QUERIES["customer_rfm_segments"](spark, sf_dir).count()
+    # ...then another top-level query triggers the release
+    with caplog.at_level(logging.INFO, "bq_nvd_spark.operators.checkpoint"):
+        QUERIES["agg_count_scalar"](spark, sf_dir).count()
+    msgs = [r.getMessage() for r in caplog.records]
+    hit = [
+        m
+        for m in msgs
+        if "agg_count_scalar" in m and "customer_rfm_segments" in m
+    ]
+    assert hit, msgs
+    assert "consume each registered query's result" in hit[0]
+    # nothing left pinned afterwards; releasing again is a silent no-op
+    caplog.clear()
+    with caplog.at_level(logging.INFO, "bq_nvd_spark.operators.checkpoint"):
+        assert release_stage_checkpoints(spark) == 0
+    assert not caplog.records
+
+
+def test_unregistered_pins_release_anonymously(spark, caplog):
+    """Blocks pinned outside any registered query (e.g. a user calling
+    stage_checkpoint directly) release with the <unregistered plan>
+    attribution instead of a stale query name."""
+    import logging
+
+    from bq_nvd_spark.operators.checkpoint import release_stage_checkpoints
+
+    stage_checkpoint(spark.range(5)).count()
+    with caplog.at_level(logging.INFO, "bq_nvd_spark.operators.checkpoint"):
+        assert release_stage_checkpoints(spark) >= 1
+    assert any(
+        "<unregistered plan>" in r.getMessage() for r in caplog.records
+    )
