@@ -7,75 +7,71 @@ with every declared operator from SURVEY.md §2.
 from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 
 # The external correctness driver verifies the FIRST 50 registered queries
-# (registration order == dict insertion order).  Round-7 rotation: queries
-# whose implementation or runtime changed this round lead (the
-# stage_checkpoint lifecycle fix touches every checkpoint-using plan, the
-# upsert-store retention/workdir changes touch both foreachBatch queries,
-# and bpe_train_merges dropped its dead final-round rewrite), followed by
-# the longest-unverified tail — every query whose latest driver row dates
-# from r1, then the r2 cohort (13 r2 names remain for the r8 window:
-# langid_ngram_pred, bpe_token_stats, lang_group_profile,
-# multimodal_resize_thumb, nvd_version_bounds, multimodal_decode_features,
-# multimodal_frame_sample, nvd_v2_v3_score_gap, nvd_cwe_counts,
-# nvd_modification_lag, nvd_reference_tag_counts, nvd_av_severity_matrix,
-# nvd_assigner_stats).
+# (registration order == dict insertion order).  Round-9 rotation: the 13
+# names whose only driver evidence dated to r2 lead (two rounds overdue),
+# then every query changed this round — the two single-task-window
+# rewrites (rank-select), the PMI broadcast-hint drop, the
+# contamination-matrix rare-gram cap, and both upsert-store queries
+# (vacuum hysteresis) — then 31 of the 33 names last checked in r4.
+# The two r4 names left outside the window (`lang_distribution`,
+# `token_counts_top20` — single-aggregate shapes whose code paths a
+# dozen in-window queries share) stay the OLDEST evidence in the
+# registry at r4; every other query's latest driver row is r5+ after
+# this round.
 _DRIVER_PRIORITY = [
-    # -- new in round 7 (first driver check) --
-    "kmeans_lloyd_clusters",
-    "bpe_encode_top_tokens",
-    "chunk_documents_sliding",
-    "textrank_keywords",
-    "gap_fill_daily_counts",
+    # -- last driver row r2 (two rounds overdue) --
+    "langid_ngram_pred",
+    "bpe_token_stats",
+    "lang_group_profile",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_thumb",
+    "nvd_version_bounds",
+    "nvd_v2_v3_score_gap",
+    "nvd_cwe_counts",
+    "nvd_modification_lag",
+    "nvd_reference_tag_counts",
+    "nvd_av_severity_matrix",
+    "nvd_assigner_stats",
+    # -- changed in round 9 --
+    "customer_rfm_segments",
     "value_mad_outliers",
     "collocation_pmi_top",
-    "customer_rfm_segments",
     "cross_source_contamination_matrix",
-    # -- round-7 changed: checkpoint-lifecycle users --
-    "bpe_train_merges",
-    "pq_adc_recall_topk",
-    "ivf_refined_topk",
-    "ivf_topk",
-    "decontamination_overlaps",
-    "jaccard_verified_pairs",
-    "quantized_cosine_topk",
-    "theta_overlap_users",
-    "vocab_growth_curve",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_survivors_by_quality",
-    "semantic_dedup_survivors",
-    # -- round-7 changed: upsert-store retention / workdir --
     "streaming_upsert_user_totals",
     "streaming_cdc_user_totals",
-    # -- round-7 measured under the skew fixture --
-    "salted_join_event_weights",
-    # -- last driver row r1 (most overdue) --
-    "anti_join_customers_without_orders",
-    "semi_join_customers_with_urgent_orders",
-    "agg_count_scalar",
-    "group_agg_order_stats",
-    "like_filter_parts",
-    "topk_orders_by_price",
-    "distinct_market_segments",
-    "window_top3_customers_per_nation",
-    "window_running_order_total",
-    "set_intersect_custkeys",
-    "set_except_custkeys",
-    "set_union_keys",
-    "orders_per_region",
-    # -- last driver row r2 --
-    "nested_exists_returned_items",
-    "doubly_nested_exists",
-    "nested_projection_dotted_path",
-    "count_nested_field",
-    "explode_unnest_roundtrip",
-    "hof_filter_transform_fold",
-    "quality_filtered_docs",
-    "token_length_histogram",
-    "nvd_severity_summary",
-    "nvd_cpe_product_counts",
+    # -- last driver row r4 --
+    "asof_last_error_per_click",
+    "bag_except_order_dates",
+    "bag_intersect_order_dates",
+    "deterministic_sample_docs",
+    "doc_rolling_fingerprint",
+    "embedding_similar_pairs",
+    "first_event_per_user_type",
+    "json_extract_props",
+    "minhash_pairs_capped",
+    "multimodal_binary_meta",
+    "ngram_jaccard_adjacent",
+    "order_price_quantiles",
+    "orders_above_customer_avg",
+    "orders_mom_growth",
+    "pivot_priority_by_segment",
+    "range_join_clicks_after_error",
+    "regex_normalize_parts",
+    "rollup_orders_by_month",
+    "salted_distinct_users_per_type",
+    "ship_delay_by_month",
+    "simhash_signatures",
+    "sliding_window_hourly_30m",
+    "streaming_click_error_join",
+    "streaming_dedup_keys",
+    "streaming_session_counts",
+    "streaming_sliding_counts",
+    "streaming_tumbling_counts",
+    "text_quality_stats",
+    "train_val_test_split",
+    "tumbling_window_hourly",
+    "unpivot_lineitem_measures",
 ]
 
 def _reorder(registry: dict) -> None:
