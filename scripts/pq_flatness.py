@@ -30,11 +30,11 @@ sys.path.insert(0, "/root/repo")
 
 
 def storage_used_bytes(sc) -> int:
-    """Sum of (memUsed + diskUsed) over block-manager storage status."""
-    status = sc._jsc.sc().getExecutorStorageStatus()
+    """Sum of (memSize + diskSize) over currently-persisted RDDs —
+    pinned localCheckpoint blocks show up here."""
     total = 0
-    for s in status:
-        total += s.memUsed() + s.diskUsed()
+    for info in sc._jsc.sc().getRDDStorageInfo():
+        total += info.memSize() + info.diskSize()
     return total
 
 
