@@ -16,9 +16,12 @@ histogram-refinement loop instead:
    bucket containing the target rank and recurses into its sub-range
    with the residual rank.
 
-Each round divides the candidate value span by ``n_buckets``, so a
-full int64 span resolves in ≤ ⌈64/log2(n_buckets)⌉ = 5 rounds; spans
-from real metrics (dates, counts, cents) resolve in 1–3. Every round
+Each round divides the candidate value span by at least
+``n_buckets/2`` (the bucketing tiles the line with ABSOLUTE
+truncating-div cells — overflow-free even when the span exceeds 2^63
+— whose k=0 cell is double-width), so a full int64 span resolves in
+≤ ⌈64/log2(n_buckets/2)⌉ = 6 rounds; spans from real metrics (dates,
+counts, cents) resolve in 1–3. Every round
 is an embarrassingly parallel scan + tiny shuffle — the plan contains
 no Window and no global sort, and survives a 1000-executor 100 TB
 deployment where the window form serializes on one task.
@@ -69,6 +72,10 @@ def exact_rank_values(
     any engine's ``ROW_NUMBER() OVER (ORDER BY v <any tiebreak>)``
     selection of row k.
     """
+    # The k=0 cell of the truncating-div tiling below is double-width
+    # (2w-1); with fewer than 4 buckets a zero-straddling range could
+    # fail to shrink between rounds, so clamp.
+    n_buckets = max(int(n_buckets), 4)
     if group_col is None:
         rel = df.select(
             F.lit(None).alias("__g"), F.col(value_col).cast("long").alias("__v")
@@ -110,13 +117,22 @@ def exact_rank_values(
         tlist = list(live.items())
         entries = []
         for tid, ((g, _label), t) in enumerate(tlist):
+            # span as a Python int (arbitrary precision): the range can
+            # straddle the int64 extremes, where `hi - lo` itself
+            # exceeds 2^63.
             span = t["hi"] - t["lo"] + 1
             w = -(-span // n_buckets)  # ceil; >= 1
             t["w"] = w
-            # Integer `div`, not float `/`+floor: (v - lo) can exceed
-            # 2^53 on full-range longs and a double quotient would
-            # misbucket; operands are non-negative so div == floor.
-            bucket = F.expr(f"(__v - {t['lo']}L) div {w}L")
+            # ABSOLUTE cells, `__v div w`, never `(__v - lo) div w`:
+            # anchoring at lo overflows int64 whenever the span exceeds
+            # 2^63 (e.g. xxhash64/simhash columns) — ANSI mode crashes,
+            # non-ANSI silently misbuckets. A truncating div of the
+            # value alone cannot overflow (w > 0), and it still tiles
+            # the line into contiguous runs the driver can invert: cell
+            # k>0 covers [kw, kw+w-1], k<0 covers [kw-w+1, kw], and the
+            # k=0 cell is the double-width [-(w-1), w-1] — at most
+            # 2·n_buckets+1 cells per round, same O(log span) descent.
+            cell = F.expr(f"__v div {w}L")
             grp_match = (
                 F.col("__g").isNull()
                 if g is None
@@ -125,7 +141,7 @@ def exact_rank_values(
             cond = grp_match & F.col("__v").between(t["lo"], t["hi"])
             entries.append(
                 F.when(
-                    cond, F.struct(F.lit(tid).alias("t"), bucket.alias("b"))
+                    cond, F.struct(F.lit(tid).alias("t"), cell.alias("b"))
                 )
             )
         hist = (
@@ -141,12 +157,18 @@ def exact_rank_values(
 
         nxt: dict[tuple, dict] = {}
         for tid, ((g, label), t) in enumerate(tlist):
-            cum, rank, w, lo = 0, t["rank"], t["w"], t["lo"]
-            for b in sorted(counts.get(tid, {})):
-                c = counts[tid][b]
+            cum, rank, w = 0, t["rank"], t["w"]
+            for k in sorted(counts.get(tid, {})):
+                c = counts[tid][k]
                 if cum + c >= rank:
-                    blo = lo + b * w
-                    bhi = min(blo + w - 1, t["hi"])
+                    # invert the truncating div: this cell's value range
+                    if k > 0:
+                        blo, bhi = k * w, k * w + w - 1
+                    elif k < 0:
+                        blo, bhi = k * w - w + 1, k * w
+                    else:
+                        blo, bhi = -(w - 1), w - 1
+                    blo, bhi = max(blo, t["lo"]), min(bhi, t["hi"])
                     if blo == bhi:
                         out.setdefault(g, {})[label] = blo
                     else:

@@ -493,7 +493,7 @@ def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row_number() OVER (PARTITION BY event_type) — a ~5-key partition of
 # the whole fact table, i.e. five reducers each sorting 1/5th of
 # 100 TB, twice; no Window (and no sort) remains in the plan (pinned
-# by tests/test_scale_paths.py). The 5-row median relations broadcast
+# by tests/test_rank_select.py). The 5-row median relations broadcast
 # into the deviation pass and the final gate is one map-side-combined
 # aggregation.
 @query(

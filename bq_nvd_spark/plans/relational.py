@@ -1952,9 +1952,10 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/rank_select.exact_rank_values — per metric, one min/max/
 # count aggregate plus 1–3 histogram-refinement scans, every pass
 # map-side combined, no Window and no global sort anywhere in the
-# plan (pinned by tests/test_scale_paths.py). The customer-grain
-# aggregate is stage_checkpointed so the six cutoff scans and the
-# final projection share one materialization of the orders rollup.
+# plan (pinned by tests/test_rank_select.py). The customer-grain
+# aggregate is stage_checkpointed so the cutoff scans and the final
+# projection share one materialization of the orders rollup, and all
+# nine cutoffs come from ONE stacked selector call (shared scans).
 @query(
     "customer_rfm_segments",
     oracle="""
@@ -2034,10 +2035,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartile_ranks = lambda n: {  # noqa: E731 — value at rank ⌈k·n/4⌉
         str(k): (k * n + 3) // 4 for k in (1, 2, 3)
     }
-    cuts = {
-        col: exact_rank_values(m, col, quartile_ranks).get(None, {})
-        for col in ("last_days", "n_orders", "cents")
-    }
+    # ONE stacked selector call for all nine cutoffs: unpivoting the
+    # three metrics into (metric, v) rows and grouping by metric shares
+    # the stats pass and every refinement scan across metrics (three
+    # separate calls would serialize ~3× the driver round-trips).
+    stacked = m.select(
+        F.expr(
+            "stack(3, 'last_days', CAST(last_days AS BIGINT),"
+            " 'n_orders', n_orders, 'cents', cents) AS (metric, v)"
+        )
+    )
+    cuts = exact_rank_values(stacked, "v", quartile_ranks, group_col="metric")
 
     def bucket(col: str, c: dict):
         b = F.lit(1)
@@ -2052,9 +2060,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_order",
         "n_orders",
         "cents",
-        bucket("last_days", cuts["last_days"]).alias("r"),
-        bucket("n_orders", cuts["n_orders"]).alias("f"),
-        bucket("cents", cuts["cents"]).alias("mo"),
+        bucket("last_days", cuts.get("last_days", {})).alias("r"),
+        bucket("n_orders", cuts.get("n_orders", {})).alias("f"),
+        bucket("cents", cuts.get("cents", {})).alias("mo"),
     ).select(
         "*",
         (F.col("r") * 100 + F.col("f") * 10 + F.col("mo"))

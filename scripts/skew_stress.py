@@ -37,6 +37,25 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _uniform(col, salt: str):
+    """Row-identity-keyed uniform in [0, 1): 32 bits of md5(salt‖id).
+
+    Unlike ``F.rand(seed)``, whose stream is seeded PER PARTITION and
+    therefore changes with the session's parallelism, this depends only
+    on the row's id — the fixture is byte-identical no matter how many
+    CPUs built it, so a cache written under one --cpus setting is valid
+    under any other (the cache-poisoning mode the round-7 advice
+    flagged)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+
+
 def build_fixture(spark: SparkSession, root: str, n_rows: int, n_keys: int) -> None:
     """Deterministic zipf-ish fact table: 40% of rows on key 0, the rest
     log-uniform over [1, n_keys) (mass ∝ 1/rank — zipf(1) shape)."""
@@ -47,12 +66,14 @@ def build_fixture(spark: SparkSession, root: str, n_rows: int, n_keys: int) -> N
         os.path.join(root, "dim", "_SUCCESS")
     ):
         return
-    base = spark.range(n_rows).withColumn("u", F.rand(seed=7))
+    base = spark.range(n_rows).withColumn("u", _uniform(F.col("id"), "u"))
     fact = base.select(
         F.col("id").alias("event_id"),
         F.when(F.col("u") < 0.4, F.lit(0))
         .otherwise(
-            F.floor(F.pow(F.lit(float(n_keys)), F.rand(seed=11))).cast("int")
+            F.floor(
+                F.pow(F.lit(float(n_keys)), _uniform(F.col("id"), "p"))
+            ).cast("int")
         )
         .alias("k"),
         (F.col("id") % 97).cast("bigint").alias("v"),
@@ -103,7 +124,9 @@ def main() -> None:
         )
         .getOrCreate()
     )
-    root = f"/tmp/bq_nvd_skew_{args.rows}_{args.keys}"
+    # v2: layout-independent md5 generator — distinct cache namespace so
+    # a fixture built by the per-partition-rand generator never serves
+    root = f"/tmp/bq_nvd_skew_v2_{args.rows}_{args.keys}"
     build_fixture(spark, root, args.rows, args.keys)
     fact = spark.read.parquet(os.path.join(root, "fact"))
     dim = spark.read.parquet(os.path.join(root, "dim"))

@@ -51,13 +51,42 @@ def test_single_value_and_tiny_spans_short_circuit(spark):
 
 
 def test_narrow_buckets_force_multiple_refinement_rounds(spark):
-    # n_buckets=2 on a wide span exercises the iterative descent
-    vals = list(range(0, 1000, 7))
+    # tiny n_buckets on a wide zero-straddling span exercises the
+    # iterative descent (incl. the double-width k=0 cell) over many
+    # rounds; n_buckets below the progress-guarantee floor is clamped
+    vals = list(range(-497, 503, 7))
     df = spark.createDataFrame([(v,) for v in vals], "v long")
-    got = exact_rank_values(
-        df, "v", lambda n: {"med": (n + 1) // 2}, n_buckets=2
-    )
-    assert got[None]["med"] == _truth(vals, (len(vals) + 1) // 2)
+    for nb in (2, 4, 5):
+        got = exact_rank_values(
+            df, "v", lambda n: {"med": (n + 1) // 2}, n_buckets=nb
+        )
+        assert got[None]["med"] == _truth(vals, (len(vals) + 1) // 2)
+
+
+def test_full_int64_span_does_not_overflow(spark):
+    """Values straddling the int64 extremes (the shape of xxhash64 /
+    simhash columns): span exceeds 2^63, where a lo-anchored bucket
+    expression would raise ARITHMETIC_OVERFLOW under ANSI mode (and
+    silently misbucket with ANSI off)."""
+    lo, hi = -(2**63), 2**63 - 1
+    vals = [lo, lo + 1, -(2**62), -12345, -1, 0, 1, 7, 2**62, hi - 1, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    n = len(vals)
+    ranks = {"min": 1, "q": n // 3, "med": (n + 1) // 2, "max": n}
+    got = exact_rank_values(df, "v", lambda m: ranks)[None]
+    for label, rk in ranks.items():
+        assert got[label] == _truth(vals, rk), label
+
+
+def test_random_extreme_spans_match_truth(spark):
+    rng = random.Random(23)
+    vals = [rng.randint(-(2**63), 2**63 - 1) for _ in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    n = len(vals)
+    ranks = {str(k): max(1, k * n // 7) for k in range(1, 8)}
+    got = exact_rank_values(df, "v", lambda m: ranks)[None]
+    for label, rk in ranks.items():
+        assert got[label] == _truth(vals, rk), label
 
 
 def test_out_of_range_rank_raises(spark):
