@@ -9,15 +9,17 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # The external correctness driver verifies the FIRST 50 registered queries
 # (registration order == dict insertion order).  Round-9 rotation: the 13
 # names whose only driver evidence dated to r2 lead (two rounds overdue),
-# then every query changed this round — the two single-task-window
+# then every query new or changed this round — the new exact global
+# percentiles (first driver check), the two single-task-window
 # rewrites (rank-select), the PMI broadcast-hint drop, the
 # contamination-matrix rare-gram cap, and both upsert-store queries
-# (vacuum hysteresis) — then 31 of the 33 names last checked in r4.
-# The two r4 names left outside the window (`lang_distribution`,
+# (vacuum hysteresis) — then 30 of the 33 names last checked in r4.
+# The three r4 names left outside the window (`lang_distribution`,
 # `token_counts_top20` — single-aggregate shapes whose code paths a
-# dozen in-window queries share) stay the OLDEST evidence in the
-# registry at r4; every other query's latest driver row is r5+ after
-# this round.
+# dozen in-window queries share — and `bag_except_order_dates`, whose
+# EXCEPT ALL twin `bag_intersect_order_dates` is in-window) stay the
+# OLDEST evidence in the registry at r4; every other query's latest
+# driver row is r5+ after this round.
 _DRIVER_PRIORITY = [
     # -- last driver row r2 (two rounds overdue) --
     "langid_ngram_pred",
@@ -33,7 +35,8 @@ _DRIVER_PRIORITY = [
     "nvd_reference_tag_counts",
     "nvd_av_severity_matrix",
     "nvd_assigner_stats",
-    # -- changed in round 9 --
+    # -- new or changed in round 9 --
+    "order_price_percentiles_exact",
     "customer_rfm_segments",
     "value_mad_outliers",
     "collocation_pmi_top",
@@ -42,7 +45,6 @@ _DRIVER_PRIORITY = [
     "streaming_cdc_user_totals",
     # -- last driver row r4 --
     "asof_last_error_per_click",
-    "bag_except_order_dates",
     "bag_intersect_order_dates",
     "deterministic_sample_docs",
     "doc_rolling_fingerprint",

@@ -744,6 +744,60 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A4 widening (round 9): CORPUS-GLOBAL exact percentiles, the shape
+# percentile_disc cannot reach at scale — an ungrouped WITHIN GROUP
+# sorts the whole relation through one task, exactly the plan
+# operators/rank_select.py exists to kill. Five exact order statistics
+# (p25/p50/p75/p90/p99, discrete: each an actual data element at rank
+# ⌈p·n⌉) come from ONE stacked histogram-refinement selection — a
+# count/min/max aggregate plus 1–3 map-side-combined cell-count scans
+# over the fact table, no Window, no sort, any data volume.
+@query(
+    "order_price_percentiles_exact",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM v
+    )
+    SELECT p.pct,
+           MAX(CASE WHEN r.rn = (p.num * r.n + 99) // 100
+                    THEN r.cents END) AS cents
+    FROM r CROSS JOIN (VALUES ('p25', 25), ('p50', 50), ('p75', 75),
+                              ('p90', 90), ('p99', 99)) p(pct, num)
+    GROUP BY p.pct
+    """,
+)
+def order_price_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact price percentiles: the value at rank ⌈p·n⌉ of the
+    cents-quantized total price, selected distributedly (no global
+    sort; the oracle's ROW_NUMBER form picks the same tie-independent
+    element)."""
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    pcts = {"p25": 25, "p50": 50, "p75": 75, "p90": 90, "p99": 99}
+    cuts = exact_rank_values(
+        o,
+        "cents",
+        lambda n: {k: max(1, (p * n + 99) // 100) for k, p in pcts.items()},
+    ).get(None, {})
+    return spark.createDataFrame(
+        sorted((k, int(v)) for k, v in cuts.items()),
+        "pct string, cents long",
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.7 multiset forms: INTERSECT ALL / EXCEPT ALL keep duplicate
 # cardinalities (bag semantics), unlike their set-form siblings above.
 @query(
