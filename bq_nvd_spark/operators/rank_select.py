@@ -55,6 +55,7 @@ def exact_rank_values(
     rank_fn: Callable[[int], dict[str, int]],
     group_col: str | None = None,
     n_buckets: int = 8192,
+    weight_col: str | None = None,
 ) -> dict[GroupValue, dict[str, int]]:
     """Exact value of ``value_col`` at chosen ranks, per group.
 
@@ -67,6 +68,14 @@ def exact_rank_values(
     ``{group_value: {label: value_at_rank}}``; ungrouped calls
     (``group_col=None``) key the single group as ``None``.
 
+    ``weight_col`` makes the selection WEIGHTED: each row stands for
+    ``weight`` repetitions of its value (weights must be positive
+    integers), so ranks address the expanded multiset. This is the
+    census fast path: pre-aggregating a quantized domain to
+    ``(value, count)`` rows lets every selector scan run over the
+    distinct-value relation instead of the fact table — one fact scan
+    total, selector passes over a domain-bounded census.
+
     The value at rank k (ascending, ties collapsed onto one value) is
     tie-break-independent, so the result is deterministic and matches
     any engine's ``ROW_NUMBER() OVER (ORDER BY v <any tiebreak>)``
@@ -76,22 +85,21 @@ def exact_rank_values(
     # (2w-1); with fewer than 4 buckets a zero-straddling range could
     # fail to shrink between rounds, so clamp.
     n_buckets = max(int(n_buckets), 4)
-    if group_col is None:
-        rel = df.select(
-            F.lit(None).alias("__g"), F.col(value_col).cast("long").alias("__v")
-        )
-    else:
-        rel = df.select(
-            F.col(group_col).alias("__g"),
-            F.col(value_col).cast("long").alias("__v"),
-        )
-    rel = rel.filter(F.col("__v").isNotNull())
+    gexpr = (
+        F.lit(None) if group_col is None else F.col(group_col)
+    ).alias("__g")
+    wexpr = (
+        F.lit(1) if weight_col is None else F.col(weight_col)
+    ).cast("long").alias("__w")
+    rel = df.select(
+        gexpr, F.col(value_col).cast("long").alias("__v"), wexpr
+    ).filter(F.col("__v").isNotNull())
     stats = (
         rel.groupBy("__g")
         .agg(
             F.min("__v").alias("lo"),
             F.max("__v").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("__w").alias("n"),
         )
         .collect()
     )
@@ -145,10 +153,12 @@ def exact_rank_values(
                 )
             )
         hist = (
-            rel.select(F.explode(F.array(*entries)).alias("e"))
+            rel.select(
+                F.explode(F.array(*entries)).alias("e"), F.col("__w")
+            )
             .filter(F.col("e").isNotNull())
             .groupBy(F.col("e.t").alias("t"), F.col("e.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("__w").alias("c"))
             .collect()
         )
         counts: dict[int, dict[int, int]] = {}

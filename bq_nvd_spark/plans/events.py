@@ -486,16 +486,20 @@ def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numeric twin of text-quality outliers, and MAD is the robust scale
 # estimator that a few corrupt rows cannot drag the way stddev can.
 #
-# Scale shape: both per-type medians come from
-# operators/rank_select.exact_rank_values — histogram-refinement rank
-# selection, so each is a handful of map-side-combined column-pruned
-# scans and a ≤ types×8192-row shuffle. The earlier form ranked with
-# row_number() OVER (PARTITION BY event_type) — a ~5-key partition of
-# the whole fact table, i.e. five reducers each sorting 1/5th of
-# 100 TB, twice; no Window (and no sort) remains in the plan (pinned
-# by tests/test_rank_select.py). The 5-row median relations broadcast
-# into the deviation pass and the final gate is one map-side-combined
-# aggregation.
+# Scale shape: the fact table is scanned ONCE, into a per-(type,
+# cents) value census — a map-side-combined hash agg bounded by the
+# quantized domain (distinct cent values), not the row count. Both
+# medians then come from operators/rank_select.exact_rank_values in
+# WEIGHTED mode over that checkpointed census (each census row stands
+# for `count` events), the deviation relation is census⋈broadcast(5-row
+# medians), and the outlier gate re-aggregates census weights — every
+# post-census pass touches only the tiny relation. The earlier form
+# ranked with row_number() OVER (PARTITION BY event_type) — a ~5-key
+# partition of the whole fact table, i.e. five reducers each sorting
+# 1/5th of 100 TB, twice; no Window (and no sort) remains in the plan
+# (pinned by tests/test_rank_select.py), and even a pathological
+# all-distinct value column only degrades the census to row grain,
+# where the selector still never sorts.
 @query(
     "value_mad_outliers",
     oracle="""
@@ -546,21 +550,32 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type robust outlier census: lower-median cents, the median
     absolute deviation, and how many events sit more than 3 MADs from
     the median."""
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
     from bq_nvd_spark.operators.rank_select import exact_rank_values
 
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
-        "event_type",
-        (F.col("value").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
+    # ONE fact scan: the per-(type, cents) census; everything below
+    # runs over this domain-bounded relation.
+    vc = stage_checkpoint(
+        ev.select(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
 
     def lower_median(rel: DataFrame, col: str) -> DataFrame:
-        # exact element at rank (n+1)//2 per type — tie-break
+        # exact element at weighted rank (n+1)//2 per type — tie-break
         # independent, so it matches the oracle's ROW_NUMBER selection
         cuts = exact_rank_values(
-            rel, col, lambda n: {"m": (n + 1) // 2}, group_col="event_type"
+            rel,
+            col,
+            lambda n: {"m": (n + 1) // 2},
+            group_col="event_type",
+            weight_col="w",
         )
         rows = sorted(
             ((g, int(c["m"])) for g, c in cuts.items()),
@@ -570,10 +585,11 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, f"event_type string, med_{col} long"
         )
 
-    med = lower_median(v, "cents")
-    dev = v.join(F.broadcast(med), "event_type").select(
+    med = lower_median(vc, "cents")
+    dev = vc.join(F.broadcast(med), "event_type").select(
         "event_type",
         F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+        "w",
         "med_cents",
     )
     mad = lower_median(dev, "d").withColumnRenamed("med_d", "mad_cents")
@@ -583,9 +599,10 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("med_cents").alias("med_cents"),
             F.max("mad_cents").alias("mad_cents"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w").cast("long").alias("n_events"),
             F.sum(
-                F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)
+                F.when(F.col("d") > 3 * F.col("mad_cents"), F.col("w"))
+                .otherwise(0)
             )
             .cast("long")
             .alias("n_outliers"),

@@ -150,3 +150,29 @@ def test_rfm_buckets_match_ntile_on_distinct_values(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_weighted_selection_matches_expanded_multiset(spark):
+    """weight_col: (value, count) census rows must select identically
+    to the expanded multiset — the census fast path's correctness."""
+    rng = random.Random(42)
+    census = [
+        (g, v, rng.randint(1, 9))
+        for g in ("x", "y")
+        for v in rng.sample(range(-(10**6), 10**6), 40)
+    ]
+    df = spark.createDataFrame(census, "g string, v long, w long")
+    got = exact_rank_values(
+        df,
+        "v",
+        lambda n: {"med": (n + 1) // 2, "p90": max(1, (9 * n + 9) // 10)},
+        group_col="g",
+        weight_col="w",
+    )
+    for g in ("x", "y"):
+        expanded = sorted(
+            v for gg, v, w in census if gg == g for _ in range(w)
+        )
+        n = len(expanded)
+        assert got[g]["med"] == expanded[(n + 1) // 2 - 1]
+        assert got[g]["p90"] == expanded[max(1, (9 * n + 9) // 10) - 1]
