@@ -535,3 +535,41 @@ def test_upsert_store_auto_vacuum_caps_history(spark, tmp_path):
     assert store.read_at(spark, 0) is None
     got = {r["user_id"]: r["cents"] for r in store.current(spark).collect()}
     assert got == {0: 30, 1: 40, 2: 20}
+
+
+# --------------------------------------------------------------------------
+# exact_rank_values: for ANY weighted integer multiset (ties, negatives,
+# extreme magnitudes, singleton groups) and ANY rank fraction, the
+# selected value equals sorted(expanded multiset)[rank-1]. Property
+# form of tests/test_rank_select.py's fixed cases.
+_RANK_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_RANK_ROWS, pct=st.integers(min_value=1, max_value=100))
+@_SETTINGS
+def test_rank_select_matches_expanded_multiset(spark, rows, pct):
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
+
+    rank_of = lambda n: max(1, pct * n // 100)  # noqa: E731
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = exact_rank_values(
+        df,
+        "v",
+        lambda n: {"r": rank_of(n)},
+        group_col="g",
+        weight_col="w",
+        n_buckets=16,  # force multi-round refinement on wide spans
+    )
+    per_group = {}
+    for g, v, w in rows:
+        per_group.setdefault(g, []).extend([v] * w)
+    for g, vs in per_group.items():
+        assert got[g]["r"] == sorted(vs)[rank_of(len(vs)) - 1], (g, pct)
