@@ -576,6 +576,10 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda n: {"m": (n + 1) // 2},
             group_col="event_type",
             weight_col="w",
+            # wide single-round histograms: non-empty cells are bounded
+            # by the census's distinct values, so the driver-side
+            # collect stays census-sized no matter the bucket count
+            n_buckets=1 << 17,
         )
         rows = sorted(
             ((g, int(c["m"])) for g, c in cuts.items()),
