@@ -14,12 +14,14 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # rewrites (rank-select), the PMI broadcast-hint drop, the
 # contamination-matrix rare-gram cap, and both upsert-store queries
 # (vacuum hysteresis) — then 30 of the 33 names last checked in r4.
-# The three r4 names left outside the window (`lang_distribution`,
+# The four r4 names left outside the window (`lang_distribution`,
 # `token_counts_top20` — single-aggregate shapes whose code paths a
-# dozen in-window queries share — and `bag_except_order_dates`, whose
-# EXCEPT ALL twin `bag_intersect_order_dates` is in-window) stay the
-# OLDEST evidence in the registry at r4; every other query's latest
-# driver row is r5+ after this round.
+# dozen in-window queries share — `bag_except_order_dates`, whose
+# EXCEPT ALL twin `bag_intersect_order_dates` is in-window, and
+# `first_event_per_user_type`, whose partitioned-window-dedup path
+# `window_top3_customers_per_nation` + `streaming_dedup_keys` cover)
+# stay the OLDEST evidence in the registry at r4; every other query's
+# latest driver row is r5+ after this round.
 _DRIVER_PRIORITY = [
     # -- last driver row r2 (two rounds overdue) --
     "langid_ngram_pred",
@@ -37,6 +39,7 @@ _DRIVER_PRIORITY = [
     "nvd_assigner_stats",
     # -- new or changed in round 9 --
     "order_price_percentiles_exact",
+    "doc_length_percentiles_by_lang",
     "customer_rfm_segments",
     "value_mad_outliers",
     "collocation_pmi_top",
@@ -49,7 +52,6 @@ _DRIVER_PRIORITY = [
     "deterministic_sample_docs",
     "doc_rolling_fingerprint",
     "embedding_similar_pairs",
-    "first_event_per_user_type",
     "json_extract_props",
     "minhash_pairs_capped",
     "multimodal_binary_meta",

@@ -211,6 +211,73 @@ def oov_rate_by_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E4/E6 widening (round 9): per-language length profile — the exact
+# p50/p90/p99 document length every corpus pipeline inspects before
+# committing length-filter thresholds (a p99 cut per language, not one
+# global number, because languages' length distributions differ).
+#
+# Scale shape: the grouped-exact-percentile showcase of
+# operators/rank_select — ONE corpus scan into a per-(lang, n_chars)
+# census (map-side combined, bounded by languages × distinct lengths),
+# then all nine order statistics from one weighted stacked selection
+# over the checkpointed census; no Window, no sort, and the selector's
+# driver state is census-bounded. The same query over a ~5-key
+# partitioned window would re-create value_mad_outliers' pre-round-9
+# few-reducers-sort-the-corpus shape.
+@query(
+    "doc_length_percentiles_by_lang",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           MAX(CASE WHEN rn = (50*n + 99) // 100 THEN n_chars END)
+             AS p50_chars,
+           MAX(CASE WHEN rn = (90*n + 99) // 100 THEN n_chars END)
+             AS p90_chars,
+           MAX(CASE WHEN rn = (99*n + 99) // 100 THEN n_chars END)
+             AS p99_chars
+    FROM r GROUP BY lang
+    """,
+)
+def doc_length_percentiles_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-language length percentiles (values at ranks ⌈p·n⌉,
+    actual data elements), selected distributedly over a length
+    census — the oracle's per-lang ROW_NUMBER picks the same
+    tie-independent elements."""
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
+
+    docs = load_table(spark, sf_dir, "documents")
+    census = stage_checkpoint(
+        docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("w"))
+    )
+    cuts = exact_rank_values(
+        census,
+        "n_chars",
+        lambda n: {p: (int(p[1:]) * n + 99) // 100 for p in ("p50", "p90", "p99")},
+        group_col="lang",
+        weight_col="w",
+        n_buckets=1 << 17,
+    )
+    rows = sorted(
+        (
+            (g, int(c["p50"]), int(c["p90"]), int(c["p99"]))
+            for g, c in cuts.items()
+        ),
+        key=lambda r: (r[0] is None, r[0] or ""),
+    )
+    return spark.createDataFrame(
+        rows, "lang string, p50_chars long, p90_chars long, p99_chars long"
+    )
+
+
+# --------------------------------------------------------------------------
 # E6 widening: sliding-window document chunking — the context-window
 # prep step every LLM training/RAG pipeline runs before tokenization
 # (sequence_packing is the complement: it PACKS whole docs into fixed
