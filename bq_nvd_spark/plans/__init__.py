@@ -13,7 +13,7 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # percentiles (first driver check), the two single-task-window
 # rewrites (rank-select), the PMI broadcast-hint drop, the
 # contamination-matrix rare-gram cap, and both upsert-store queries
-# (vacuum hysteresis) — then 30 of the 33 names last checked in r4.
+# (vacuum hysteresis) — then 29 of the 33 names last checked in r4.
 # The four r4 names left outside the window (`lang_distribution`,
 # `token_counts_top20` — single-aggregate shapes whose code paths a
 # dozen in-window queries share — `bag_except_order_dates`, whose

@@ -232,6 +232,7 @@ def oov_rate_by_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM documents
+      WHERE n_chars IS NOT NULL
     )
     SELECT lang,
            MAX(CASE WHEN rn = (50*n + 99) // 100 THEN n_chars END)

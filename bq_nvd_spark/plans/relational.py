@@ -759,6 +759,7 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS cents
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     ),
     r AS (
       SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
@@ -786,10 +787,12 @@ def order_price_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("cents")
     )
     pcts = {"p25": 25, "p50": 50, "p75": 75, "p90": 90, "p99": 99}
+    # (p·n + 99) // 100 ≥ 1 for every n ≥ 1, p ≥ 25 — textually
+    # parallel to the oracle's unclamped rank formula
     cuts = exact_rank_values(
         o,
         "cents",
-        lambda n: {k: max(1, (p * n + 99) // 100) for k, p in pcts.items()},
+        lambda n: {k: (p * n + 99) // 100 for k, p in pcts.items()},
     ).get(None, {})
     return spark.createDataFrame(
         sorted((k, int(v)) for k, v in cuts.items()),
