@@ -508,6 +508,7 @@ def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
              event_id
       FROM events
+      WHERE value IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, cents,
@@ -557,7 +558,8 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE fact scan: the per-(type, cents) census; everything below
     # runs over this domain-bounded relation.
     vc = stage_checkpoint(
-        ev.select(
+        ev.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             (F.col("value").cast("decimal(18,2)") * 100)
             .cast("bigint")
