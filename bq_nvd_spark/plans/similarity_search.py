@@ -317,11 +317,75 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMILAR_COS = 0.40
 
+# Bucket-size cap for the corpus self-pair path (the twin of
+# plans/llm.py::PAIR_BUCKET_CAP on the MinHash side). Buckets with
+# 2..CAP members emit all pairs (≤ CAP²/2 each); an OVERSIZED bucket —
+# the degenerate case a dedup-worthy corpus is full of: mass
+# near-duplicates or zero-heavy vectors collapsing to one signature —
+# emits a STAR to its min-id member (m−1 pairs, not m(m−1)/2). The star
+# keeps a mass-duplicate cluster connected for the downstream connected
+# components (dropping the bucket, the naive cap, would leave the worst
+# duplicates un-deduped), while per-bucket output goes O(m). Fixture
+# max bucket sizes: 9 at sf0.01, 28 at sf0.1 — the star path is
+# exercised at bench scale and by the degenerate-bucket property test.
+EMB_BUCKET_CAP = 20
 
-@query(
-    "embedding_similar_pairs",
-    oracle=f"""
-    WITH e AS (
+
+def _emb_bucket_pairs(sig: DataFrame) -> DataFrame:
+    """Candidate (id_a,id_b,va,na,vb,nb) pairs from capped LSH buckets.
+
+    Input: (vec_id, v, nrm, bands). One groupBy per (band, bucket)
+    collects the sorted member array (the signature stage is evaluated
+    ONCE — a self-join would re-run the Arrow signature UDF on both
+    sides plus a bucket-size subtree); small buckets expand to all
+    pairs with index-aware HOFs, oversized buckets to the min-id star.
+    """
+    members = (
+        sig.select(
+            "vec_id", "v", "nrm",
+            F.posexplode("bands").alias("band_idx", "bucket"),
+        )
+        .groupBy("band_idx", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v", "nrm"))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    # all-pairs: flatten(transform(m, (a, i) -> transform(m[i+1:], b -> (a, b))))
+    all_pairs = F.flatten(
+        F.transform(
+            "m",
+            lambda a, i: F.transform(
+                F.slice("m", i + F.lit(2), F.size("m")),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    # star: (m[0], b) for every other member — O(m) per oversized bucket
+    star_pairs = F.transform(
+        F.slice("m", 2, F.size("m")),
+        lambda b: F.struct(F.element_at("m", 1).alias("a"), b.alias("b")),
+    )
+    emitted = F.when(F.size("m") <= EMB_BUCKET_CAP, all_pairs).otherwise(star_pairs)
+    return (
+        members.select(F.explode(emitted).alias("p"))
+        .select(
+            F.col("p.a.vec_id").alias("id_a"),
+            F.col("p.b.vec_id").alias("id_b"),
+            F.col("p.a.v").alias("va"),
+            F.col("p.a.nrm").alias("na"),
+            F.col("p.b.v").alias("vb"),
+            F.col("p.b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _duck_emb_pairs_cte() -> str:
+    """The oracle twin of ``_emb_bucket_pairs`` + cosine, as CTE text
+    ending in a ``pairs(id_a, id_b, sim)`` relation; shared verbatim by
+    ``embedding_similar_pairs`` and ``semantic_dedup_survivors`` so the
+    cap/star semantics can never drift between the two oracles."""
+    return f"""
+    e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     sig AS MATERIALIZED (
@@ -334,29 +398,57 @@ SIMILAR_COS = 0.40
       SELECT vec_id, v, nrm, b.band_idx, bands[b.band_idx + 1] AS bucket
       FROM sig, (SELECT UNNEST(range(0, 4)) AS band_idx) b
     ),
+    sized AS (
+      SELECT band_idx, bucket, COUNT(*) AS c, MIN(vec_id) AS min_id
+      FROM buckets GROUP BY band_idx, bucket HAVING COUNT(*) >= 2
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.v AS va, a.nrm AS na, b.v AS vb, b.nrm AS nb
+      FROM buckets a
+      JOIN buckets b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id
+      JOIN sized s  ON s.band_idx = a.band_idx AND s.bucket = a.bucket
+      WHERE s.c <= {EMB_BUCKET_CAP}
+      UNION
+      SELECT s.min_id, b.vec_id, ma.v, ma.nrm, b.v, b.nrm
+      FROM sized s
+      JOIN buckets b  ON b.band_idx = s.band_idx AND b.bucket = s.bucket
+                     AND b.vec_id > s.min_id
+      JOIN buckets ma ON ma.band_idx = s.band_idx AND ma.bucket = s.bucket
+                     AND ma.vec_id = s.min_id
+      WHERE s.c > {EMB_BUCKET_CAP}
+    ),
     pairs AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-             FLOOR({duck_fold_dot('a.v', 'b.v')} / (a.nrm * b.nrm) * 10000 + 0.5)
+      SELECT DISTINCT id_a, id_b,
+             FLOOR({duck_fold_dot('va', 'vb')} / (na * nb) * 10000 + 0.5)
                / 10000 AS sim
-      FROM buckets a JOIN buckets b
-        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-       AND a.vec_id < b.vec_id
-    )
+      FROM cand
+    )"""
+
+
+@query(
+    "embedding_similar_pairs",
+    oracle=f"""
+    WITH {_duck_emb_pairs_cte()}
     SELECT id_a, id_b, sim FROM pairs WHERE sim >= {SIMILAR_COS}
     """,
 )
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: embedding-cosine near-dup pairs — the vector-space twin of
     MinHash near-dedup. Candidates are corpus self-pairs sharing any LSH
-    band bucket (equi-join on (band, bucket), id_a < id_b halves the
-    pair space); only candidates pay the exact fold-ordered cosine, and
-    pairs at or above the threshold survive. The threshold is the only
-    dedup parameter: this corpus contains no true near-duplicates (max
-    pairwise cosine ~0.51), so the registered query runs the identical
-    plan at 0.40 to keep the correctness signal non-vacuous.
+    band bucket, emitted per bucket from its collected member array
+    (all pairs up to EMB_BUCKET_CAP members, the min-id star beyond —
+    see _emb_bucket_pairs); only candidates pay the exact fold-ordered
+    cosine, and pairs at or above the threshold survive. The threshold
+    is the only dedup parameter: this corpus contains no true
+    near-duplicates (max pairwise cosine ~0.51), so the registered
+    query runs the identical plan at 0.40 to keep the correctness
+    signal non-vacuous.
 
-    At 100 TB the bucket join is the whole story: the corpus never
-    cross-joins itself, shuffle keys are hash-uniform, and the cosine
+    At 100 TB the bucket relation is the whole story: the corpus never
+    cross-joins itself, shuffle keys are hash-uniform, per-bucket pair
+    output is bounded (CAP²/2 small, m−1 star), and the cosine
     threshold prunes before anything aggregates. Near-identical vectors
     agree on all bands, so recall at 0.99 cosine is near-exact.
     """
@@ -367,40 +459,18 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(fold_dot_np("v", "v")).alias("nrm"),
         band_buckets_np("v").alias("bands"),
     )
-    buckets = sig.select(
-        "vec_id", "v", "nrm", F.posexplode("bands").alias("band_idx", "bucket")
-    )
-    left = buckets.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "band_idx",
-        "bucket",
-    )
-    right = buckets.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "band_idx",
-        "bucket",
-    )
-    pairs = (
-        left.join(right, ["band_idx", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.floor(
-                    fold_dot_np("va", "vb") / (F.col("na") * F.col("nb")) * 10000
-                    + 0.5
-                )
-                / 10000
-            ).alias("sim"),
-        )
-        .distinct()
-    )
-    return pairs.filter(F.col("sim") >= SIMILAR_COS)
+    cand = _emb_bucket_pairs(sig)
+    return cand.select(
+        "id_a",
+        "id_b",
+        (
+            F.floor(
+                fold_dot_np("va", "vb") / (F.col("na") * F.col("nb")) * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("sim"),
+    ).filter(F.col("sim") >= SIMILAR_COS)
 
 
 # --------------------------------------------------------------------------
@@ -740,31 +810,14 @@ def ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semantic_dedup_survivors",
     oracle=f"""
-    WITH RECURSIVE e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    sig AS MATERIALIZED (
-      SELECT vec_id, v,
-             SQRT({duck_fold_dot('v', 'v')}) AS nrm,
-             {duck_band_buckets('v')}        AS bands
-      FROM e
-    ),
-    buckets AS (
-      SELECT vec_id, v, nrm, b.band_idx, bands[b.band_idx + 1] AS bucket
-      FROM sig, (SELECT UNNEST(range(0, 4)) AS band_idx) b
-    ),
-    pairs AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM buckets a JOIN buckets b
-        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-       AND a.vec_id < b.vec_id
-      WHERE FLOOR({duck_fold_dot('a.v', 'b.v')} / (a.nrm * b.nrm) * 10000 + 0.5)
-              / 10000 >= {SIMILAR_COS}
+    WITH RECURSIVE {_duck_emb_pairs_cte()},
+    edge AS (
+      SELECT id_a, id_b FROM pairs WHERE sim >= {SIMILAR_COS}
     ),
     sym AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
+      SELECT id_a AS a, id_b AS b FROM edge
       UNION ALL
-      SELECT id_b AS a, id_a AS b FROM pairs
+      SELECT id_b AS a, id_a AS b FROM edge
     ),
     walk(id, rep) AS (
       SELECT a, a FROM sym

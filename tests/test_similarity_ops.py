@@ -145,3 +145,88 @@ def test_pq_adc_recall_bound_holds_with_margin(spark, sf_dir):
             for x in v[m * sub : (m + 1) * sub]:
                 ref += x * x  # sequential fold, same order as the kernel
             assert r["d"][m] == ref
+
+
+# --------------------------------------------------------------------------
+# Degenerate-bucket bound for the embedding pair path: a mega-bucket of
+# identical vectors (THE dedup-worthy input — mass near-duplicates all
+# landing on one LSH signature) must emit the O(m) min-id star, never
+# O(m²) all-pairs, while buckets at or under EMB_BUCKET_CAP still emit
+# every pair. The star keeps the duplicate cluster connected so the
+# downstream connected components collapses it to one survivor.
+
+
+def _sig_of(spark, groups):
+    """(vec_id, v, nrm, bands) rows; groups = [(bucket_base, n, vec)]
+    puts n copies of vec into 4 band buckets derived from bucket_base."""
+    rows = []
+    next_id = 0
+    for base, n, vec in groups:
+        nrm = sum(x * x for x in vec) ** 0.5
+        for _ in range(n):
+            rows.append((next_id, vec, nrm, [base] * 4))
+            next_id += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, v array<double>, nrm double, bands array<int>"
+    )
+
+
+def test_emb_bucket_pairs_degenerate_star(spark):
+    from bq_nvd_spark.plans.similarity_search import (
+        EMB_BUCKET_CAP,
+        _emb_bucket_pairs,
+    )
+
+    n = 500  # all-pairs would be 124750 rows; the star bound is n-1
+    sig = _sig_of(spark, [(7, n, [1.0, 1.0, 1.0, 1.0])])
+    got = _emb_bucket_pairs(sig).collect()
+    assert len(got) == n - 1
+    assert all(r.id_a == 0 and r.id_b > 0 for r in got)  # min-id star
+    assert len({r.id_b for r in got}) == n - 1
+
+    # the star edges keep the duplicate cluster CONNECTED: one survivor
+    from bq_nvd_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(r.id_a, r.id_b) for r in got], "src long, dst long"
+    )
+    cc = connected_components(edges, max_iter=10)
+    assert {r.cluster_id for r in cc.collect()} == {0}
+    assert cc.count() == n
+
+    # at-cap bucket: full pair emission, ordered and distinct
+    cap = EMB_BUCKET_CAP
+    at_cap = _emb_bucket_pairs(_sig_of(spark, [(3, cap, [1.0, 0.0])])).collect()
+    assert len(at_cap) == cap * (cap - 1) // 2
+    assert all(r.id_a < r.id_b for r in at_cap)
+    # one past the cap: star (cap pairs), not C(cap+1, 2)
+    over = _emb_bucket_pairs(_sig_of(spark, [(3, cap + 1, [1.0, 0.0])]))
+    assert over.count() == cap
+
+    # singleton and empty buckets emit nothing
+    assert _emb_bucket_pairs(_sig_of(spark, [(1, 1, [1.0])])).count() == 0
+    assert _emb_bucket_pairs(_sig_of(spark, [])).count() == 0
+
+
+def test_emb_bucket_pairs_mixed_buckets(spark):
+    """A mega-bucket's star must not suppress all-pairs emission from
+    healthy buckets, and a pair seen in two buckets collapses to one
+    candidate row (the dropDuplicates contract the scorer relies on)."""
+    from bq_nvd_spark.plans.similarity_search import (
+        EMB_BUCKET_CAP,
+        _emb_bucket_pairs,
+    )
+
+    mega = (5, EMB_BUCKET_CAP + 10, [1.0, 1.0])
+    trio = (9, 3, [0.5, 0.5])
+    sig = _sig_of(spark, [mega, trio])
+    got = {(r.id_a, r.id_b) for r in _emb_bucket_pairs(sig).collect()}
+    m = EMB_BUCKET_CAP + 10
+    star = {(0, b) for b in range(1, m)}
+    trio_ids = [m, m + 1, m + 2]
+    all3 = {
+        (trio_ids[0], trio_ids[1]),
+        (trio_ids[0], trio_ids[2]),
+        (trio_ids[1], trio_ids[2]),
+    }
+    assert got == star | all3
