@@ -154,13 +154,45 @@ def main() -> None:
     # The driver captures stdout, which has truncated the per-query tail
     # at ~100 queries; the sidecar file always carries the complete
     # payload (committed per round as the durable record).
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as fh:
-        fh.write(line + "\n")
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    if _sidecar_writable(sidecar, payload):
+        with open(sidecar, "w") as fh:
+            fh.write(line + "\n")
     print(line)
     spark.stop()
+
+
+def _sidecar_writable(sidecar: str, payload: dict) -> bool:
+    """Refuse to clobber the committed full-scale record with a smoke run.
+
+    A dev-loop run (lower sf, or a SPARK_GRAFT_BENCH_ONLY subset) once
+    overwrote the round's sf0.1 record one commit before the snapshot;
+    the sidecar is the round's durable benchmark evidence, so a run
+    that is smaller on EITHER axis (sf, query count) than the existing
+    record is not allowed to replace it unless SPARK_GRAFT_BENCH_FORCE=1.
+    Unreadable/absent sidecars are always writable."""
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
+        return True
+    try:
+        with open(sidecar) as fh:
+            existing = json.loads(fh.read())
+        old_sf = float(existing.get("sf", 0))
+        old_n = int(existing.get("n_queries", 0))
+    except (OSError, ValueError, TypeError):
+        return True
+    new_sf = payload["sf"] if isinstance(payload["sf"], float) else 0.0
+    if new_sf < old_sf or payload["n_queries"] < old_n:
+        print(
+            f"# sidecar guard: NOT overwriting {sidecar} "
+            f"(existing sf={old_sf} n={old_n}; this run sf={new_sf} "
+            f"n={payload['n_queries']}). Set SPARK_GRAFT_BENCH_FORCE=1 "
+            "to override.",
+            file=sys.stderr,
+        )
+        return False
+    return True
 
 
 if __name__ == "__main__":
