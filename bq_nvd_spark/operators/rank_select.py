@@ -48,6 +48,14 @@ from pyspark.sql import functions as F
 
 GroupValue = object  # a group-column value, or None for ungrouped calls
 
+# Refinement rounds build one `when()` entry per live (group, label)
+# target into a per-row array — O(rows × targets) scan work and
+# groups×labels driver state. The low-cardinality design constraint
+# (module docstring) is enforced here so a high-cardinality group_col
+# fails loudly instead of degrading into a huge per-row expression and
+# driver collect; raise it only for a workload you have measured.
+MAX_LIVE_TARGETS = 4096
+
 
 def exact_rank_values(
     df: DataFrame,
@@ -56,6 +64,7 @@ def exact_rank_values(
     group_col: str | None = None,
     n_buckets: int = 8192,
     weight_col: str | None = None,
+    max_targets: int = MAX_LIVE_TARGETS,
 ) -> dict[GroupValue, dict[str, int]]:
     """Exact value of ``value_col`` at chosen ranks, per group.
 
@@ -100,9 +109,29 @@ def exact_rank_values(
             F.min("__v").alias("lo"),
             F.max("__v").alias("hi"),
             F.sum("__w").alias("n"),
+            # weight-contract check rides the same aggregate for free:
+            # one extra min column, no extra pass.
+            F.min("__w").alias("wmin"),
+            F.count(F.lit(1)).alias("nrows"),
+            F.count("__w").alias("nweights"),
         )
         .collect()
     )
+    if weight_col is not None:
+        for row in stats:
+            if row["nweights"] < row["nrows"] or (
+                row["wmin"] is not None and row["wmin"] <= 0
+            ):
+                raise ValueError(
+                    f"weight_col {weight_col!r} must be positive integers: "
+                    f"group {row['__g']!r} has min weight {row['wmin']!r}"
+                    + (
+                        " and NULL weights"
+                        if row["nweights"] < row["nrows"]
+                        else ""
+                    )
+                    + " — NULL/zero/negative weights silently skew ranks"
+                )
 
     out: dict[GroupValue, dict[str, int]] = {}
     # (group, label) -> candidate range [lo, hi] + residual rank within it
@@ -120,6 +149,15 @@ def exact_rank_values(
                 live[(g, label)] = {
                     "lo": row["lo"], "hi": row["hi"], "rank": rank,
                 }
+
+    if len(live) > max_targets:
+        raise ValueError(
+            f"{len(live)} live (group, label) targets exceed max_targets="
+            f"{max_targets}: exact_rank_values is designed for "
+            "LOW-cardinality group columns (each refinement scan does "
+            "O(rows x targets) work). Use Window.partitionBy(group) for "
+            "high-cardinality groups, or raise max_targets deliberately."
+        )
 
     while live:
         tlist = list(live.items())

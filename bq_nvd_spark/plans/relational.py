@@ -2024,29 +2024,42 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cents
       FROM orders GROUP BY o_custkey
     ),
-    ranked AS (
-      SELECT m.*,
-             ROW_NUMBER() OVER (ORDER BY last_order) AS rr,
-             ROW_NUMBER() OVER (ORDER BY n_orders)   AS rf,
-             ROW_NUMBER() OVER (ORDER BY cents)      AS rm,
-             COUNT(*) OVER () AS n
-      FROM m
-    ),
-    -- the VALUE at rank ⌈k·n/4⌉ is tie-break independent, so the
-    -- arbitrary ROW_NUMBER tie order above cannot change a cutoff
-    cut AS (
+    -- each metric ranks its NON-NULL values only (the engine's rank
+    -- selector drops NULLs per metric before computing n and ranks; an
+    -- all-NULL customer must not shift another metric's cutoffs). The
+    -- VALUE at rank ⌈k·n/4⌉ is tie-break independent, so the arbitrary
+    -- ROW_NUMBER tie order cannot change a cutoff.
+    cutr AS (
       SELECT
         MAX(CASE WHEN rr = (1*n + 3) // 4 THEN last_order END) AS cr1,
         MAX(CASE WHEN rr = (2*n + 3) // 4 THEN last_order END) AS cr2,
-        MAX(CASE WHEN rr = (3*n + 3) // 4 THEN last_order END) AS cr3,
-        MAX(CASE WHEN rf = (1*n + 3) // 4 THEN n_orders END)   AS cf1,
-        MAX(CASE WHEN rf = (2*n + 3) // 4 THEN n_orders END)   AS cf2,
-        MAX(CASE WHEN rf = (3*n + 3) // 4 THEN n_orders END)   AS cf3,
-        MAX(CASE WHEN rm = (1*n + 3) // 4 THEN cents END)      AS cm1,
-        MAX(CASE WHEN rm = (2*n + 3) // 4 THEN cents END)      AS cm2,
-        MAX(CASE WHEN rm = (3*n + 3) // 4 THEN cents END)      AS cm3
-      FROM ranked
-    )
+        MAX(CASE WHEN rr = (3*n + 3) // 4 THEN last_order END) AS cr3
+      FROM (SELECT last_order,
+                   ROW_NUMBER() OVER (ORDER BY last_order) AS rr,
+                   COUNT(*) OVER () AS n
+            FROM m WHERE last_order IS NOT NULL)
+    ),
+    cutf AS (
+      SELECT
+        MAX(CASE WHEN rf = (1*n + 3) // 4 THEN n_orders END) AS cf1,
+        MAX(CASE WHEN rf = (2*n + 3) // 4 THEN n_orders END) AS cf2,
+        MAX(CASE WHEN rf = (3*n + 3) // 4 THEN n_orders END) AS cf3
+      FROM (SELECT n_orders,
+                   ROW_NUMBER() OVER (ORDER BY n_orders) AS rf,
+                   COUNT(*) OVER () AS n
+            FROM m WHERE n_orders IS NOT NULL)
+    ),
+    cutm AS (
+      SELECT
+        MAX(CASE WHEN rm = (1*n + 3) // 4 THEN cents END) AS cm1,
+        MAX(CASE WHEN rm = (2*n + 3) // 4 THEN cents END) AS cm2,
+        MAX(CASE WHEN rm = (3*n + 3) // 4 THEN cents END) AS cm3
+      FROM (SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents) AS rm,
+                   COUNT(*) OVER () AS n
+            FROM m WHERE cents IS NOT NULL)
+    ),
+    cut AS (SELECT * FROM cutr, cutf, cutm)
     SELECT custkey, last_order, n_orders, cents, r, f, mo,
            CAST(r * 100 + f * 10 + mo AS BIGINT) AS segment
     FROM (

@@ -74,23 +74,25 @@ class ParquetUpsertStore:
         superseded bucket-version directories without bound —
         O(batches × n_buckets) disk).
 
-        ``vacuum_slack`` is the hysteresis band (default
-        ``max(1, max_history // 4)``): each auto-vacuum trims to
-        ``max_history - vacuum_slack`` snapshots, so the next trigger
+        ``vacuum_slack`` is the hysteresis band: each auto-vacuum trims
+        to ``max_history - vacuum_slack`` snapshots, so the next trigger
         is ``vacuum_slack + 1`` batches away and the vacuum's
         full-store directory scan amortizes instead of running on
         EVERY batch once the stream reaches the cap. Retention is
         therefore ``max_history - vacuum_slack ≤ retained ≤
         max_history``; ``read_at`` is only guaranteed for the last
-        ``max_history - vacuum_slack`` commits. Pass a larger
-        ``max_history`` (or call ``vacuum`` manually with your own
-        policy) if you need deeper history; ``vacuum_slack=0`` restores
-        the exact-cap (vacuum-every-batch-at-cap) behavior."""
+        ``max_history - vacuum_slack`` commits. The DEFAULT is 0 —
+        exact-cap retention, vacuum every batch at the cap — so the
+        documented ``read_at`` depth of ``max_history`` holds for
+        every caller that doesn't opt out; long-lived streams that
+        prefer amortized vacuums over the last few snapshots of
+        time-travel depth (this package's own streaming upsert/CDC
+        queries do) should pass ``max(1, max_history // 4)``."""
         self.root = root
         self.n_buckets = n_buckets
         self.max_history = max(int(max_history), 1)
         if vacuum_slack is None:
-            vacuum_slack = max(1, self.max_history // 4)
+            vacuum_slack = 0
         self.vacuum_slack = min(max(int(vacuum_slack), 0),
                                 self.max_history - 1)
         os.makedirs(root, exist_ok=True)
@@ -418,7 +420,12 @@ def run_upsert_totals_stream(
     streaming engine's fixed per-batch cost from per-row work."""
     stage = os.path.join(work, "stage")
     schema = _staged_event_chunks(spark, sf_dir, stage, n=n_chunks)
-    store = ParquetUpsertStore(os.path.join(work, "store"))
+    store = ParquetUpsertStore(
+        os.path.join(work, "store"),
+        # long-lived stream: amortize the at-cap vacuum scan, trading
+        # the last max_history//4 snapshots of read_at depth
+        vacuum_slack=8,
+    )
 
     raw = (
         spark.readStream.schema(schema)
@@ -514,7 +521,12 @@ def streaming_cdc_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _durable_workdir("cdc")
     stage = os.path.join(work, "stage")
     schema = _staged_event_chunks(spark, sf_dir, stage, n=4)
-    store = ParquetUpsertStore(os.path.join(work, "store"))
+    store = ParquetUpsertStore(
+        os.path.join(work, "store"),
+        # long-lived stream: amortize the at-cap vacuum scan, trading
+        # the last max_history//4 snapshots of read_at depth
+        vacuum_slack=8,
+    )
 
     raw = (
         spark.readStream.schema(schema)

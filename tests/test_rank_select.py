@@ -176,3 +176,98 @@ def test_weighted_selection_matches_expanded_multiset(spark):
         n = len(expanded)
         assert got[g]["med"] == expanded[(n + 1) // 2 - 1]
         assert got[g]["p90"] == expanded[max(1, (9 * n + 9) // 10) - 1]
+
+
+def test_bad_weights_fail_loudly(spark):
+    """Zero, negative, and NULL weights violate the positive-integer
+    weight contract and must raise immediately (they would otherwise
+    silently skew n and every rank)."""
+    import pytest
+
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
+
+    med = lambda n: {"med": (n + 1) // 2}  # noqa: E731
+    for bad in (0, -3):
+        df = spark.createDataFrame(
+            [(1, 2), (5, bad), (9, 1)], "v long, w long"
+        )
+        with pytest.raises(ValueError, match="positive integers"):
+            exact_rank_values(df, "v", med, weight_col="w")
+    null_w = spark.createDataFrame(
+        [(1, 2), (5, None), (9, 1)], "v long, w long"
+    )
+    with pytest.raises(ValueError, match="NULL weights"):
+        exact_rank_values(null_w, "v", med, weight_col="w")
+    # the unweighted path is unaffected by a bad column lying around
+    got = exact_rank_values(null_w, "v", med)
+    assert got[None]["med"] == 5
+
+
+def test_live_target_cap_fails_loudly(spark):
+    """A high-cardinality group_col must raise, not crawl: each
+    refinement scan does O(rows x targets) work by design."""
+    import pytest
+
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
+
+    df = spark.createDataFrame(
+        [(g, v) for g in range(40) for v in (1, 10**9 + g)],
+        "g long, v long",
+    )
+    with pytest.raises(ValueError, match="max_targets"):
+        exact_rank_values(
+            df, "v", lambda n: {"med": (n + 1) // 2},
+            group_col="g", max_targets=10,
+        )
+    # raising the cap deliberately still works
+    got = exact_rank_values(
+        df, "v", lambda n: {"med": (n + 1) // 2},
+        group_col="g", max_targets=40,
+    )
+    assert len(got) == 40 and got[0]["med"] == 1
+
+
+def test_rfm_null_metric_customers_match_oracle(spark, tmp_path):
+    """ADVICE r9: a customer whose o_totalprice (or o_orderdate) values
+    are all NULL must not shift another metric's quartile cutoffs — the
+    engine's rank selector drops NULL metric values, and the oracle now
+    ranks each metric's non-null values only. Hostile fixture: all-NULL
+    date customers, all-NULL price customers, mixed-NULL customers."""
+    import datetime
+
+    import duckdb
+
+    from bq_nvd_spark.oracle_compare import rowset
+    from bq_nvd_spark.plans import ORACLES, QUERIES
+
+    rows = []
+    d0 = datetime.datetime(1995, 1, 1)
+    for ck in range(1, 21):
+        for j in range(ck % 3 + 1):
+            date = None if ck % 5 == 0 else d0 + datetime.timedelta(
+                days=ck * 7 + j
+            )
+            price = None if ck % 4 == 0 else float(100 * ck + j)
+            if ck == 13 and j == 0:
+                price = None  # mixed: some NULL some not within a customer
+            rows.append((ck * 10 + j, ck, "O", price, date, "1-URGENT"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+
+    sdf = QUERIES["customer_rfm_segments"](spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    rel = con.sql(ORACLES["customer_rfm_segments"])
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    s_norm = rowset(sdf.columns, [tuple(r) for r in sdf.collect()])
+    d_norm = rowset(rel.columns, rel.fetchall())
+    assert s_norm == d_norm
