@@ -101,14 +101,14 @@ def deltas_only(incoming: DataFrame, existing_ids: DataFrame) -> DataFrame:
     stored — existing rows win, late modifications are dropped (reference
     etl.py:80-92, §1.4 of SURVEY.md).
 
-    ``existing_ids`` must expose an ``ID`` column. Broadcast is a hint:
-    at NVD scale (~300k IDs × ~20 bytes) the ID set is a few MB —
-    broadcast-hash anti join, no shuffle of the incoming side. If the ID
-    side ever outgrows the broadcast threshold Spark falls back to a
-    shuffled anti join on its own.
+    ``existing_ids`` must expose an ``ID`` column. No broadcast hint:
+    at NVD scale (~300k IDs × ~20 bytes) the ID set is a few MB, so the
+    planner/AQE picks a broadcast-hash anti join from the observed size
+    (no shuffle of the incoming side) — while a forced hint would be
+    honored even if the stored-ID side someday outgrew executor memory.
     """
     return incoming.join(
-        F.broadcast(existing_ids.select("ID")),
+        existing_ids.select("ID"),
         F.col(ID_COL) == F.col("ID"),
         "left_anti",
     )

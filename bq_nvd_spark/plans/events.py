@@ -258,7 +258,7 @@ def monthly_urgent_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
     ).cast("int")
     rev = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", mo.alias("mo"))
         .agg(

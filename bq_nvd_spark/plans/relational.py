@@ -110,7 +110,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
@@ -158,8 +158,8 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -462,7 +462,8 @@ def set_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# J3 broadcast chain: orders per region through two broadcast dims.
+# J3 broadcast chain: orders per region through the nation/region
+# constants (hinted) and the AQE-sized customer dim.
 @query(
     "orders_per_region",
     oracle="""
@@ -480,7 +481,7 @@ def orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
@@ -512,8 +513,9 @@ def orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact join shuffles on orderkey; both dims broadcast; the
-    date filter pushes into the orders scan."""
+    """Fact-fact join shuffles on orderkey; nation broadcasts (hinted
+    constant), customer broadcasts by AQE size; the date filter pushes
+    into the orders scan."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -528,7 +530,7 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg((F.round(rev, 2) * 100).cast("bigint").alias("revenue_cents"))
@@ -563,7 +565,7 @@ def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     wide = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .pivot("o_orderpriority", list(_PRIORITIES))
         .agg(F.count(F.lit(1)))
@@ -638,13 +640,14 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING compiles to a post-aggregation filter; the fact-fact join
-    shuffles once on orderkey, the customer dim broadcasts."""
+    shuffles once on orderkey, the customer dim broadcasts via AQE
+    (no hint: customer grows with SF)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"),
@@ -953,7 +956,7 @@ def q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # TPC-H q14 shape: promo-revenue share — a ratio of two exact decimal
-# sums over a broadcast dim join. The division happens once, on doubles
+# sums over an AQE-sized dim join (part grows with SF, so no hint). The division happens once, on doubles
 # converted from exact sums, then floor-fixed — deterministic end to end.
 @query(
     "q14_promo_share",
@@ -984,7 +987,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(30,10)"
     )
     promo = F.col("p_type") == "PROMO"
-    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
     return joined.agg(
         (
             F.floor(
@@ -1105,7 +1108,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(pq, F.col("pq_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -1161,7 +1164,7 @@ def q19_banded_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(30,10)"
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(
             band("Brand#12", 1, 15, 1, 11)
             | band("Brand#23", 16, 30, 10, 20)
@@ -1343,8 +1346,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(
@@ -1425,10 +1428,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
@@ -1498,7 +1501,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     l1 = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > late_cut)
     )
@@ -1576,7 +1579,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-(part, supplier) observed minimum unit price; one shuffle on
     # the composite key, map-side partial MIN combines first.
     cost = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -1591,7 +1594,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
-        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
@@ -1650,8 +1653,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * 0.6
     ).cast("decimal(30,10)")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -1708,7 +1711,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cutoff and the filtered output, and without the checkpoint Spark
     # replays the fact scan + three joins + groupBy for each consumer.
     partval = stage_checkpoint(
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("l_partkey")
@@ -1784,7 +1787,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(top))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1796,7 +1799,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H q16 shape: supplier census per part attribute triple — a
 # NOT-IN exclusion (suppliers in deficit, the "complaints" analog)
-# turned into a broadcast anti join, then COUNT(DISTINCT) per
+# turned into an AQE-sized anti join, then COUNT(DISTINCT) per
 # (brand, type, size). The distinct runs as a two-stage hash aggregate
 # (partial distinct map-side), so the Zipfian brand skew never
 # concentrates raw rows on one reducer.
@@ -1827,9 +1830,9 @@ def q16_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(deficit),
+            deficit,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -1843,8 +1846,8 @@ def q16_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # part family — the nested IN chain (supplier IN (... partkey IN
 # (...) HAVING SUM(qty) > cutoff)) decorrelated to an aggregate-then-
 # semi-join pipeline. The inner aggregate shuffles on the composite
-# (suppkey, partkey); the outer probe is a broadcast semi join of the
-# (small) qualifying supplier-key set against the region-filtered
+# (suppkey, partkey); the outer probe is a semi join of the (small,
+# AQE-sized) qualifying supplier-key set against the region-filtered
 # supplier dim.
 @query(
     "q20_excess_volume_suppliers",
@@ -1877,7 +1880,7 @@ def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     excess = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
         .filter(F.col("qty") > 40)
@@ -1890,7 +1893,7 @@ def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(
-            F.broadcast(excess),
+            excess,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )

@@ -382,10 +382,13 @@ def streaming_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape every event pipeline runs (enrich the stream with slowly-
 # changing reference data). Unlike a stream-stream join this keeps NO
 # join state: the static side is re-resolved per micro-batch and
-# broadcast, so the stream side never shuffles and state stays empty no
-# matter how long the stream runs. At 100 TB/day of events with a
-# dimension of millions of rows this is the only join shape that does
-# not grow with time.
+# broadcast while its STATIC size estimate (parquet stats; AQE is
+# disabled inside streaming queries) stays under the threshold — no
+# hint, because the customer dim grows with SF and a forced broadcast
+# of a warehouse-scale dim would OOM every micro-batch. Past the
+# threshold the planner shuffles the (small) batch against the dim
+# instead; either way join state stays empty no matter how long the
+# stream runs, which is what keeps this shape viable at 100 TB/day.
 @query(
     "streaming_static_enrich",
     oracle="""
@@ -404,7 +407,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    enriched = ev.join(F.broadcast(cust), "user_id")
+    enriched = ev.join(cust, "user_id")
     agg = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
