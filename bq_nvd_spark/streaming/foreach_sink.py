@@ -410,14 +410,23 @@ def _durable_workdir(tag: str) -> str:
 
 
 def run_upsert_totals_stream(
-    spark: SparkSession, sf_dir: str, work: str, n_chunks: int
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    n_chunks: int,
+    progress: list | None = None,
 ) -> DataFrame:
     """The upsert-totals pipeline with a parameterizable micro-batch
     count: stage the events into ``n_chunks`` file chunks, stream them
     through a foreachBatch merge sink (one batch per chunk), and return
     the final store's lazy scan. Shared by the registered query (n=4)
     and scripts/streaming_floor.py, which sweeps n to separate the
-    streaming engine's fixed per-batch cost from per-row work."""
+    streaming engine's fixed per-batch cost from per-row work.
+
+    ``progress``, when passed, receives one StreamingQueryProgress dict
+    per micro-batch (the engine's own durationMs decomposition) —
+    scripts/streaming_floor_profile.py uses it to attribute the
+    per-batch floor to planning / WAL / state / sink."""
     stage = os.path.join(work, "stage")
     schema = _staged_event_chunks(spark, sf_dir, stage, n=n_chunks)
     store = ParquetUpsertStore(
@@ -450,14 +459,16 @@ def run_upsert_totals_stream(
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        (
+        q = (
             partials.writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
-            .awaitTermination()
         )
+        q.awaitTermination()
+        if progress is not None:
+            progress.extend(json.loads(p.json) for p in q.recentProgress)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     final = store.current(spark)

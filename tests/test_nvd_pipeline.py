@@ -266,3 +266,109 @@ def test_corrupt_feed_audit_and_failfast(spark, tmp_path):
     # FAILFAST mirrors the reference's abort-on-bad-JSON
     with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
         read_feed(spark, bad, mode="FAILFAST").count()
+
+
+# --------------------------------------------------------------------------
+# Scale rehearsal: a synthetic multi-year backfill (~100k CVEs, the size
+# of the real NVD corpus) through bootstrap → incremental →
+# first-write-wins, plus an explain-plan assertion that year-scoped
+# reads actually PRUNE the per-year partitions (the store's entire
+# reason for partitioning by year(publishedDate)).
+def _synth_feed_gz(path: str, year: int, n: int, start: int = 0) -> list[str]:
+    """Write a minimal-but-schema-valid year feed of n CVEs; returns IDs."""
+    ids = [f"CVE-{year}-{start + i:05d}" for i in range(n)]
+    items = [
+        {
+            "cve": {
+                "CVE_data_meta": {"ID": cve_id, "ASSIGNER": "synth@example"},
+                "description": {
+                    "description_data": [
+                        {"lang": "en", "value": f"synthetic entry {cve_id}"}
+                    ]
+                },
+            },
+            "publishedDate": f"{year}-{(i % 12) + 1:02d}-{(i % 27) + 1:02d}"
+            f"T{(i % 24):02d}:00Z",
+            "lastModifiedDate": f"{year}-12-31T00:00Z",
+        }
+        for i, cve_id in enumerate(ids)
+    ]
+    with gzip.open(path, "wt") as fh:
+        json.dump({"CVE_data_format": "MITRE", "CVE_Items": items}, fh)
+    return ids
+
+
+def test_backfill_100k_bootstrap_incremental_and_partition_pruning(
+    spark, tmp_path
+):
+    years = {2018: 24_000, 2019: 26_000, 2020: 25_000, 2021: 25_000}
+    feeds = []
+    for year, n in years.items():
+        p = str(tmp_path / f"nvdcve-1.1-{year}.json.gz")
+        _synth_feed_gz(p, year, n)
+        feeds.append(p)
+    # recent: 500 re-publications of 2021 entries (must lose, first write
+    # wins) + 500 genuinely new 2021 entries (must load)
+    recent = str(tmp_path / "nvdcve-1.1-recent.json.gz")
+    overlap_ids = [f"CVE-2021-{i:05d}" for i in range(500)]
+    new_ids = [f"CVE-2021-{25_000 + i:05d}" for i in range(500)]
+    combined = []
+    for i, cve_id in enumerate(overlap_ids + new_ids):
+        combined.append(
+            {
+                "cve": {
+                    "CVE_data_meta": {"ID": cve_id, "ASSIGNER": "synth@example"},
+                    "description": {
+                        "description_data": [
+                            {"lang": "en", "value": f"republished {cve_id}"}
+                        ]
+                    },
+                },
+                "publishedDate": f"2021-{(i % 12) + 1:02d}-01T00:00Z",
+                "lastModifiedDate": "2022-06-01T00:00Z",
+            }
+        )
+    with gzip.open(recent, "wt") as fh:
+        json.dump({"CVE_data_format": "MITRE", "CVE_Items": combined}, fh)
+
+    store = NvdStore(spark, str(tmp_path / "store"))
+    total = sum(years.values())
+
+    # Bootstrap: greenfield (< threshold) loads every year feed fully
+    results = run(spark, store, feeds, recent, bootstrap_threshold=1000)
+    assert [r.loaded for r in results] == list(years.values())
+    assert store.count_cves() == total
+
+    # Brownfield: incremental loads ONLY the 500 genuinely-new entries
+    results = run(spark, store, feeds, recent, bootstrap_threshold=1000)
+    assert [(r.loaded, r.skipped) for r in results] == [(500, False)]
+    assert store.count_cves() == total + 500
+
+    # First-write-wins: a re-published entry kept its ORIGINAL
+    # lastModifiedDate (2021-12-31, not the recent feed's 2022-06-01)
+    kept = (
+        store.read()
+        .filter(F.col(ID_COL) == "CVE-2021-00003")
+        .select("lastModifiedDate")
+        .collect()
+    )
+    assert len(kept) == 1
+    assert kept[0][0].year == 2021
+
+    # Partition pruning: a year-scoped read pushes a PartitionFilters
+    # entry on _pub_year and the executed scan reads ONE partition of
+    # the five on disk (the scan leaf's numPartitions metric counts
+    # partitions actually read after pruning)
+    scoped = store.read().filter(F.col("_pub_year") == 2019).select(ID_COL)
+    rows = scoped.collect()
+    assert len(rows) == years[2019]
+    plan = scoped._jdf.queryExecution().executedPlan()
+    assert "PartitionFilters" in plan.toString() and "_pub_year" in (
+        plan.toString().split("PartitionFilters")[1][:200]
+    ), plan.toString()[:2000]
+    scan = plan.collectLeaves().apply(0)
+    assert scan.metrics().apply("numPartitions").value() == 1
+
+    # on-disk layout: one directory per year (+ the ensure()-time marker)
+    dirs = {n for n in os.listdir(store.path) if n.startswith("_pub_year=")}
+    assert {f"_pub_year={y}" for y in years} <= dirs
