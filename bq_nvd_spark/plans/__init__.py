@@ -7,75 +7,73 @@ with every declared operator from SURVEY.md §2.
 from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 
 # The external correctness driver verifies the FIRST 50 registered queries
-# (registration order == dict insertion order).  Round-9 rotation: the 13
-# names whose only driver evidence dated to r2 lead (two rounds overdue),
-# then every query new or changed this round — the new exact global
-# percentiles (first driver check), the two single-task-window
-# rewrites (rank-select), the PMI broadcast-hint drop, the
-# contamination-matrix rare-gram cap, and both upsert-store queries
-# (vacuum hysteresis) — then 29 of the 33 names last checked in r4.
-# The four r4 names left outside the window (`lang_distribution`,
-# `token_counts_top20` — single-aggregate shapes whose code paths a
-# dozen in-window queries share — `bag_except_order_dates`, whose
-# EXCEPT ALL twin `bag_intersect_order_dates` is in-window, and
-# `first_event_per_user_type`, whose partitioned-window-dedup path
-# `window_top3_customers_per_nation` + `streaming_dedup_keys` cover)
-# stay the OLDEST evidence in the registry at r4; every other query's
-# latest driver row is r5+ after this round.
+# (registration order == dict insertion order).  Round-10 rotation: the 4
+# names whose only driver evidence dated to r4 lead (lang_distribution,
+# token_counts_top20, bag_except_order_dates, first_event_per_user_type —
+# the last of the old-evidence backlog), then every query round 10
+# changed: the capped embedding LSH pair path and its dedup consumer,
+# the RFM NULL-parity oracle, the two upsert-store queries (vacuum
+# hysteresis now opt-in at the call sites), value_mad_outliers (shares
+# the rank-selector guards), and the 21 queries whose data-proportional
+# broadcast hints were removed (plans must stay green AND fast without
+# the hints), then the 19 alphabetically-first names whose latest
+# evidence is r5. After this round no query's latest driver row is
+# older than r5, and 20 r5-era names remain for the r11 window.
 _DRIVER_PRIORITY = [
-    # -- last driver row r2 (two rounds overdue) --
-    "langid_ngram_pred",
-    "bpe_token_stats",
-    "lang_group_profile",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_thumb",
-    "nvd_version_bounds",
-    "nvd_v2_v3_score_gap",
-    "nvd_cwe_counts",
-    "nvd_modification_lag",
-    "nvd_reference_tag_counts",
-    "nvd_av_severity_matrix",
-    "nvd_assigner_stats",
-    # -- new or changed in round 9 --
-    "order_price_percentiles_exact",
-    "doc_length_percentiles_by_lang",
+    # -- last driver row r4 (oldest evidence in the registry) --
+    "lang_distribution",
+    "token_counts_top20",
+    "bag_except_order_dates",
+    "first_event_per_user_type",
+    # -- changed in round 10 --
+    "embedding_similar_pairs",
+    "semantic_dedup_survivors",
     "customer_rfm_segments",
     "value_mad_outliers",
-    "collocation_pmi_top",
-    "cross_source_contamination_matrix",
     "streaming_upsert_user_totals",
     "streaming_cdc_user_totals",
-    # -- last driver row r4 --
-    "asof_last_error_per_click",
-    "bag_intersect_order_dates",
-    "deterministic_sample_docs",
-    "doc_rolling_fingerprint",
-    "embedding_similar_pairs",
-    "json_extract_props",
-    "minhash_pairs_capped",
-    "multimodal_binary_meta",
-    "ngram_jaccard_adjacent",
-    "order_price_quantiles",
-    "orders_above_customer_avg",
-    "orders_mom_growth",
+    # -- broadcast hints removed in round 10 --
+    "nvd_first_write_wins",
+    "monthly_urgent_gapfill",
+    "streaming_static_enrich",
+    "orders_per_region",
     "pivot_priority_by_segment",
-    "range_join_clicks_after_error",
-    "regex_normalize_parts",
-    "rollup_orders_by_month",
-    "salted_distinct_users_per_type",
-    "ship_delay_by_month",
-    "simhash_signatures",
-    "sliding_window_hourly_30m",
-    "streaming_click_error_join",
-    "streaming_dedup_keys",
-    "streaming_session_counts",
-    "streaming_sliding_counts",
-    "streaming_tumbling_counts",
-    "text_quality_stats",
-    "train_val_test_split",
-    "tumbling_window_hourly",
-    "unpivot_lineitem_measures",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_item_revenue",
+    "q11_important_parts",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_census",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_banded_brand_revenue",
+    "q20_excess_volume_suppliers",
+    "q21_waiting_suppliers",
+    # -- last driver row r5 (oldest remaining evidence) --
+    "approx_distinct_users",
+    "argmax_latest_event_per_user",
+    "arrow_byte_stats",
+    "arrow_group_quality",
+    "bpe_merge_census",
+    "duplicate_span_docs",
+    "embedding_int8_census",
+    "full_outer_daily_activity",
+    "funnel_conversion",
+    "grouping_sets_status_priority",
+    "hll_daily_rollup",
+    "kll_rank_accuracy",
+    "lateral_top2_orders",
+    "moment_stats_by_type",
+    "orders_trailing_90d_revenue",
+    "profile_orders_columns",
+    "q13_customer_order_distribution",
+    "q4_late_order_priorities",
+    "recursive_month_spine",
 ]
 
 def _reorder(registry: dict) -> None:
