@@ -221,6 +221,33 @@ class ParquetUpsertStore:
         if batch_id <= m["last_batch_id"]:
             return  # replayed batch after recovery — already applied
         spark = batch_df.sparkSession
+        # The merge consumes the batch THREE times (touched-bucket ids,
+        # the anti-join key set, the upsert union); without
+        # materialization each consumer re-executes the upstream
+        # micro-batch plan INCLUDING the stateful aggregation's
+        # state-store read — measured at ~0.3 s/batch of pure recompute
+        # at sf0.1 (scripts/streaming_floor_profile.py). localCheckpoint
+        # (NOT persist: caching a streaming batch plan with a projection
+        # over the stateful aggregate trips an attribute-resolution bug
+        # in the incremental planner — `key not found: user_id#…` —
+        # while the checkpoint's fresh LogicalRDD lineage is immune)
+        # materializes the O(|batch keys|) delta once; blocks are
+        # released as soon as the merge commits.
+        batch_df = batch_df.localCheckpoint(eager=True)
+        try:
+            self._merge_cached(batch_df, batch_id, key, delete_col, m, spark)
+        finally:
+            batch_df.rdd.unpersist(False)
+
+    def _merge_cached(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        key: str,
+        delete_col: str | None,
+        m: dict,
+        spark: SparkSession,
+    ) -> None:
         bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_buckets)).cast("int")
         upserts = batch_df
         if delete_col is not None:
