@@ -178,10 +178,19 @@ def _sidecar_writable(sidecar: str, payload: dict) -> bool:
     try:
         with open(sidecar) as fh:
             existing = json.loads(fh.read())
+    except (OSError, ValueError):
+        return True  # absent or not JSON: nothing worth protecting
+    try:
         old_sf = float(existing.get("sf", 0))
+    except (ValueError, TypeError):
+        # A force-written custom-SF record (sf is a string): it was
+        # deliberate, so protect it like any full record rather than
+        # treating unparseable-sf as corrupt-and-clobberable.
+        old_sf = float("inf")
+    try:
         old_n = int(existing.get("n_queries", 0))
-    except (OSError, ValueError, TypeError):
-        return True
+    except (ValueError, TypeError):
+        old_n = 0
     new_sf = payload["sf"] if isinstance(payload["sf"], float) else 0.0
     if new_sf < old_sf or payload["n_queries"] < old_n:
         print(

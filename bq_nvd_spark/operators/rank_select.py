@@ -100,8 +100,11 @@ def exact_rank_values(
     wexpr = (
         F.lit(1) if weight_col is None else F.col(weight_col)
     ).cast("long").alias("__w")
+    raw_w = (
+        F.lit(1) if weight_col is None else F.col(weight_col)
+    ).alias("__wraw")
     rel = df.select(
-        gexpr, F.col(value_col).cast("long").alias("__v"), wexpr
+        gexpr, F.col(value_col).cast("long").alias("__v"), wexpr, raw_w
     ).filter(F.col("__v").isNotNull())
     stats = (
         rel.groupBy("__g")
@@ -110,27 +113,41 @@ def exact_rank_values(
             F.max("__v").alias("hi"),
             F.sum("__w").alias("n"),
             # weight-contract check rides the same aggregate for free:
-            # one extra min column, no extra pass.
+            # two extra columns, no extra pass. Integrality is checked
+            # against the RAW column — __w is already cast("long"), and
+            # validating the cast value would let 2.7 truncate to 2 and
+            # sail through the "positive integers" contract.
             F.min("__w").alias("wmin"),
             F.count(F.lit(1)).alias("nrows"),
             F.count("__w").alias("nweights"),
+            F.sum(
+                F.when(
+                    F.col("__wraw").cast("double")
+                    != F.col("__wraw").cast("long").cast("double"),
+                    1,
+                ).otherwise(0)
+            ).alias("nfrac"),
         )
         .collect()
     )
     if weight_col is not None:
         for row in stats:
-            if row["nweights"] < row["nrows"] or (
-                row["wmin"] is not None and row["wmin"] <= 0
+            if (
+                row["nweights"] < row["nrows"]
+                or (row["wmin"] is not None and row["wmin"] <= 0)
+                or (row["nfrac"] or 0) > 0
             ):
+                problems = []
+                if row["nweights"] < row["nrows"]:
+                    problems.append("NULL weights")
+                if row["wmin"] is not None and row["wmin"] <= 0:
+                    problems.append(f"min weight {row['wmin']!r}")
+                if (row["nfrac"] or 0) > 0:
+                    problems.append(f"{row['nfrac']} fractional weights")
                 raise ValueError(
                     f"weight_col {weight_col!r} must be positive integers: "
-                    f"group {row['__g']!r} has min weight {row['wmin']!r}"
-                    + (
-                        " and NULL weights"
-                        if row["nweights"] < row["nrows"]
-                        else ""
-                    )
-                    + " — NULL/zero/negative weights silently skew ranks"
+                    f"group {row['__g']!r} has " + ", ".join(problems)
+                    + " — such weights silently skew ranks"
                 )
 
     out: dict[GroupValue, dict[str, int]] = {}

@@ -334,20 +334,46 @@ EMB_BUCKET_CAP = 20
 def _emb_bucket_pairs(sig: DataFrame) -> DataFrame:
     """Candidate (id_a,id_b,va,na,vb,nb) pairs from capped LSH buckets.
 
-    Input: (vec_id, v, nrm, bands). One groupBy per (band, bucket)
-    collects the sorted member array (the signature stage is evaluated
-    ONCE — a self-join would re-run the Arrow signature UDF on both
-    sides plus a bucket-size subtree); small buckets expand to all
-    pairs with index-aware HOFs, oversized buckets to the min-id star.
+    Input: (vec_id, v, nrm, bands). Two-phase so NO per-bucket state is
+    ever unbounded: a bucket census first (one map-side-combined
+    count/min aggregate — a handful of bytes per bucket, whatever the
+    bucket's size), then
+
+    - buckets of 2..EMB_BUCKET_CAP members collect their sorted member
+      array (buffer ≤ CAP structs by construction) and expand to all
+      pairs with index-aware HOFs;
+    - OVERSIZED buckets never aggregate their members anywhere: the
+      min-id member row joins back onto the bucket's other members —
+      a 1×m equi join per bucket emitting the m−1 star pairs. A
+      4M-member mass-duplicate bucket therefore costs O(m) join rows,
+      not an O(m·dim) collect_list buffer in one task (a ~530 B/member
+      struct array would blow past the 2 GB row limit near ~4M
+      members — exactly the dedup-worthy input this path exists for).
+
+    The exploded bucket relation feeds three consumers (census, small
+    path, star path); ``stage_checkpoint`` materializes it once so the
+    Arrow signature UDF still evaluates a single time.
     """
-    members = (
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
+    buckets = stage_checkpoint(
         sig.select(
             "vec_id", "v", "nrm",
             F.posexplode("bands").alias("band_idx", "bucket"),
         )
-        .groupBy("band_idx", "bucket")
+    )
+    census = (
+        buckets.groupBy("band_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("vec_id").alias("min_id"))
+        .filter(F.col("c") >= 2)
+    )
+    small = buckets.join(
+        census.filter(F.col("c") <= EMB_BUCKET_CAP).select("band_idx", "bucket"),
+        ["band_idx", "bucket"],
+    )
+    members = (
+        small.groupBy("band_idx", "bucket")
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v", "nrm"))).alias("m"))
-        .filter(F.size("m") >= 2)
     )
     # all-pairs: flatten(transform(m, (a, i) -> transform(m[i+1:], b -> (a, b))))
     all_pairs = F.flatten(
@@ -359,14 +385,8 @@ def _emb_bucket_pairs(sig: DataFrame) -> DataFrame:
             ),
         )
     )
-    # star: (m[0], b) for every other member — O(m) per oversized bucket
-    star_pairs = F.transform(
-        F.slice("m", 2, F.size("m")),
-        lambda b: F.struct(F.element_at("m", 1).alias("a"), b.alias("b")),
-    )
-    emitted = F.when(F.size("m") <= EMB_BUCKET_CAP, all_pairs).otherwise(star_pairs)
-    return (
-        members.select(F.explode(emitted).alias("p"))
+    small_pairs = (
+        members.select(F.explode(all_pairs).alias("p"))
         .select(
             F.col("p.a.vec_id").alias("id_a"),
             F.col("p.b.vec_id").alias("id_b"),
@@ -375,8 +395,34 @@ def _emb_bucket_pairs(sig: DataFrame) -> DataFrame:
             F.col("p.b.v").alias("vb"),
             F.col("p.b.nrm").alias("nb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    big = census.filter(F.col("c") > EMB_BUCKET_CAP).select(
+        "band_idx", "bucket", "min_id"
+    )
+    anchors = (
+        buckets.join(big, ["band_idx", "bucket"])
+        .filter(F.col("vec_id") == F.col("min_id"))
+        .select(
+            "band_idx",
+            "bucket",
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    star_pairs = (
+        buckets.join(anchors, ["band_idx", "bucket"])
+        .filter(F.col("vec_id") > F.col("id_a"))
+        .select(
+            "id_a",
+            F.col("vec_id").alias("id_b"),
+            "va",
+            "na",
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    return small_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 def _duck_emb_pairs_cte() -> str:
@@ -451,6 +497,16 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is bounded (CAP²/2 small, m−1 star), and the cosine
     threshold prunes before anything aggregates. Near-identical vectors
     agree on all bands, so recall at 0.99 cosine is near-exact.
+
+    The star's recall contract: inside an OVERSIZED bucket only pairs
+    involving the min-id anchor are scored, so a similar pair not
+    similar to that anchor is missed in that bucket — it still
+    surfaces via any other band where it shares a ≤CAP bucket (4
+    independent bands). Mass-duplicate clusters (every member similar
+    to every other, hence to the anchor) stay fully connected for
+    semantic_dedup_survivors. This bounded-recall trade is the price
+    of never emitting O(m²) from degenerate input; the oracle
+    implements the identical rule from the shared CTE.
     """
     emb = _spread_embeddings(spark, sf_dir)
     sig = emb.select(

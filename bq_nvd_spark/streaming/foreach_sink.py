@@ -231,13 +231,26 @@ class ParquetUpsertStore:
         # over the stateful aggregate trips an attribute-resolution bug
         # in the incremental planner — `key not found: user_id#…` —
         # while the checkpoint's fresh LogicalRDD lineage is immune)
-        # materializes the O(|batch keys|) delta once; blocks are
-        # released as soon as the merge commits.
+        # materializes the O(|batch keys|) delta once. Release by
+        # before/after diff of the context's persistentRdds map —
+        # ``batch_df.rdd.unpersist()`` would be a no-op on a fresh
+        # javaToPython wrapper, leaking one checkpoint block per batch
+        # until the driver GC got around to it.
+        from bq_nvd_spark.operators.checkpoint import _persistent_rdd_entries
+
+        sc = spark.sparkContext
+        before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
         batch_df = batch_df.localCheckpoint(eager=True)
+        pinned = [
+            (rdd_id, jrdd)
+            for rdd_id, jrdd in _persistent_rdd_entries(sc)
+            if rdd_id not in before
+        ]
         try:
             self._merge_cached(batch_df, batch_id, key, delete_col, m, spark)
         finally:
-            batch_df.rdd.unpersist(False)
+            for _, jrdd in pinned:
+                jrdd.unpersist(False)
 
     def _merge_cached(
         self,

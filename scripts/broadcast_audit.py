@@ -197,9 +197,10 @@ def sites() -> list[tuple[str, int, str, str]]:
 
 
 def main() -> int:
+    found = sites()
     rows = []
     problems = []
-    for rel, ln, fn, arg in sites():
+    for rel, ln, fn, arg in found:
         key = (rel, fn, arg)
         if key not in CLASSIFIED:
             problems.append(f"UNCLASSIFIED hint {rel}:{ln} in {fn}: F.broadcast({arg})")
@@ -209,22 +210,25 @@ def main() -> int:
         if cls not in (C, A, L):
             problems.append(f"DATA-PROPORTIONAL hint {rel}:{ln} in {fn}")
         rows.append((rel, ln, fn, arg, cls, why))
-    stale = [
-        k for k in CLASSIFIED
-        if k not in {(r, f, a) for r, _, f, a in sites()}
-    ]
-    for k in stale:
-        problems.append(f"STALE classification (site gone): {k}")
+    live_keys = {(r, f, a) for r, _, f, a in found}
+    for k in CLASSIFIED:
+        if k not in live_keys:
+            problems.append(f"STALE classification (site gone): {k}")
 
-    print(f"| site | query/fn | build side | class | bound |")
-    print(f"|---|---|---|---|---|")
+    print("| site | query/fn | build side | class | bound |")
+    print("|---|---|---|---|---|")
     for rel, ln, fn, arg, cls, why in rows:
         print(f"| `{rel}:{ln}` | `{fn}` | `{arg}` | {cls} | {why} |")
-    print(f"\n{len(rows)} hints: "
-          f"{sum(1 for r in rows if r[4] == C)} constant, "
-          f"{sum(1 for r in rows if r[4] == A)} aggregate-bounded, "
-          f"{sum(1 for r in rows if r[4] == L)} limit-bounded, "
-          f"0 data-proportional" if not problems else "")
+    counts = {
+        label: sum(1 for r in rows if r[4] == label)
+        for label in (C, A, L)
+    }
+    other = len(rows) - sum(counts.values())
+    print(
+        f"\n{len(rows)} hints: {counts[C]} constant, "
+        f"{counts[A]} aggregate-bounded, {counts[L]} limit-bounded, "
+        f"{other} data-proportional/unclassified"
+    )
     if problems:
         print("\n".join(problems), file=sys.stderr)
         return 1

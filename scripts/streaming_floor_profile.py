@@ -71,14 +71,17 @@ def main() -> None:
     tune_session(spark)
 
     def run_variant(kind: str) -> float:
+        """Wall seconds for ONE streaming run of the given sink variant.
+
+        Every variant stages its chunks BEFORE the timer and never
+        reads a store back inside it, so the three walls differ only
+        in the sink body — the merge variant otherwise absorbs the
+        chunk-staging batch write plus a final store scan and its
+        delta vs noop overstates the merge sink."""
+        from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
         work = tempfile.mkdtemp(prefix=f"floorprof_{kind}_")
         try:
-            if kind == "merge":
-                start = time.perf_counter()
-                run_upsert_totals_stream(
-                    spark, args.sf, work, n_chunks=args.chunks
-                ).count()
-                return time.perf_counter() - start
             stage = os.path.join(work, "stage")
             schema = _staged_event_chunks(
                 spark, args.sf, stage, n=args.chunks
@@ -88,7 +91,10 @@ def main() -> None:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(os.path.join(stage, "chunk=*"))
             )
-            if kind == "noop":
+            if kind == "noagg":
+                out, mode = raw, "append"
+                sink = lambda df, bid: df.count()  # noqa: E731
+            else:
                 out = raw.groupBy("user_id").agg(
                     F.count(F.lit(1)).alias("n_events"),
                     F.sum(
@@ -98,17 +104,21 @@ def main() -> None:
                     ).alias("cents"),
                 )
                 mode = "update"
-            else:  # noagg
-                out = raw
-                mode = "append"
+                if kind == "noop":
+                    sink = lambda df, bid: df.count()  # noqa: E731
+                else:  # merge — the real store sink, same as the query
+                    store = ParquetUpsertStore(
+                        os.path.join(work, "store"), vacuum_slack=8
+                    )
+                    sink = lambda df, bid: store.merge_batch(  # noqa: E731
+                        df, bid, key="user_id"
+                    )
             saved = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", "8")
             try:
                 start = time.perf_counter()
                 (
-                    out.writeStream.foreachBatch(
-                        lambda df, bid: df.count()
-                    )
+                    out.writeStream.foreachBatch(sink)
                     .outputMode(mode)
                     .option(
                         "checkpointLocation", os.path.join(work, "ckpt")

@@ -65,3 +65,15 @@ def test_nonnumeric_sf_never_clobbers_numeric(tmp_path, monkeypatch):
     assert not bench._sidecar_writable(
         sidecar, {"sf": "custom", "n_queries": 179}
     )
+
+
+def test_existing_custom_sf_record_is_protected(tmp_path, monkeypatch):
+    """A force-written custom-SF record (string sf) must be protected
+    like any full record — unparseable sf is not 'corrupt'."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    sidecar = str(tmp_path / "BENCH_FULL.json")
+    with open(sidecar, "w") as fh:
+        json.dump({"sf": "custom", "n_queries": 179, "value": 1.0}, fh)
+    assert not bench._sidecar_writable(sidecar, {"sf": 0.001, "n_queries": 1})
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
+    assert bench._sidecar_writable(sidecar, {"sf": 0.001, "n_queries": 1})

@@ -271,3 +271,25 @@ def test_rfm_null_metric_customers_match_oracle(spark, tmp_path):
     s_norm = rowset(sdf.columns, [tuple(r) for r in sdf.collect()])
     d_norm = rowset(rel.columns, rel.fetchall())
     assert s_norm == d_norm
+
+
+def test_fractional_weights_fail_loudly(spark):
+    """A fractional weight (2.7) must fail the positive-integer
+    contract, not silently truncate to 2 via the internal long cast."""
+    import pytest
+
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (5, 2.7), (9, 1.0)], "v long, w double"
+    )
+    with pytest.raises(ValueError, match="fractional"):
+        exact_rank_values(
+            df, "v", lambda n: {"med": (n + 1) // 2}, weight_col="w"
+        )
+    # integral-valued doubles are a fine weight carrier
+    ok = spark.createDataFrame([(1, 2.0), (5, 3.0)], "v long, w double")
+    got = exact_rank_values(
+        ok, "v", lambda n: {"med": (n + 1) // 2}, weight_col="w"
+    )
+    assert got[None]["med"] == 5

@@ -340,3 +340,30 @@ def test_vacuum_slack_zero_restores_exact_cap(spark, tmp_path):
         df = spark.createDataFrame([(0, bid)], "user_id long, cents long")
         store.merge_batch(df, batch_id=bid, key="user_id")
         assert len(store._manifest()["history"]) <= 2
+
+
+def test_merge_batch_releases_checkpoint_blocks(spark, tmp_path):
+    """merge_batch materializes the batch delta via localCheckpoint; the
+    blocks must actually be RELEASED at commit (DataFrame.rdd.unpersist
+    would be a no-op on a fresh javaToPython wrapper — the fix diffs
+    the context's persistentRdds map), or a long-lived stream leaks one
+    checkpoint block per batch."""
+    from bq_nvd_spark.operators.checkpoint import _persistent_rdd_entries
+    from bq_nvd_spark.streaming.foreach_sink import ParquetUpsertStore
+
+    sc = spark.sparkContext
+    store = ParquetUpsertStore(str(tmp_path / "store"), n_buckets=2)
+    before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
+    for bid in range(3):
+        df = spark.createDataFrame(
+            [(1, 10 + bid), (2, 20 + bid)], "user_id long, v long"
+        )
+        store.merge_batch(df, bid, key="user_id")
+    after = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
+    assert after - before == set(), (
+        f"leaked checkpoint blocks: {sorted(after - before)}"
+    )
+    got = {
+        r["user_id"]: r["v"] for r in store.current(spark).collect()
+    }
+    assert got == {1: 12, 2: 22}
