@@ -230,3 +230,36 @@ def test_emb_bucket_pairs_mixed_buckets(spark):
         (trio_ids[1], trio_ids[2]),
     }
     assert got == star | all3
+
+
+def test_emb_star_recall_via_other_bands(spark):
+    """The star's recall mechanism: a similar pair buried in an
+    OVERSIZED bucket whose anchor it does not match still surfaces as
+    a candidate through any other band where the two share a small
+    bucket — the multi-band design is what bounds the star's recall
+    loss, so pin it."""
+    from bq_nvd_spark.plans.similarity_search import (
+        EMB_BUCKET_CAP,
+        _emb_bucket_pairs,
+    )
+
+    rows = []
+    # ids 0..CAP+9 all collide in band-0 bucket 7 (oversized); the
+    # anchor (id 0) and fillers are orthogonal to the target pair.
+    m = EMB_BUCKET_CAP + 10
+    for i in range(m):
+        # distinct band-1..3 buckets -> no other co-occurrence
+        rows.append((i, [0.0, 1.0], 1.0, [7, 100 + i, 200 + i, 300 + i]))
+    # x and y: mutually identical vectors, not similar to the anchor;
+    # band 1 puts them alone in a small bucket together.
+    x_id, y_id = m, m + 1
+    rows.append((x_id, [1.0, 0.0], 1.0, [7, 55, 210 + m, 310 + m]))
+    rows.append((y_id, [1.0, 0.0], 1.0, [7, 55, 211 + m, 311 + m]))
+    sig = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, nrm double, bands array<int>"
+    )
+    got = {(r.id_a, r.id_b) for r in _emb_bucket_pairs(sig).collect()}
+    # band 0 is oversized (m+2 members > CAP): star to id 0 only
+    assert (x_id, y_id) in got, "pair lost despite sharing a small bucket"
+    star = {(0, b) for b in range(1, m + 2)}
+    assert got == star | {(x_id, y_id)}
