@@ -66,10 +66,20 @@ def salted_join_event_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def salted_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct count on a 5-value key without one reducer holding
-    each key's whole user set: per-(key, salt) ``collect_set`` partials,
-    merged per key. Plain count/sum would not need this — distinct
-    state is what refuses to combine map-side."""
+    """Exact distinct count on a 5-value key with the BUILD spread over
+    salts: per-(key, salt) ``collect_set`` partials, merged per key.
+    Plain count/sum would not need this — distinct state is what
+    refuses to combine map-side.
+
+    Honest bound: the final merge's output row still holds the key's
+    whole distinct set (array_distinct over the flattened partials),
+    so this shape is for keyspaces whose PER-KEY distinct cardinality
+    fits a row (~10⁷ longs). When it doesn't, exact distinct wants the
+    array-free double aggregation instead — ``groupBy(key, user)`` then
+    ``groupBy(key).count()`` — which is fully map-side combinable and
+    needs no salt at all; this query keeps the salted form because
+    demonstrating salting for genuinely non-combinable state is its
+    point."""
     ev = load_table(spark, sf_dir, "events")
     return salted_agg(
         ev,
