@@ -253,34 +253,29 @@ PAIR_BUCKET_CAP = 20
 
 def _capped_pairs(bands: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) candidates from capped LSH buckets, with
-    the signature stage evaluated ONCE: a per-bucket count census first,
-    then member arrays collected ONLY for buckets already known to hold
-    2..CAP members, pairs emitted from each sorted array. Two
-    properties, both load-bearing at 100 TB (same discipline as the
-    embedding twin ``similarity_search._emb_bucket_pairs``):
-
-    - the census aggregates a counter per bucket, so no aggregation
-      buffer ever scales with a degenerate bucket — collecting first
-      and filtering after would build an O(m) doc_id array in one
-      buffer/row for a mass-boilerplate mega-bucket before discarding
-      it (the 2 GB single-row limit arrives near ~250M members);
-    - ``stage_checkpoint`` materializes the band relation once, so the
-      Arrow signature UDF does not re-run for the census and the
-      member join (the self-join formulation — the oracle's shape —
-      would be three signature passes).
+    the signature stage evaluated ONCE and no aggregation buffer that
+    scales with a degenerate bucket (same discipline as the embedding
+    twin ``similarity_search._emb_bucket_pairs``): a per-bucket window
+    COUNT sizes every bucket in the same single pass that reads the
+    signatures — WindowExec buffers a mega-bucket's rows with disk
+    spill, never in one aggregation row — and only rows of buckets
+    already known to hold 2..CAP members reach the ``collect_list``,
+    so member arrays are ≤ CAP by construction. Collecting first and
+    filtering after would build an O(m) doc_id array in one buffer/row
+    for a mass-boilerplate bucket before discarding it (the 2 GB
+    single-row limit arrives near ~250M members). One shuffle total:
+    the groupBy reuses the window's (band, signature) partitioning.
+    The self-join formulation (the oracle's shape) would re-run the
+    Arrow signature UDF on both join sides plus a size subtree.
     """
-    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+    from pyspark.sql.window import Window
 
-    bands = stage_checkpoint(bands)
-    census = (
-        bands.groupBy("band_idx", "band_sig")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c").between(2, PAIR_BUCKET_CAP))
-        .select("band_idx", "band_sig")
+    w = Window.partitionBy("band_idx", "band_sig")
+    sized = bands.withColumn("c", F.count(F.lit(1)).over(w)).filter(
+        F.col("c").between(2, PAIR_BUCKET_CAP)
     )
     buckets = (
-        bands.join(census, ["band_idx", "band_sig"])
-        .groupBy("band_idx", "band_sig")
+        sized.groupBy("band_idx", "band_sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
     )
     # flatten(transform(docs, (a, i) -> transform(suffix after i, b -> (a, b))))

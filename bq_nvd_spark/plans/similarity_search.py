@@ -334,45 +334,48 @@ EMB_BUCKET_CAP = 20
 def _emb_bucket_pairs(sig: DataFrame) -> DataFrame:
     """Candidate (id_a,id_b,va,na,vb,nb) pairs from capped LSH buckets.
 
-    Input: (vec_id, v, nrm, bands). Two-phase so NO per-bucket state is
-    ever unbounded: a bucket census first (one map-side-combined
-    count/min aggregate — a handful of bytes per bucket, whatever the
-    bucket's size), then
+    Input: (vec_id, v, nrm, bands). Sized-then-emitted in ONE pass so
+    no per-bucket state is ever unbounded: a per-bucket window COUNT
+    and min-struct anchor ride the same (band, bucket) shuffle that
+    feeds pair emission (WindowExec spills a mega-bucket's rows to
+    disk; it never buffers them in one aggregation row), then
 
     - buckets of 2..EMB_BUCKET_CAP members collect their sorted member
       array (buffer ≤ CAP structs by construction) and expand to all
       pairs with index-aware HOFs;
-    - OVERSIZED buckets never aggregate their members anywhere: the
-      min-id member row joins back onto the bucket's other members —
-      a 1×m equi join per bucket emitting the m−1 star pairs. A
-      4M-member mass-duplicate bucket therefore costs O(m) join rows,
-      not an O(m·dim) collect_list buffer in one task (a ~530 B/member
-      struct array would blow past the 2 GB row limit near ~4M
-      members — exactly the dedup-worthy input this path exists for).
+    - OVERSIZED buckets never aggregate their members anywhere: each
+      member row already carries the bucket's min-id anchor struct
+      (vector included — min over a struct orders by the unique
+      vec_id), so the m−1 star pairs are a filter + projection. A
+      4M-member mass-duplicate bucket therefore costs O(m) output
+      rows, not an O(m·dim) collect_list buffer in one task (a
+      ~530 B/member struct array would blow past the 2 GB row limit
+      near ~4M members — exactly the dedup-worthy input this path
+      exists for).
 
-    The exploded bucket relation feeds three consumers (census, small
-    path, star path); ``stage_checkpoint`` materializes it once so the
-    Arrow signature UDF still evaluates a single time.
+    One shuffle, one signature-UDF evaluation, no join and no
+    checkpoint: the groupBy and both filters reuse the window's
+    partitioning.
     """
-    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+    from pyspark.sql.window import Window
 
-    buckets = stage_checkpoint(
-        sig.select(
-            "vec_id", "v", "nrm",
-            F.posexplode("bands").alias("band_idx", "bucket"),
-        )
-    )
-    census = (
-        buckets.groupBy("band_idx", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"), F.min("vec_id").alias("min_id"))
-        .filter(F.col("c") >= 2)
-    )
-    small = buckets.join(
-        census.filter(F.col("c") <= EMB_BUCKET_CAP).select("band_idx", "bucket"),
-        ["band_idx", "bucket"],
-    )
+    w = Window.partitionBy("band_idx", "bucket")
+    # ONE pass sizes every bucket and picks its min-id anchor: the
+    # window count/min shuffle once on (band, bucket) and spill to
+    # disk on a mega-bucket instead of buffering it in an aggregation
+    # row; min over the struct orders by vec_id (unique), so `anc` is
+    # the anchor member WITH its vector — no join back to fetch it.
+    tagged = sig.select(
+        "vec_id", "v", "nrm",
+        F.posexplode("bands").alias("band_idx", "bucket"),
+    ).select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.min(F.struct("vec_id", "v", "nrm")).over(w).alias("anc"),
+    ).filter(F.col("c") >= 2)
     members = (
-        small.groupBy("band_idx", "bucket")
+        tagged.filter(F.col("c") <= EMB_BUCKET_CAP)
+        .groupBy("band_idx", "bucket")
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v", "nrm"))).alias("m"))
     )
     # all-pairs: flatten(transform(m, (a, i) -> transform(m[i+1:], b -> (a, b))))
@@ -396,28 +399,16 @@ def _emb_bucket_pairs(sig: DataFrame) -> DataFrame:
             F.col("p.b.nrm").alias("nb"),
         )
     )
-    big = census.filter(F.col("c") > EMB_BUCKET_CAP).select(
-        "band_idx", "bucket", "min_id"
-    )
-    anchors = (
-        buckets.join(big, ["band_idx", "bucket"])
-        .filter(F.col("vec_id") == F.col("min_id"))
-        .select(
-            "band_idx",
-            "bucket",
-            F.col("vec_id").alias("id_a"),
-            F.col("v").alias("va"),
-            F.col("nrm").alias("na"),
-        )
-    )
     star_pairs = (
-        buckets.join(anchors, ["band_idx", "bucket"])
-        .filter(F.col("vec_id") > F.col("id_a"))
+        tagged.filter(
+            (F.col("c") > EMB_BUCKET_CAP)
+            & (F.col("vec_id") > F.col("anc.vec_id"))
+        )
         .select(
-            "id_a",
+            F.col("anc.vec_id").alias("id_a"),
             F.col("vec_id").alias("id_b"),
-            "va",
-            "na",
+            F.col("anc.v").alias("va"),
+            F.col("anc.nrm").alias("na"),
             F.col("v").alias("vb"),
             F.col("nrm").alias("nb"),
         )
