@@ -1,0 +1,154 @@
+"""Stress the round-10 capped-bucket paths at degenerate scale.
+
+The sf fixtures' largest LSH bucket holds 28 members; the claims that
+matter at 100 TB are about buckets MILLIONS deep (mass near-duplicates
+collapsing onto one signature). This probe synthesizes band relations
+with exactly that shape — a uniform field of small buckets plus one
+mega-bucket — at 10⁷-scale row counts, far past anything the fixtures
+exercise, and measures the paths end-to-end on local[32]:
+
+1. ``_capped_pairs`` (MinHash twin) over N uniform rows + one M-member
+   mega-bucket: output must be the uniform buckets' pairs only (the
+   mega-bucket is dropped by the cap), wall must stay minutes-not-
+   hours, and the window count must SPILL the mega-bucket rather than
+   OOM a single aggregation row.
+2. ``_emb_bucket_pairs`` (embedding twin) with an M-member mega-bucket
+   of identical vectors: output must include exactly M−1 star pairs
+   (the min-id anchor keeps the duplicate cluster connected) on top of
+   the uniform pairs — O(m) emission from O(m²) worth of true pairs.
+3. ``exact_rank_values`` over N uniform longs (weighted census mode):
+   exact median/p99 of a 10⁷-row relation with no Window and no sort.
+
+Prints one JSON line per probe; results are recorded in SCALE.md.
+
+Usage: python scripts/degenerate_scale_probe.py [--n 20000000] [--mega 2000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=20_000_000)
+    ap.add_argument("--mega", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("degenerate-scale-probe")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("PROBE_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from bq_nvd_spark.plans.llm import PAIR_BUCKET_CAP, _capped_pairs
+    from bq_nvd_spark.plans.similarity_search import _emb_bucket_pairs
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
+
+    results = {}
+
+    # -- 1. MinHash capped pairs: uniform field + one mega-bucket ------
+    # Uniform: bucket ids hash-derived, ~10 members each -> all pass the
+    # cap. Mega: M rows sharing one signature -> dropped by the cap.
+    per_bucket = 10
+    uniform = spark.range(args.n).select(
+        F.lit(0).alias("band_idx"),
+        F.concat(F.lit("u"), (F.col("id") / per_bucket).cast("long").cast("string")).alias("band_sig"),
+        F.col("id").alias("doc_id"),
+    )
+    mega = spark.range(args.mega).select(
+        F.lit(0).alias("band_idx"),
+        F.lit("MEGA").alias("band_sig"),
+        (F.col("id") + args.n).alias("doc_id"),
+    )
+    t0 = time.perf_counter()
+    n_pairs = _capped_pairs(uniform.unionByName(mega)).count()
+    wall = time.perf_counter() - t0
+    expect = (args.n // per_bucket) * (per_bucket * (per_bucket - 1) // 2)
+    results["minhash_capped"] = {
+        "rows": args.n + args.mega,
+        "mega_members": args.mega,
+        "pairs": n_pairs,
+        "pairs_expected": expect,
+        "ok": n_pairs == expect,
+        "wall_sec": round(wall, 1),
+    }
+    print(json.dumps({"probe": "minhash_capped", **results["minhash_capped"]}))
+
+    # -- 2. Embedding star path: mega-bucket of identical vectors ------
+    # Small 8-dim vectors keep synthesis cheap; the path under test is
+    # the window/star machinery, not the cosine kernel.
+    dim_vec = F.array(*[F.lit(1.0) for _ in range(8)])
+    emb_n = max(args.n // 10, 1_000_000)
+    uniform_e = spark.range(emb_n).select(
+        F.col("id").alias("vec_id"),
+        dim_vec.alias("v"),
+        F.lit(2.8284271247461903).alias("nrm"),
+        F.array((F.col("id") / 5).cast("int") + 1000).alias("bands"),
+    )
+    mega_e = spark.range(args.mega).select(
+        (F.col("id") + emb_n).alias("vec_id"),
+        dim_vec.alias("v"),
+        F.lit(2.8284271247461903).alias("nrm"),
+        F.array(F.lit(7)).alias("bands"),
+    )
+    t0 = time.perf_counter()
+    out = _emb_bucket_pairs(uniform_e.unionByName(mega_e))
+    n_star = out.filter(F.col("id_a") == emb_n).count()
+    n_all = out.count()
+    wall = time.perf_counter() - t0
+    expect_star = args.mega - 1
+    expect_uniform = (emb_n // 5) * (5 * 4 // 2)
+    results["embedding_star"] = {
+        "rows": emb_n + args.mega,
+        "mega_members": args.mega,
+        "star_pairs": n_star,
+        "star_expected": expect_star,
+        "total_pairs": n_all,
+        "total_expected": expect_star + expect_uniform,
+        "ok": n_star == expect_star and n_all == expect_star + expect_uniform,
+        "wall_sec": round(wall, 1),
+    }
+    print(json.dumps({"probe": "embedding_star", **results["embedding_star"]}))
+
+    # -- 3. Exact rank selection over 10^7 longs ------------------------
+    vals = spark.range(args.n).select(
+        (F.xxhash64(F.col("id")) % 1_000_000_007).alias("v")
+    )
+    t0 = time.perf_counter()
+    got = exact_rank_values(
+        vals,
+        "v",
+        lambda n: {"med": (n + 1) // 2, "p99": max(1, (99 * n + 99) // 100)},
+    )
+    wall = time.perf_counter() - t0
+    results["rank_select"] = {
+        "rows": args.n,
+        "med": got[None]["med"],
+        "p99": got[None]["p99"],
+        "ok": got[None]["med"] < got[None]["p99"],
+        "wall_sec": round(wall, 1),
+    }
+    print(json.dumps({"probe": "rank_select", **results["rank_select"]}))
+
+    ok = all(r["ok"] for r in results.values())
+    print(json.dumps({"probe": "ALL", "ok": ok}))
+    spark.stop()
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
