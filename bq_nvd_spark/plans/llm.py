@@ -263,10 +263,13 @@ def _capped_pairs(bands: DataFrame) -> DataFrame:
     so member arrays are ≤ CAP by construction. Collecting first and
     filtering after would build an O(m) doc_id array in one buffer/row
     for a mass-boilerplate bucket before discarding it (the 2 GB
-    single-row limit arrives near ~250M members). One shuffle total:
-    the groupBy reuses the window's (band, signature) partitioning.
-    The self-join formulation (the oracle's shape) would re-run the
-    Arrow signature UDF on both join sides plus a size subtree.
+    single-row limit arrives near ~250M members). Sizing and emission
+    share ONE exchange — the collect_list groupBy reuses the window's
+    (band, signature) partitioning (pinned by
+    tests/test_scale_paths.py) — and the only other shuffle is the
+    final pair distinct. The self-join formulation (the oracle's
+    shape) would re-run the Arrow signature UDF on both join sides
+    plus a size subtree.
     """
     from pyspark.sql.window import Window
 

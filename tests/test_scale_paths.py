@@ -296,3 +296,33 @@ def test_salted_join_plan_spreads_hot_key(spark):
     naive = sorted(map(tuple, fact.join(dim, "k").select("k", "w").collect()))
     salted = sorted(map(tuple, out.select("k", "w").collect()))
     assert naive == salted
+
+
+def test_capped_pairs_window_and_collect_share_one_exchange(spark):
+    """The capped-bucket sizing must ride the SAME shuffle as pair
+    emission: one hashpartitioning exchange on (band, signature) feeds
+    both the window count and the collect_list aggregation (whose
+    partial/final halves carry no exchange between them), and the only
+    other exchange is the final pair distinct. A second
+    (band, signature) exchange would mean the census regressed to a
+    separate pass over the signature relation."""
+    import re
+
+    from bq_nvd_spark.plans.llm import _capped_pairs
+
+    bands = spark.createDataFrame(
+        [(0, f"s{i // 5}", i) for i in range(100)],
+        "band_idx int, band_sig string, doc_id long",
+    )
+    df = _capped_pairs(bands)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the final AND the initial plan; count the final only.
+    plan = plan.split("== Initial Plan ==")[0]
+    band_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(band_idx", plan)
+    )
+    pair_exchanges = len(re.findall(r"Exchange hashpartitioning\(doc_a", plan))
+    assert band_exchanges == 1, plan[:2000]
+    assert pair_exchanges == 1, plan[:2000]
+    assert "Window" in plan and "collect_list" in plan
