@@ -18,7 +18,9 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # broadcast hints were removed (plans must stay green AND fast without
 # the hints), then the 19 alphabetically-first names whose latest
 # evidence is r5. After this round no query's latest driver row is
-# older than r5, and 20 r5-era names remain for the r11 window.
+# older than r5; the r11 window owes the remaining 20 r5-era names plus
+# mixture_resample_docs (added late in round 10 — never driver-checked;
+# mirrored green at sf0.001/0.01/0.1 and invariant-tested locally).
 _DRIVER_PRIORITY = [
     # -- last driver row r4 (oldest evidence in the registry) --
     "lang_distribution",

@@ -370,3 +370,87 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WEIGHTED_K)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# E6+: mixture RESAMPLING — sample the corpus DOWN to a target source
+# mixture (the data-recipe step every pretraining pipeline runs before
+# tokenization: "50% web, 30% books, 20% code" from whatever the crawl
+# delivered). The target is the largest corpus achievable at the exact
+# proportions: capacity T = min_s ⌊n_s·Σw/w_s⌋ (the scarcest source
+# binds), per-source quota k_s = ⌊w_s·T/Σw⌋ — all integer math, so
+# both engines agree exactly. WHICH docs fill each quota is a pure
+# function of the row key: rank by md5('mix:'||doc_id) within source,
+# keep the first k_s — same rows on every run, any cluster layout.
+#
+# Scale shape: the quota relation is |sources| rows (aggregate-bounded
+# → broadcast hint, classified in scripts/broadcast_audit.py); ranking
+# is a window PARTITIONED BY source (never a global sort — each
+# source's rank task sees only its own rows, and a source too large
+# for one task would shard the same plan on (source, shard)); one
+# shuffle on source for the window, one broadcast join, zero UDFs.
+# Weights here derive from the source name's integer suffix
+# (1 + suffix%4) purely so the fixture exercises a NON-uniform target;
+# a real run passes its recipe as a weights table.
+@query(
+    "mixture_resample_docs",
+    oracle="""
+    WITH w AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(1 + CAST(SUBSTR(source, 4) AS INT) % 4 AS BIGINT) AS w_s
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(w_s) AS BIGINT) AS sum_w FROM w),
+    cap AS (SELECT MIN((n_s * sum_w) // w_s) AS t FROM w, tot),
+    quota AS (
+      SELECT source, (w_s * t) // sum_w AS k_s FROM w, tot, cap
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CONCAT('mix:', CAST(doc_id AS VARCHAR))), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rk <= q.k_s
+    """,
+)
+def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus resampled to the target source mixture: the largest
+    deterministic subset whose per-source share is exactly the target
+    weight (integer capacity/quota math; md5-ranked membership)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w_s = (
+        F.substring("source", 4, 10).cast("int") % 4 + 1
+    ).cast("long")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s")
+    ).withColumn("w_s", w_s)
+    tot = counts.agg(F.sum("w_s").alias("sum_w"))
+    cap = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(F.expr("(n_s * sum_w) div w_s").alias("t_s"))
+        .agg(F.min("t_s").alias("t"))
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cap))
+        .select("source", F.expr("(w_s * t) div sum_w").alias("k_s"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        docs.withColumn("rk", rk)
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("k_s"))
+        .select("doc_id", "source")
+    )

@@ -573,3 +573,40 @@ def test_rank_select_matches_expanded_multiset(spark, rows, pct):
         per_group.setdefault(g, []).extend([v] * w)
     for g, vs in per_group.items():
         assert got[g]["r"] == sorted(vs)[rank_of(len(vs)) - 1], (g, pct)
+
+
+def test_mixture_resample_exact_shares(spark, tmp_path):
+    """Mixture resampling must hit the target proportions exactly (up
+    to quota floor), bind on the scarcest source, and pick a
+    deterministic membership. Skewed synthetic corpus: source sizes
+    are deliberately FAR from the target weights."""
+    from bq_nvd_spark.plans import QUERIES
+
+    sizes = {"src0": 400, "src1": 30, "src2": 300, "src3": 200}
+    rows, did = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((did, f"text {did}", "en", src, 7))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    out = QUERIES["mixture_resample_docs"](spark, str(tmp_path))
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    # weights 1+suffix%4: src0->1, src1->2, src2->3, src3->4; sum_w=10.
+    # capacity T = min(n_s*10/w_s) = min(4000, 150, 1000, 500) = 150
+    # (src1, 30 docs at 20% target, binds). quotas = floor(w_s*150/10).
+    assert got == {"src0": 15, "src1": 30, "src2": 45, "src3": 60}
+    # determinism: same rows on a second run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in QUERIES["mixture_resample_docs"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert a == b
