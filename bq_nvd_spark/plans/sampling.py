@@ -383,27 +383,40 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # function of the row key: rank by md5('mix:'||doc_id) within source,
 # keep the first k_s — same rows on every run, any cluster layout.
 #
-# Scale shape: the quota relation is |sources| rows (aggregate-bounded
-# → broadcast hint, classified in scripts/broadcast_audit.py); ranking
-# is a window PARTITIONED BY source (never a global sort — each
-# source's rank task sees only its own rows, and a source too large
-# for one task would shard the same plan on (source, shard)); one
-# shuffle on source for the window, one broadcast join, zero UDFs.
-# Weights here derive from the source name's integer suffix
-# (1 + suffix%4) purely so the fixture exercises a NON-uniform target;
-# a real run passes its recipe as a weights table.
+# Scale shape: TWO corpus scans total — the per-source census and the
+# ranked selection. Every derived scalar (Σw, capacity T, quotas) is
+# computed with unpartitioned window aggregates OVER THE CENSUS — a
+# |sources|-row relation, the benign aggregated-series case — so the
+# quota subtree never re-reads the corpus. Ranking is a window
+# PARTITIONED BY source (never a global sort — each source's rank task
+# sees only its own rows, and a source too large for one task would
+# shard the same plan on (source, shard)); the quota relation is
+# aggregate-bounded (broadcast hint, classified in
+# scripts/broadcast_audit.py); zero UDFs. Weights here derive
+# LENIENTLY from the source name's integer suffix (1 + suffix%4,
+# unparsable/overflowing suffixes → weight 1, identical TRY_CAST
+# semantics on both engines) purely so the fixture exercises a
+# NON-uniform target; a real run passes its recipe as a weights table.
 @query(
     "mixture_resample_docs",
     oracle="""
     WITH w AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
-             CAST(1 + CAST(SUBSTR(source, 4) AS INT) % 4 AS BIGINT) AS w_s
+             CAST(1 + COALESCE(TRY_CAST(SUBSTR(source, 4) AS INT) % 4, 0)
+                  AS BIGINT) AS w_s
       FROM documents GROUP BY source
     ),
-    tot AS (SELECT CAST(SUM(w_s) AS BIGINT) AS sum_w FROM w),
-    cap AS (SELECT MIN((n_s * sum_w) // w_s) AS t FROM w, tot),
     quota AS (
-      SELECT source, (w_s * t) // sum_w AS k_s FROM w, tot, cap
+      SELECT source, (w_s * t) // sum_w AS k_s
+      FROM (
+        SELECT source, w_s, sum_w,
+               MIN((n_s * sum_w) // w_s) OVER () AS t
+        FROM (
+          SELECT source, n_s, w_s,
+                 CAST(SUM(w_s) OVER () AS BIGINT) AS sum_w
+          FROM w
+        )
+      )
     ),
     ranked AS (
       SELECT doc_id, source,
@@ -425,21 +438,33 @@ def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # full-tail suffix + lenient cast: unparsable/overflowing names get
+    # weight 1 on BOTH engines (TRY_CAST NULLs on each; both coalesce
+    # to 0) instead of diverging — plain CAST would THROW under Spark's
+    # ANSI mode and under DuckDB, but only once malformed data arrived.
     w_s = (
-        F.substring("source", 4, 10).cast("int") % 4 + 1
+        F.coalesce(
+            F.expr("TRY_CAST(substring(source, 4) AS INT)") % 4, F.lit(0)
+        )
+        + 1
     ).cast("long")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_s")
     ).withColumn("w_s", w_s)
-    tot = counts.agg(F.sum("w_s").alias("sum_w"))
-    cap = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(F.expr("(n_s * sum_w) div w_s").alias("t_s"))
-        .agg(F.min("t_s").alias("t"))
-    )
+    # Unpartitioned windows over the |sources|-row census: one subtree,
+    # ONE corpus aggregation — the crossJoin-of-aggregates form
+    # re-evaluated the census once per derived scalar (5 corpus scans,
+    # caught in review).
+    wall = Window.partitionBy()
     quota = (
-        counts.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(cap))
+        counts.select(
+            "source", "n_s", "w_s",
+            F.sum("w_s").over(wall).alias("sum_w"),
+        )
+        .select(
+            "source", "w_s", "sum_w",
+            F.min(F.expr("(n_s * sum_w) div w_s")).over(wall).alias("t"),
+        )
         .select("source", F.expr("(w_s * t) div sum_w").alias("k_s"))
     )
     rk = F.row_number().over(

@@ -601,6 +601,7 @@ def test_mixture_resample_exact_shares(spark, tmp_path):
     # capacity T = min(n_s*10/w_s) = min(4000, 150, 1000, 500) = 150
     # (src1, 30 docs at 20% target, binds). quotas = floor(w_s*150/10).
     assert got == {"src0": 15, "src1": 30, "src2": 45, "src3": 60}
+
     # determinism: same rows on a second run
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(
@@ -610,3 +611,29 @@ def test_mixture_resample_exact_shares(spark, tmp_path):
         ).collect()
     )
     assert a == b
+
+    # lenient weights: a source name with NO parsable suffix ('web')
+    # gets weight 1 on BOTH engines instead of diverging; shares shift
+    # accordingly but engine and oracle stay in lockstep (mirrored in
+    # the oracle's TRY_CAST+COALESCE). Fresh directory: the first
+    # phase's lazy frames still reference the old files.
+    rows2 = rows + [(did + i, f"t {i}", "en", "web", 3) for i in range(50)]
+    dir2 = tmp_path / "mix2"
+    spark.createDataFrame(
+        rows2,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(dir2 / "documents.parquet")
+    )
+    out2 = QUERIES["mixture_resample_docs"](spark, str(dir2))
+    got2 = {
+        r["source"]: r["cnt"]
+        for r in out2.groupBy("source")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    # weights now src0:1 src1:2 src2:3 src3:4 web:1, sum_w=11;
+    # T = min(400*11/1, 30*11/2, 300*11/3, 200*11/4, 50*11/1) = 165
+    # quotas = floor(w_s*165/11) = w_s*15
+    assert got2 == {"src0": 15, "src1": 30, "src2": 45, "src3": 60, "web": 15}
