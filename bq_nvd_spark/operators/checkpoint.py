@@ -91,6 +91,25 @@ def _persistent_rdd_entries(sc):
         yield t._1(), t._2()
 
 
+def checkpointed_rdd_id(df: DataFrame):
+    """RDD id backing a ``localCheckpoint``-ed DataFrame, or None.
+
+    The checkpointed DataFrame's analyzed plan is a single LogicalRDD
+    whose ``rdd`` is exactly the persisted block owner — its id lets a
+    releaser unpersist THAT entry instead of diffing the context-global
+    persistentRdds map (a diff also captures blocks a CONCURRENT query
+    persisted in the window and would wrongly unpersist them).
+    ``df.rdd.unpersist()`` cannot substitute: ``.rdd`` wraps a fresh
+    javaToPython RDD whose id differs from the persisted one. Returns
+    None when the plan is not the expected LogicalRDD shape (caller
+    falls back to the before/after diff).
+    """
+    try:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:  # py4j shape drift: fall back, never fail a batch
+        return None
+
+
 def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 
@@ -102,17 +121,22 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
-    # RDD.persist registers in the context's persistentRdds map at call
-    # time (localCheckpoint persists immediately even when lazy), so a
-    # before/after diff of the map keys identifies exactly the blocks
-    # this call pinned — without touching RDDs the caller cached.
+    # Track the checkpointed frame's own LogicalRDD id when resolvable
+    # (scopes the later release to exactly this block even if a
+    # concurrent query persists an RDD in the window); fall back to a
+    # before/after diff of the persistentRdds map — RDD.persist
+    # registers there at call time (localCheckpoint persists
+    # immediately even when lazy), so the diff identifies the blocks
+    # this call pinned without touching RDDs the caller cached.
     before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
     out = df.localCheckpoint(eager=eager)
+    target_id = checkpointed_rdd_id(out)
     owner = getattr(_CURRENT_QUERY, "name", None)
     new = [
         (rdd_id, owner)
         for rdd_id, _ in _persistent_rdd_entries(sc)
-        if rdd_id not in before
+        if (rdd_id == target_id)
+        or (target_id is None and rdd_id not in before)
     ]
     with _TRACKED_LOCK:
         _TRACKED.setdefault(sc.applicationId, []).extend(new)

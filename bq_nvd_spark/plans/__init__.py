@@ -22,60 +22,66 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # mixture_resample_docs (added late in round 10 — never driver-checked;
 # mirrored green at sf0.001/0.01/0.1 and invariant-tested locally).
 _DRIVER_PRIORITY = [
-    # -- last driver row r4 (oldest evidence in the registry) --
-    "lang_distribution",
-    "token_counts_top20",
-    "bag_except_order_dates",
-    "first_event_per_user_type",
-    # -- changed in round 10 --
-    "embedding_similar_pairs",
-    "semantic_dedup_survivors",
-    "customer_rfm_segments",
-    "value_mad_outliers",
+    # -- round 11 window: clear the ENTIRE evidence backlog in one
+    # rotation (VERDICT r10 tasks 1-3). 1 never-checked + 45 stale
+    # (evidence ≤ r6) + 1 re-oracled + 3 touched this round = 50. --
+    # never driver-checked (added after the r10 window ran):
+    "mixture_resample_docs",
+    # oracle changed this round (accuracy-bound contract replaces the
+    # permanent no_oracle row):
+    "approx_distinct_users",
+    # -- last driver row r5 (oldest evidence in the registry) --
+    "repetition_ngram_profile",
+    "sketch_distinct_accuracy",
+    "sketch_percentile_accuracy",
+    "source_mixture_weights",
+    "span_contamination_census",
+    "udaf_median_chars",
+    "udtf_token_chunks",
+    "unigram_surprisal_scores",
+    "variant_props_stats",
+    "weekly_retention_cohorts",
+    "weighted_sample_docs",
+    "zorder_cell_census",
+    # -- last driver row r6 --
+    "ann_lsh_topk",
+    "cosine_topk",
+    "cube_status_priority_census",
+    "customer_balance_tiles",
+    "dedup_cluster_size_histogram",
+    "edit_distance_verified_pairs",
+    "event_transition_matrix",
+    "exact_dedup_docs",
+    "heavy_hitter_tokens",
+    "incremental_dedup_new_docs",
+    "label_centroids",
+    "label_cohesion_stats",
+    "minhash_candidate_pairs",
+    "minhash_lsh_buckets",
+    "nvd_count_cves",
+    "nvd_cvss_vector_parse",
+    "nvd_feed_ingest",
+    "nvd_flagship_linux_cves",
+    "oov_rate_by_vocab",
+    "q12_priority_buckets",
+    "q1_pricing_summary",
+    "q22_idle_rich_customers",
+    "q6_forecast_revenue",
+    "scd2_event_type_intervals",
+    "sequence_packing",
+    "session_window_per_user",
+    "simhash_near_dup_pairs",
+    "stateful_user_totals",
+    "stratified_sample_per_lang",
+    "streaming_approx_daily_users",
+    "streaming_dedup_within_watermark",
+    "streaming_funnel_conversion",
+    "tfidf_top_terms",
+    # -- touched in round 11 (merge-sink release pin + floor work;
+    # customer_rfm_segments NULL-metric fixture pin) --
     "streaming_upsert_user_totals",
     "streaming_cdc_user_totals",
-    # -- broadcast hints removed in round 10 --
-    "nvd_first_write_wins",
-    "monthly_urgent_gapfill",
-    "streaming_static_enrich",
-    "orders_per_region",
-    "pivot_priority_by_segment",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q5_revenue_by_nation",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item_revenue",
-    "q11_important_parts",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_census",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_banded_brand_revenue",
-    "q20_excess_volume_suppliers",
-    "q21_waiting_suppliers",
-    # -- last driver row r5 (oldest remaining evidence) --
-    "approx_distinct_users",
-    "argmax_latest_event_per_user",
-    "arrow_byte_stats",
-    "arrow_group_quality",
-    "bpe_merge_census",
-    "duplicate_span_docs",
-    "embedding_int8_census",
-    "full_outer_daily_activity",
-    "funnel_conversion",
-    "grouping_sets_status_priority",
-    "hll_daily_rollup",
-    "kll_rank_accuracy",
-    "lateral_top2_orders",
-    "moment_stats_by_type",
-    "orders_trailing_90d_revenue",
-    "profile_orders_columns",
-    "q13_customer_order_distribution",
-    "q4_late_order_priorities",
-    "recursive_month_spine",
+    "customer_rfm_segments",
 ]
 
 def _reorder(registry: dict) -> None:

@@ -393,17 +393,20 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shard the same plan on (source, shard)); the quota relation is
 # aggregate-bounded (broadcast hint, classified in
 # scripts/broadcast_audit.py); zero UDFs. Weights here derive
-# LENIENTLY from the source name's integer suffix (1 + suffix%4,
-# unparsable/overflowing suffixes → weight 1, identical TRY_CAST
-# semantics on both engines) purely so the fixture exercises a
-# NON-uniform target; a real run passes its recipe as a weights table.
+# LENIENTLY from the source name's integer suffix (GREATEST(1,
+# 1 + suffix%4) — unparsable/overflowing suffixes → weight 1, negative
+# suffixes clamped to 1, identical TRY_CAST semantics on both engines)
+# purely so the fixture exercises a NON-uniform target; a real run
+# passes its recipe as a weights table.
 @query(
     "mixture_resample_docs",
     oracle="""
     WITH w AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
-             CAST(1 + COALESCE(TRY_CAST(SUBSTR(source, 4) AS INT) % 4, 0)
-                  AS BIGINT) AS w_s
+             CAST(GREATEST(
+                    1,
+                    1 + COALESCE(TRY_CAST(SUBSTR(source, 4) AS INT) % 4, 0)
+                  ) AS BIGINT) AS w_s
       FROM documents GROUP BY source
     ),
     quota AS (
@@ -442,11 +445,16 @@ def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weight 1 on BOTH engines (TRY_CAST NULLs on each; both coalesce
     # to 0) instead of diverging — plain CAST would THROW under Spark's
     # ANSI mode and under DuckDB, but only once malformed data arrived.
-    w_s = (
+    # GREATEST(1, ·) pins negative suffixes too: % keeps the dividend's
+    # sign on both engines, so 'src-3' would otherwise yield w_s ≤ 0 —
+    # and floor-div (DuckDB //) vs truncating div (Spark div) diverge
+    # on negative operands while w_s = 0 divides by zero.
+    w_s = F.greatest(
+        F.lit(1),
         F.coalesce(
             F.expr("TRY_CAST(substring(source, 4) AS INT)") % 4, F.lit(0)
         )
-        + 1
+        + 1,
     ).cast("long")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_s")

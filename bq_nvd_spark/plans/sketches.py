@@ -12,14 +12,17 @@ approx_count_distinct is a DIFFERENT HLL implementation, so the approx
 values themselves can never hash-match. The two registered queries
 split the contract accordingly:
 
-- ``approx_distinct_users`` carries NO oracle (driver records the
-  weaker rows-only check) and returns the raw sketch estimates next to
-  the exact counts — the honest "what you'd run at scale" form.
-- ``sketch_distinct_accuracy`` IS oracle-checked: it emits the exact
-  counts plus a boolean pinning the sketch's relative error under 5%
-  (rsd=0.02 ⇒ ~2% expected). The oracle recomputes the exact side and
-  asserts the bound, so the driver hash covers the sketch machinery's
-  accuracy without demanding bit-equal estimators.
+- ``approx_distinct_users`` — daily active users (the canonical
+  production sketch query, per-DAY groups) under the accuracy-bound
+  contract: oracle emits the exact counts + literal TRUE, Spark
+  computes the <5% relative-error bound. Through round 10 this query
+  carried ``oracle=None`` (rows-only driver check) on the grounds that
+  raw estimates can't hash-match; the bound contract covers the same
+  machinery WITHOUT the permanent ``err: no_oracle`` row.
+- ``sketch_distinct_accuracy`` — the same contract over per-EVENT-TYPE
+  groups (few large groups vs many small daily ones; together the two
+  cover both cardinality regimes of HLL++: dense estimation on big
+  groups, sparse-exact on small ones).
 
 Local tests additionally assert the error bound per group at sf0.001.
 """
@@ -35,18 +38,39 @@ from bq_nvd_spark.sources.tables import load_table
 RSD = 0.02  # relative standard deviation for HLL++; ~2% typical error
 
 
-@query("approx_distinct_users", oracle=None)
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type distinct users, sketched and exact side by side.
+    """Daily active users: sketched, gated against the exact count.
 
-    No oracle: DuckDB's HLL differs from Spark's, so the estimate
-    column is engine-specific by construction (rows-only driver check;
-    the accuracy twin below is the hash-checked surface).
+    DuckDB's HLL is a different implementation, so the raw estimate
+    can never hash-match — instead the driver gate pins the sketch's
+    relative error: ``within_5pct`` is COMPUTED Spark-side
+    (|approx − exact| / exact < 0.05, rsd=0.02 ⇒ ~2% expected) while
+    the oracle emits the literal TRUE. Per-DAY groups complement the
+    per-type twin: many small groups exercise HLL++'s sparse-exact
+    regime, and at warehouse scale this exact query shape (daily
+    actives) is the one the sketch exists for.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.approx_count_distinct("user_id", RSD).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+    err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return agg.select(
+        "day", "exact_users", (err < 0.05).alias("within_5pct")
     )
 
 

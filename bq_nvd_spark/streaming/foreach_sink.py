@@ -231,20 +231,29 @@ class ParquetUpsertStore:
         # over the stateful aggregate trips an attribute-resolution bug
         # in the incremental planner — `key not found: user_id#…` —
         # while the checkpoint's fresh LogicalRDD lineage is immune)
-        # materializes the O(|batch keys|) delta once. Release by
-        # before/after diff of the context's persistentRdds map —
+        # materializes the O(|batch keys|) delta once. Release by the
+        # checkpointed frame's OWN LogicalRDD id when resolvable —
         # ``batch_df.rdd.unpersist()`` would be a no-op on a fresh
-        # javaToPython wrapper, leaking one checkpoint block per batch
-        # until the driver GC got around to it.
-        from bq_nvd_spark.operators.checkpoint import _persistent_rdd_entries
+        # javaToPython wrapper, and a bare before/after diff of the
+        # context-global persistentRdds map would also capture (and
+        # wrongly unpersist) blocks a CONCURRENT query persisted in the
+        # window; the id pin scopes the release to this batch's block.
+        # The diff remains only as the fallback when the plan shape is
+        # not the expected single LogicalRDD.
+        from bq_nvd_spark.operators.checkpoint import (
+            _persistent_rdd_entries,
+            checkpointed_rdd_id,
+        )
 
         sc = spark.sparkContext
         before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
         batch_df = batch_df.localCheckpoint(eager=True)
+        target_id = checkpointed_rdd_id(batch_df)
         pinned = [
             (rdd_id, jrdd)
             for rdd_id, jrdd in _persistent_rdd_entries(sc)
-            if rdd_id not in before
+            if (rdd_id == target_id)
+            or (target_id is None and rdd_id not in before)
         ]
         try:
             self._merge_cached(batch_df, batch_id, key, delete_col, m, spark)

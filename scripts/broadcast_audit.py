@@ -148,10 +148,6 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (C, "refined centroid array: one row of K structs"),
     ("plans/similarity_search.py", "ivf_refined_topk", "probes"):
         (C, "≤5 queries × IVF_NPROBE probe cells"),
-    ("plans/sampling.py", "mixture_resample_docs", "tot"):
-        (A, "one-row weight total"),
-    ("plans/sampling.py", "mixture_resample_docs", "cap"):
-        (A, "one-row capacity minimum"),
     ("plans/sampling.py", "mixture_resample_docs", "quota"):
         (A, "per-source quotas; source is a low-card domain"),
     ("plans/sketches.py", "kll_rank_accuracy", "q.select('event_type', 'kll_p90')"):

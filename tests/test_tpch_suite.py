@@ -176,14 +176,15 @@ def test_trailing_90d_range_frame_matches_python(spark, sf_dir):
 
 
 def test_sketch_error_bound_per_group(spark, sf_dir):
-    """HLL++ estimate stays within 5% of exact for every event type,
-    and the accuracy query's boolean reflects exactly that."""
+    """HLL++ estimate stays within 5% of exact for every daily group
+    and every event type, and both accuracy booleans reflect it."""
     from bq_nvd_spark.plans.sketches import approx_distinct_users, sketch_distinct_accuracy
 
     rows = approx_distinct_users(spark, sf_dir).collect()
     assert rows
-    for r in rows:
-        assert abs(r["approx_users"] - r["exact_users"]) / r["exact_users"] < 0.05, r
+    assert all(r["within_5pct"] for r in rows), [
+        r for r in rows if not r["within_5pct"]
+    ]
     acc = sketch_distinct_accuracy(spark, sf_dir).collect()
     assert all(r["within_5pct"] for r in acc)
 
