@@ -47,15 +47,29 @@ def connected_components(
     appearing in the edge list (isolated rows never enter a pair set —
     callers union them back as their own singletons if needed).
     """
-    # Materialize the symmetric edge list ONCE: every round joins
-    # against it, and without the checkpoint each round would replay the
-    # whole upstream plan that produced the edges (for dedup clusters,
-    # the entire LSH + verification pipeline — measured 3× the cost).
-    # stage_checkpoint upgrades to a reliable (checkpoint-dir) variant
-    # on clusters where executor loss must not kill the iteration.
-    sym = stage_checkpoint(
+    # Materialize the edge list ONCE, BEFORE symmetrizing: every round
+    # joins against it, and without the checkpoint each round would
+    # replay the whole upstream plan that produced the edges (for dedup
+    # clusters, the entire LSH + verification pipeline — measured 3×
+    # the cost). The symmetric union is built FROM the checkpoint, not
+    # around it: Spark evaluates identical union branches separately
+    # (no cross-branch exchange reuse), so union-then-checkpoint ran
+    # the upstream pair plan TWICE — flipping a checkpointed two-column
+    # relation is a per-round projection over materialized blocks
+    # instead (measured on semantic_dedup_survivors at sf0.1:
+    # 6.4 → 4.7 s once the round-11 three-branch pair plan made each
+    # extra evaluation expensive). stage_checkpoint upgrades to a
+    # reliable (checkpoint-dir) variant on clusters where executor
+    # loss must not kill the iteration.
+    e0 = stage_checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    )
+    # The symmetric relation is ALSO checkpointed — built from e0's
+    # blocks (a projection + union, no upstream replay), it gives every
+    # round a single materialized join input instead of re-unioning e0
+    # per round.
+    sym = stage_checkpoint(
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))

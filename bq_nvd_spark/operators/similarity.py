@@ -132,6 +132,76 @@ def fold_dot_np(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.cumsum(ma * mb, axis=1)[:, -1])
 
 
+# Extra sign bits for refining OVERSIZED LSH buckets (the
+# EMB_BUCKET_CAP star path, plans/similarity_search.py): the md5 plane
+# generator is open-ended, so these planes simply continue the sequence
+# past N_BITS — fixed for all time, disjoint from every band bit, and
+# identical in the DuckDB oracle. 16 bits = 65536 sub-buckets: members
+# of a mega-bucket that are NOT near-duplicates of each other almost
+# surely land in different sub-buckets (agreeing on all 16 extra signs
+# requires near-zero angle), so the bottom-level star anchors on a true
+# near-duplicate instead of an arbitrary bucket-mate. Each band refines
+# on its OWN 16 planes (band b → bits N_BITS + b·REFINE_BITS …): with a
+# shared refine partition, one borderline plane (a near-zero dot for a
+# duplicate cluster's center) would split the cluster IDENTICALLY in
+# every band, defeating the multi-band recovery; independent per-band
+# refine planes make the split boundaries differ, and the union of the
+# per-band stars reconnects the cluster (measured by
+# scripts/emb_recall_probe.py).
+REFINE_BITS = 16
+_REFINE_PLANES_ALL = [
+    [_plane_component(N_BITS + bit, i) for i in range(DIM)]
+    for bit in range(N_BANDS * REFINE_BITS)
+]
+
+
+@pandas_udf(IntegerType())
+def refine_bucket_np(vecs: pd.Series, band_idx: pd.Series) -> pd.Series:
+    """Sub-bucket id from the row's band-specific refine planes.
+
+    Same matmul-sign kernel as ``band_buckets_np`` — one matmul against
+    all N_BANDS·REFINE_BITS planes, then each row keeps its band's
+    16-bit slice. Planes are sliced to the row dimension so unit-test
+    fixtures with short vectors work (real corpora are DIM-dimensional
+    and use every component)."""
+    planes_t = np.asarray(_REFINE_PLANES_ALL).T  # (DIM, N_BANDS*REFINE_BITS)
+    mat = np.vstack(vecs.to_numpy())
+    bits = (mat @ planes_t[: mat.shape[1], :]) > 0
+    sel = np.take_along_axis(
+        bits,
+        band_idx.to_numpy().astype(np.int64)[:, None] * REFINE_BITS
+        + np.arange(REFINE_BITS)[None, :],
+        axis=1,
+    )
+    weights = 1 << np.arange(REFINE_BITS)
+    return pd.Series((sel @ weights).astype("int32"))
+
+
+def duck_refine_bucket_case(vec: str, band_idx: str) -> str:
+    """DuckDB twin of ``refine_bucket_np`` — identical plane literals,
+    dispatched lazily on the band column (CASE arms evaluate only for
+    the matching band, and callers apply the expression only to members
+    of OVERSIZED buckets; computing all bands' refine folds for every
+    vector made the oracle ~6× slower for nothing at fixture SFs,
+    where oversized buckets are rare or absent).
+
+    Matmul-sign vs fold-sign agreement: the dot against a ±1 plane is
+    O(0.1) for unit-scale vectors while float reorder error is ~1e-13,
+    the same argument ``band_buckets_np`` documents."""
+    arms = []
+    for b in range(N_BANDS):
+        bits = []
+        for j in range(REFINE_BITS):
+            plane = "[" + ", ".join(
+                f"{c:.1f}" for c in _REFINE_PLANES_ALL[b * REFINE_BITS + j]
+            ) + "]"
+            bits.append(
+                f"CASE WHEN {duck_fold_dot(vec, plane)} > 0 THEN {1 << j} ELSE 0 END"
+            )
+        arms.append(f"WHEN {b} THEN " + " + ".join(bits))
+    return f"(CASE {band_idx} " + " ".join(arms) + " END)"
+
+
 @pandas_udf(ArrayType(IntegerType()))
 def band_buckets_np(vecs: pd.Series) -> pd.Series:
     """Vectorized twin of ``band_buckets`` — one numpy matmul per Arrow

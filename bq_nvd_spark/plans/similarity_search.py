@@ -17,8 +17,10 @@ from bq_nvd_spark.operators.similarity import (
     band_buckets_np,
     duck_band_buckets,
     duck_fold_dot,
+    duck_refine_bucket_case,
     fold_dot,
     fold_dot_np,
+    refine_bucket_np,
 )
 from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.sources.tables import load_table
@@ -322,82 +324,95 @@ SIMILAR_COS = 0.40
 # 2..CAP members emit all pairs (≤ CAP²/2 each); an OVERSIZED bucket —
 # the degenerate case a dedup-worthy corpus is full of: mass
 # near-duplicates or zero-heavy vectors collapsing to one signature —
-# emits a STAR to its min-id member (m−1 pairs, not m(m−1)/2). The star
-# keeps a mass-duplicate cluster connected for the downstream connected
-# components (dropping the bucket, the naive cap, would leave the worst
-# duplicates un-deduped), while per-bucket output goes O(m). Fixture
-# max bucket sizes: 9 at sf0.01, 28 at sf0.1 — the star path is
-# exercised at bench scale and by the degenerate-bucket property test.
+# is REFINED on REFINE_BITS extra sign bits, and sub-buckets still past
+# the cap emit a STAR to their min-id member (m−1 pairs, not m(m−1)/2).
+# Refine-then-star keeps a mass-duplicate cluster connected for the
+# downstream connected components even when unrelated vectors share its
+# 8-bit level-1 bucket (see _emb_bucket_pairs — starring the RAW bucket
+# could anchor on such an outsider and lose the whole cluster), while
+# per-bucket output stays O(m). Fixture max bucket sizes: 9 at sf0.01,
+# 28 at sf0.1 — the refined path is exercised at bench scale, by the
+# degenerate-bucket property tests, and by scripts/emb_recall_probe.py.
 EMB_BUCKET_CAP = 20
 
 
 def _emb_bucket_pairs(sig: DataFrame) -> DataFrame:
     """Candidate (id_a,id_b,va,na,vb,nb) pairs from capped LSH buckets.
 
-    Input: (vec_id, v, nrm, bands). Sized-then-emitted in ONE pass so
-    no per-bucket state is ever unbounded: a per-bucket window COUNT
-    and min-struct anchor ride the same (band, bucket) shuffle that
-    feeds pair emission (WindowExec spills a mega-bucket's rows to
-    disk; it never buffers them in one aggregation row), then
+    Input: (vec_id, v, nrm, bands). Sized-then-emitted so no per-bucket
+    state is ever unbounded: a per-bucket window COUNT rides the same
+    (band, bucket) shuffle that feeds pair emission (WindowExec spills
+    a mega-bucket's rows to disk; it never buffers them in one
+    aggregation row), then
 
     - buckets of 2..EMB_BUCKET_CAP members collect their sorted member
       array (buffer ≤ CAP structs by construction) and expand to all
       pairs with index-aware HOFs;
-    - OVERSIZED buckets never aggregate their members anywhere: each
-      member row already carries the bucket's min-id anchor struct
-      (vector included — min over a struct orders by the unique
-      vec_id), so the m−1 star pairs are a filter + projection. A
-      4M-member mass-duplicate bucket therefore costs O(m) output
-      rows, not an O(m·dim) collect_list buffer in one task (a
-      ~530 B/member struct array would blow past the 2 GB row limit
-      near ~4M members — exactly the dedup-worthy input this path
-      exists for).
+    - OVERSIZED buckets are REFINED before any fallback: members
+      compute REFINE_BITS extra sign bits (Arrow matmul over only the
+      oversized rows) and re-window on (band, bucket, sub-bucket).
+      Sub-buckets of 2..CAP emit all pairs; sub-buckets STILL past the
+      cap emit the min-id star (m−1 pairs via filter + projection —
+      each row carries the sub-bucket's min-struct anchor, vector
+      included, so no join-back and no collect buffer; a 4M-member
+      mass-duplicate sub-bucket costs O(m) output rows, never an
+      O(m·dim) collect_list that would blow the 2 GB row limit).
 
-    No join and no checkpoint; the groupBy and both filters reuse
-    each branch's window partitioning. The union's two branches each
-    evaluate the signature projection and its (band, bucket) shuffle
-    (Spark does not dedupe the identical exchange subtrees across
-    union branches) — a second LINEAR pass, measured cheaper at bench
-    scale than materializing the exploded relation once
-    (stage_checkpoint variant: 3.43 s vs 2.83 s at sf0.1). A
-    deployment whose signature compute dominates can flip to
-    ``stage_checkpoint`` on the exploded relation to trade the second
-    pass for one materialization; the output is identical.
+    WHY the refinement exists (round 11, found by
+    scripts/emb_recall_probe.py): a level-1 bucket is only an 8-bit
+    signature, so a mass-duplicate cluster shares its bucket with
+    unrelated vectors; starring the RAW bucket anchors on the min-id
+    member, which can be such an outsider — every star pair is then
+    (dissimilar anchor, member), ALL dropped by the cosine threshold,
+    in every band, and the cluster the cap exists to keep connected
+    falls apart (measured: a 120-member planted cluster split into 118
+    components). Agreeing on all 16 refine bits requires near-zero
+    angle, so the bottom-level star anchors on a true near-duplicate
+    with overwhelming probability and the cluster stays one component
+    for the downstream connected components. A member whose sub-bucket
+    is a singleton emits nothing from that band (its partners, if any,
+    surface via bands where they genuinely co-bucket — better than the
+    old behavior of emitting a doomed dissimilar anchor pair).
+
+    No join and no checkpoint; the groupBy and the filters reuse each
+    branch's window partitioning. The union's three branches each
+    evaluate the signature projection and the (band, bucket) shuffle
+    (Spark does not dedupe identical exchange subtrees across union
+    branches) — linear passes, and the two refined branches only carry
+    rows of oversized buckets (rare in healthy corpora, linear in
+    degenerate ones). The stage_checkpoint variant that materializes
+    the exploded relation once was measured SLOWER at bench scale in
+    round 10 (3.43 s vs 2.83 s at sf0.1); re-measured after this
+    change in round 11 — see SCALE.md.
     """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band_idx", "bucket")
-    # ONE pass sizes every bucket and picks its min-id anchor: the
-    # window count/min shuffle once on (band, bucket) and spill to
-    # disk on a mega-bucket instead of buffering it in an aggregation
-    # row; min over the struct orders by vec_id (unique), so `anc` is
-    # the anchor member WITH its vector — no join back to fetch it.
     tagged = sig.select(
         "vec_id", "v", "nrm",
         F.posexplode("bands").alias("band_idx", "bucket"),
     ).select(
         "*",
         F.count(F.lit(1)).over(w).alias("c"),
-        F.min(F.struct("vec_id", "v", "nrm")).over(w).alias("anc"),
     ).filter(F.col("c") >= 2)
-    members = (
-        tagged.filter(F.col("c") <= EMB_BUCKET_CAP)
-        .groupBy("band_idx", "bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v", "nrm"))).alias("m"))
-    )
-    # all-pairs: flatten(transform(m, (a, i) -> transform(m[i+1:], b -> (a, b))))
-    all_pairs = F.flatten(
-        F.transform(
-            "m",
-            lambda a, i: F.transform(
-                F.slice("m", i + F.lit(2), F.size("m")),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
+
+    def _all_pairs(rel: DataFrame, *keys: str) -> DataFrame:
+        members = rel.groupBy(*keys).agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "v", "nrm"))
+            ).alias("m")
         )
-    )
-    small_pairs = (
-        members.select(F.explode(all_pairs).alias("p"))
-        .select(
+        # flatten(transform(m, (a, i) -> transform(m[i+1:], b -> (a, b))))
+        pairs = F.flatten(
+            F.transform(
+                "m",
+                lambda a, i: F.transform(
+                    F.slice("m", i + F.lit(2), F.size("m")),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        )
+        return members.select(F.explode(pairs).alias("p")).select(
             F.col("p.a.vec_id").alias("id_a"),
             F.col("p.b.vec_id").alias("id_b"),
             F.col("p.a.v").alias("va"),
@@ -405,10 +420,32 @@ def _emb_bucket_pairs(sig: DataFrame) -> DataFrame:
             F.col("p.b.v").alias("vb"),
             F.col("p.b.nrm").alias("nb"),
         )
+
+    small_pairs = _all_pairs(
+        tagged.filter(F.col("c") <= EMB_BUCKET_CAP), "band_idx", "bucket"
+    )
+    # Refinement pass: only oversized-bucket rows pay the extra Arrow
+    # matmul and the (band, bucket, rb) window; min over the struct
+    # orders by the unique vec_id, so `anc` is the sub-bucket's anchor
+    # member WITH its vector.
+    w2 = Window.partitionBy("band_idx", "bucket", "rb")
+    refined = (
+        tagged.filter(F.col("c") > EMB_BUCKET_CAP)
+        .withColumn("rb", refine_bucket_np("v", "band_idx"))
+        .select(
+            "*",
+            F.count(F.lit(1)).over(w2).alias("c2"),
+            F.min(F.struct("vec_id", "v", "nrm")).over(w2).alias("anc"),
+        )
+        .filter(F.col("c2") >= 2)
+    )
+    refined_pairs = _all_pairs(
+        refined.filter(F.col("c2") <= EMB_BUCKET_CAP),
+        "band_idx", "bucket", "rb",
     )
     star_pairs = (
-        tagged.filter(
-            (F.col("c") > EMB_BUCKET_CAP)
+        refined.filter(
+            (F.col("c2") > EMB_BUCKET_CAP)
             & (F.col("vec_id") > F.col("anc.vec_id"))
         )
         .select(
@@ -420,7 +457,11 @@ def _emb_bucket_pairs(sig: DataFrame) -> DataFrame:
             F.col("nrm").alias("nb"),
         )
     )
-    return small_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
+    return (
+        small_pairs.unionByName(refined_pairs)
+        .unionByName(star_pairs)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def _duck_emb_pairs_cte() -> str:
@@ -443,10 +484,26 @@ def _duck_emb_pairs_cte() -> str:
       FROM sig, (SELECT UNNEST(range(0, 4)) AS band_idx) b
     ),
     sized AS (
-      SELECT band_idx, bucket, COUNT(*) AS c, MIN(vec_id) AS min_id
+      SELECT band_idx, bucket, COUNT(*) AS c
       FROM buckets GROUP BY band_idx, bucket HAVING COUNT(*) >= 2
     ),
+    -- members of OVERSIZED buckets with their band-specific refine
+    -- sub-bucket (lazy CASE: only these rows pay the 16 extra folds)
+    over_m AS MATERIALIZED (
+      SELECT x.vec_id, x.v, x.nrm, x.band_idx, x.bucket,
+             {duck_refine_bucket_case('x.v', 'x.band_idx')} AS rb
+      FROM buckets x
+      JOIN sized s ON s.band_idx = x.band_idx AND s.bucket = x.bucket
+      WHERE s.c > {EMB_BUCKET_CAP}
+    ),
+    sized2 AS (
+      SELECT band_idx, bucket, rb,
+             COUNT(*) AS c2, MIN(vec_id) AS min_id
+      FROM over_m
+      GROUP BY band_idx, bucket, rb HAVING COUNT(*) >= 2
+    ),
     cand AS (
+      -- level-1 buckets at or under the cap: all pairs
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              a.v AS va, a.nrm AS na, b.v AS vb, b.nrm AS nb
       FROM buckets a
@@ -455,13 +512,23 @@ def _duck_emb_pairs_cte() -> str:
       JOIN sized s  ON s.band_idx = a.band_idx AND s.bucket = a.bucket
       WHERE s.c <= {EMB_BUCKET_CAP}
       UNION
-      SELECT s.min_id, b.vec_id, ma.v, ma.nrm, b.v, b.nrm
-      FROM sized s
-      JOIN buckets b  ON b.band_idx = s.band_idx AND b.bucket = s.bucket
-                     AND b.vec_id > s.min_id
-      JOIN buckets ma ON ma.band_idx = s.band_idx AND ma.bucket = s.bucket
-                     AND ma.vec_id = s.min_id
-      WHERE s.c > {EMB_BUCKET_CAP}
+      -- refined sub-buckets at or under the cap: all pairs
+      SELECT a.vec_id, b.vec_id, a.v, a.nrm, b.v, b.nrm
+      FROM over_m a
+      JOIN over_m b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                    AND a.rb = b.rb AND a.vec_id < b.vec_id
+      JOIN sized2 t ON t.band_idx = a.band_idx AND t.bucket = a.bucket
+                    AND t.rb = a.rb
+      WHERE t.c2 <= {EMB_BUCKET_CAP}
+      UNION
+      -- sub-buckets STILL past the cap: min-id star
+      SELECT t.min_id, b.vec_id, ma.v, ma.nrm, b.v, b.nrm
+      FROM sized2 t
+      JOIN over_m b  ON b.band_idx = t.band_idx AND b.bucket = t.bucket
+                     AND b.rb = t.rb AND b.vec_id > t.min_id
+      JOIN over_m ma ON ma.band_idx = t.band_idx AND ma.bucket = t.bucket
+                     AND ma.rb = t.rb AND ma.vec_id = t.min_id
+      WHERE t.c2 > {EMB_BUCKET_CAP}
     ),
     pairs AS (
       SELECT DISTINCT id_a, id_b,
@@ -482,13 +549,13 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: embedding-cosine near-dup pairs — the vector-space twin of
     MinHash near-dedup. Candidates are corpus self-pairs sharing any LSH
     band bucket, emitted per bucket from its collected member array
-    (all pairs up to EMB_BUCKET_CAP members, the min-id star beyond —
-    see _emb_bucket_pairs); only candidates pay the exact fold-ordered
-    cosine, and pairs at or above the threshold survive. The threshold
-    is the only dedup parameter: this corpus contains no true
-    near-duplicates (max pairwise cosine ~0.51), so the registered
-    query runs the identical plan at 0.40 to keep the correctness
-    signal non-vacuous.
+    (all pairs up to EMB_BUCKET_CAP members; oversized buckets refine
+    on extra sign bits, then star — see _emb_bucket_pairs); only
+    candidates pay the exact fold-ordered cosine, and pairs at or above
+    the threshold survive. The threshold is the only dedup parameter:
+    this corpus contains no true near-duplicates (max pairwise cosine
+    ~0.51), so the registered query runs the identical plan at 0.40 to
+    keep the correctness signal non-vacuous.
 
     At 100 TB the bucket relation is the whole story: the corpus never
     cross-joins itself, shuffle keys are hash-uniform, per-bucket pair
@@ -496,15 +563,18 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold prunes before anything aggregates. Near-identical vectors
     agree on all bands, so recall at 0.99 cosine is near-exact.
 
-    The star's recall contract: inside an OVERSIZED bucket only pairs
-    involving the min-id anchor are scored, so a similar pair not
-    similar to that anchor is missed in that bucket — it still
-    surfaces via any other band where it shares a ≤CAP bucket (4
-    independent bands). Mass-duplicate clusters (every member similar
-    to every other, hence to the anchor) stay fully connected for
-    semantic_dedup_survivors. This bounded-recall trade is the price
-    of never emitting O(m²) from degenerate input; the oracle
-    implements the identical rule from the shared CTE.
+    The recall contract, measured by scripts/emb_recall_probe.py
+    (numbers in SCALE.md): a similar pair in an oversized bucket whose
+    refined sub-bucket still exceeds the cap is scored only against the
+    sub-bucket's min-id anchor — by construction a near-duplicate of
+    both, so mass-duplicate clusters stay fully connected for
+    semantic_dedup_survivors even when unrelated vectors share their
+    level-1 bucket (the round-10 raw-bucket star could anchor on such
+    an outsider and lose every cluster pair to the threshold). Pairs
+    split across sub-buckets surface via any other band where they
+    share a ≤CAP bucket (4 independent bands). This bounded-recall
+    trade is the price of never emitting O(m²) from degenerate input;
+    the oracle implements the identical rule from the shared CTE.
     """
     emb = _spread_embeddings(spark, sf_dir)
     sig = emb.select(

@@ -30,6 +30,45 @@ def test_band_bucket_formulations_agree(spark, sf_dir):
     assert both.count() > 0
 
 
+def test_refine_bucket_formulations_agree(spark, sf_dir):
+    """refine_bucket_np (Arrow matmul signs) must equal the DuckDB
+    oracle's duck_refine_buckets fold-ordered evaluation for every
+    (vector, band) on the fixture corpus — same margin argument as the
+    band-bucket twins."""
+    import duckdb
+
+    from bq_nvd_spark.operators.similarity import (
+        N_BANDS,
+        duck_refine_bucket_case,
+        refine_bucket_np,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    got = {}
+    exploded = emb.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(b) for b in range(N_BANDS)])).alias("band_idx"),
+        "v",
+    ).select("vec_id", "band_idx", refine_bucket_np("v", "band_idx").alias("rb"))
+    for r in exploded.collect():
+        got[(r.vec_id, r.band_idx)] = r.rb
+    import os
+
+    con = duckdb.connect()
+    rb_case = duck_refine_bucket_case("CAST(embedding AS DOUBLE[])", "b.band_idx")
+    rel = con.sql(
+        f"SELECT vec_id, b.band_idx, {rb_case} AS rb "
+        f"FROM read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}'), "
+        "(SELECT UNNEST(range(0, 4)) AS band_idx) b"
+    )
+    for vec_id, band_idx, rb in rel.fetchall():
+        assert got[(vec_id, band_idx)] == rb, (vec_id, band_idx)
+    con.close()
+    assert got
+
+
 def test_minhash_band_formulations_agree(spark, sf_dir):
     """band_sigs_np (hashlib over Arrow) must equal band_sigs_hof (the
     HOF definition the oracle mirrors) string-for-string."""
@@ -233,11 +272,12 @@ def test_emb_bucket_pairs_mixed_buckets(spark):
 
 
 def test_emb_star_recall_via_other_bands(spark):
-    """The star's recall mechanism: a similar pair buried in an
-    OVERSIZED bucket whose anchor it does not match still surfaces as
-    a candidate through any other band where the two share a small
-    bucket — the multi-band design is what bounds the star's recall
-    loss, so pin it."""
+    """The refined star's recall mechanisms, both pinned: a similar
+    pair buried in an OVERSIZED bucket surfaces (a) through any other
+    band where the two share a small bucket, AND (b) through the
+    oversized bucket's OWN refinement — the extra sign bits split the
+    dissimilar fillers from the pair, which then lands in a 2-member
+    sub-bucket and emits directly."""
     from bq_nvd_spark.plans.similarity_search import (
         EMB_BUCKET_CAP,
         _emb_bucket_pairs,
@@ -245,12 +285,12 @@ def test_emb_star_recall_via_other_bands(spark):
 
     rows = []
     # ids 0..CAP+9 all collide in band-0 bucket 7 (oversized); the
-    # anchor (id 0) and fillers are orthogonal to the target pair.
+    # fillers are orthogonal to the target pair.
     m = EMB_BUCKET_CAP + 10
     for i in range(m):
         # distinct band-1..3 buckets -> no other co-occurrence
         rows.append((i, [0.0, 1.0], 1.0, [7, 100 + i, 200 + i, 300 + i]))
-    # x and y: mutually identical vectors, not similar to the anchor;
+    # x and y: mutually identical vectors, not similar to the fillers;
     # band 1 puts them alone in a small bucket together.
     x_id, y_id = m, m + 1
     rows.append((x_id, [1.0, 0.0], 1.0, [7, 55, 210 + m, 310 + m]))
@@ -259,7 +299,36 @@ def test_emb_star_recall_via_other_bands(spark):
         rows, "vec_id long, v array<double>, nrm double, bands array<int>"
     )
     got = {(r.id_a, r.id_b) for r in _emb_bucket_pairs(sig).collect()}
-    # band 0 is oversized (m+2 members > CAP): star to id 0 only
     assert (x_id, y_id) in got, "pair lost despite sharing a small bucket"
-    star = {(0, b) for b in range(1, m + 2)}
+    # band-0 bucket 7 refines into the 30 fillers ([0,1] -> one
+    # sub-bucket, still > CAP -> star to id 0) and {x, y} ([1,0] -> a
+    # 2-member sub-bucket -> direct pair); the old raw-bucket star
+    # would instead have emitted doomed (filler-anchor, x/y) pairs.
+    star = {(0, b) for b in range(1, m)}
     assert got == star | {(x_id, y_id)}
+
+
+def test_emb_refine_protects_cluster_from_outsider_anchor(spark):
+    """THE regression test for the round-11 probe finding: an oversized
+    bucket holding a mass-duplicate cluster plus a LOWER-id unrelated
+    bucket-mate must NOT star on the outsider (every such pair would
+    fail the cosine threshold and the cluster would disconnect — the
+    raw-bucket star did exactly that). Refinement separates the
+    outsider into its own singleton sub-bucket (emits nothing) and the
+    cluster stars on one of ITS OWN members."""
+    from bq_nvd_spark.plans.similarity_search import (
+        EMB_BUCKET_CAP,
+        _emb_bucket_pairs,
+    )
+
+    m = EMB_BUCKET_CAP + 10
+    rows = [(0, [1.0, 0.0], 1.0, [7, 7, 7, 7])]  # outsider, min id
+    for i in range(1, m + 1):  # the cluster: identical vectors
+        rows.append((i, [0.0, 1.0], 1.0, [7, 7, 7, 7]))
+    sig = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, nrm double, bands array<int>"
+    )
+    got = {(r.id_a, r.id_b) for r in _emb_bucket_pairs(sig).collect()}
+    assert got == {(1, b) for b in range(2, m + 1)}, (
+        "cluster must star on its own min id (1), never the outsider (0)"
+    )
