@@ -247,7 +247,13 @@ class ParquetUpsertStore:
 
         sc = spark.sparkContext
         before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # LAZY checkpoint: the touched-bucket collect below is the first
+        # action and materializes it — an eager checkpoint would spend a
+        # whole extra job on materialization alone (~one scheduling
+        # round-trip per batch on the per-batch floor). The RDD still
+        # registers in persistentRdds at call time, so the release
+        # bookkeeping is unaffected.
+        batch_df = batch_df.localCheckpoint(eager=False)
         target_id = checkpointed_rdd_id(batch_df)
         pinned = [
             (rdd_id, jrdd)
