@@ -107,6 +107,85 @@ def _duck_band_cte() -> str:
     """
 
 
+def _duck_capped_pairs_ctes() -> str:
+    """The capped-pair rule as oracle CTEs ending in
+    ``cpairs(doc_a, doc_b)`` — generated from the SAME constants as the
+    Spark plan so cap/refine/star semantics cannot drift. Refine
+    minhashes (salts N_HASHES..2·N_HASHES−1) are computed ONLY for docs
+    appearing in an oversized bucket (the ``over_ids`` join), the
+    mirror of the Spark side's pruned Arrow kernel."""
+    rsig_cols = ",\n        ".join(
+        _duck_minhash(i) for i in range(N_HASHES, 2 * N_HASHES)
+    )
+    rsig_arr = "[" + ", ".join(
+        " || ".join(
+            f"mh{N_HASHES + b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+        )
+        for b in range(N_BANDS)
+    ) + "]"
+    return f"""
+    , sizedall AS (
+      SELECT band_idx, band_sig, COUNT(*) AS c
+      FROM bands GROUP BY band_idx, band_sig HAVING COUNT(*) >= 2
+    ),
+    over_ids AS (
+      SELECT DISTINCT x.doc_id
+      FROM bands x
+      JOIN sizedall s ON s.band_idx = x.band_idx AND s.band_sig = x.band_sig
+      WHERE s.c > {PAIR_BUCKET_CAP}
+    ),
+    refine AS MATERIALIZED (
+      SELECT doc_id, {rsig_arr} AS rsigs
+      FROM (
+        SELECT d.doc_id,
+        {rsig_cols}
+        FROM documents d JOIN over_ids o ON o.doc_id = d.doc_id
+      )
+    ),
+    over_m AS MATERIALIZED (
+      SELECT x.band_idx, x.band_sig, x.doc_id,
+             r.rsigs[x.band_idx + 1] AS rsig
+      FROM bands x
+      JOIN sizedall s ON s.band_idx = x.band_idx AND s.band_sig = x.band_sig
+      JOIN refine r ON r.doc_id = x.doc_id
+      WHERE s.c > {PAIR_BUCKET_CAP}
+    ),
+    sized2 AS (
+      SELECT band_idx, band_sig, rsig,
+             COUNT(*) AS c2, MIN(doc_id) AS min_id
+      FROM over_m
+      GROUP BY band_idx, band_sig, rsig HAVING COUNT(*) >= 2
+    ),
+    cpairs AS (
+      -- level-1 buckets at or under the cap: all pairs
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        JOIN sizedall s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
+        WHERE s.c <= {PAIR_BUCKET_CAP}
+        UNION ALL
+        -- refined sub-buckets at or under the cap: all pairs
+        SELECT a.doc_id, b.doc_id
+        FROM over_m a
+        JOIN over_m b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                     AND a.rsig = b.rsig AND a.doc_id < b.doc_id
+        JOIN sized2 t ON t.band_idx = a.band_idx AND t.band_sig = a.band_sig
+                     AND t.rsig = a.rsig
+        WHERE t.c2 <= {PAIR_BUCKET_CAP}
+        UNION ALL
+        -- sub-buckets STILL past the cap: min-id star
+        SELECT t.min_id, b.doc_id
+        FROM sized2 t
+        JOIN over_m b ON b.band_idx = t.band_idx AND b.band_sig = t.band_sig
+                     AND b.rsig = t.rsig AND b.doc_id > t.min_id
+        WHERE t.c2 > {PAIR_BUCKET_CAP}
+      )
+    )
+    """
+
+
 def _minhash(toks, i: int):
     """i-th md5-keyed minhash of a token array.
 
@@ -148,6 +227,43 @@ def band_sigs_np(texts: "pd.Series") -> "pd.Series":
     import hashlib
 
     salts = [f"{i}:".encode() for i in range(N_HASHES)]
+    digests: dict[bytes, list[str]] = {}
+    out = []
+    for text in texts:
+        toks = {t.encode() for t in text.split(" ")}
+        per_tok = []
+        for t in toks:
+            d = digests.get(t)
+            if d is None:
+                d = [hashlib.md5(s + t).hexdigest() for s in salts]
+                digests[t] = d
+            per_tok.append(d)
+        mins = [min(d[i] for d in per_tok) for i in range(N_HASHES)]
+        out.append(
+            [
+                "".join(mins[b * BAND_SIZE : (b + 1) * BAND_SIZE])
+                for b in range(N_BANDS)
+            ]
+        )
+    return pd.Series(out)
+
+
+@pandas_udf(ArrayType(StringType()))
+def refine_sigs_np(texts: "pd.Series") -> "pd.Series":
+    """One REFINE signature per band for oversized-bucket members:
+    band b's refine sig concatenates minhashes
+    N_HASHES + b·BAND_SIZE .. N_HASHES + (b+1)·BAND_SIZE − 1 — the same
+    md5 scheme continued past the band hashes, mirrored exactly by the
+    oracle. Per-BAND refine hashes matter (the embedding twin's round-11
+    lesson): a shared refine key would split a borderline duplicate
+    cluster identically in every band, defeating multi-band recovery;
+    independent hashes make the split boundaries differ so the union of
+    per-band stars keeps the cluster connected. Same Zipf-memoized
+    Arrow kernel as ``band_sigs_np``; it runs only on docs that appear
+    in an oversized bucket."""
+    import hashlib
+
+    salts = [f"{i}:".encode() for i in range(N_HASHES, 2 * N_HASHES)]
     digests: dict[bytes, list[str]] = {}
     out = []
     for text in texts:
@@ -251,7 +367,9 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAIR_BUCKET_CAP = 20
 
 
-def _capped_pairs(bands: DataFrame) -> DataFrame:
+def _capped_pairs(
+    bands: DataFrame, refine_docs: DataFrame | None = None
+) -> DataFrame:
     """Distinct (doc_a, doc_b) candidates from capped LSH buckets, with
     the signature stage evaluated ONCE and no aggregation buffer that
     scales with a degenerate bucket (same discipline as the embedding
@@ -266,36 +384,92 @@ def _capped_pairs(bands: DataFrame) -> DataFrame:
     single-row limit arrives near ~250M members). Sizing and emission
     share ONE exchange — the collect_list groupBy reuses the window's
     (band, signature) partitioning (pinned by
-    tests/test_scale_paths.py) — and the only other shuffle is the
-    final pair distinct. The self-join formulation (the oracle's
-    shape) would re-run the Arrow signature UDF on both join sides
-    plus a size subtree.
+    tests/test_scale_paths.py) — and the other shuffles are the
+    refinement join and the final pair distinct. The self-join
+    formulation (the oracle's shape) would re-run the Arrow signature
+    UDF on both join sides plus a size subtree.
+
+    OVERSIZED buckets (> PAIR_BUCKET_CAP members) are REFINED, not
+    dropped (round 11, ported from the embedding twin): a mega-bucket
+    is mass boilerplate — THE most dedup-worthy input — and dropping
+    it meant those duplicates never paired, never verified, never
+    deduped (at sf0.01 a full 442 of 500 fixture docs sit in at least
+    one oversized bucket). Members of oversized buckets compute one
+    refine signature per band (``refine_sigs_np`` over ``refine_docs``,
+    pruned to exactly those docs by a distinct-id join) and re-window
+    on (band, band_sig, refine_sig); sub-buckets of 2..CAP emit all
+    pairs, sub-buckets still past the cap emit the min-id STAR (m−1
+    pairs) — an outsider that won the one-band signature lottery
+    almost surely differs on the refine hashes (P = J^BAND_SIZE), so
+    the star anchors on a true near-duplicate and the downstream
+    exact-Jaccard verification keeps the cluster connected. Per-bucket
+    output stays O(m); the refined branches carry only
+    oversized-bucket rows. With ``refine_docs=None`` (callers without
+    document text, e.g. synthetic band relations) oversized buckets
+    are dropped as before.
     """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band_idx", "band_sig")
-    sized = bands.withColumn("c", F.count(F.lit(1)).over(w)).filter(
-        F.col("c").between(2, PAIR_BUCKET_CAP)
+    tagged = bands.withColumn("c", F.count(F.lit(1)).over(w)).filter(
+        F.col("c") >= 2
     )
-    buckets = (
-        sized.groupBy("band_idx", "band_sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-    )
-    # flatten(transform(docs, (a, i) -> transform(suffix after i, b -> (a, b))))
-    # — the two-parameter lambda here is the *intentional* (element, index)
-    # form of HOF lambdas (contrast _minhash, where it must be avoided).
-    pairs = F.flatten(
-        F.transform(
-            "docs",
-            lambda a, i: F.transform(
-                F.slice("docs", i + F.lit(2), F.size("docs")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
+
+    def _all_pairs(rel: DataFrame, *keys: str) -> DataFrame:
+        buckets = rel.groupBy(*keys).agg(
+            F.array_sort(F.collect_list("doc_id")).alias("docs")
         )
+        # flatten(transform(docs, (a, i) -> transform(suffix, b -> (a, b))))
+        # — the two-parameter lambda is the *intentional* (element, index)
+        # form of HOF lambdas (contrast _minhash, where it must be avoided).
+        pairs = F.flatten(
+            F.transform(
+                "docs",
+                lambda a, i: F.transform(
+                    F.slice("docs", i + F.lit(2), F.size("docs")),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        )
+        return buckets.select(F.explode(pairs).alias("p")).select(
+            F.col("p.doc_a"), F.col("p.doc_b")
+        )
+
+    small_pairs = _all_pairs(
+        tagged.filter(F.col("c") <= PAIR_BUCKET_CAP), "band_idx", "band_sig"
     )
+    if refine_docs is None:
+        return small_pairs.distinct()
+    over = tagged.filter(F.col("c") > PAIR_BUCKET_CAP)
+    # Refine sigs for exactly the docs that need them: the distinct-id
+    # build side prunes the Arrow kernel to oversized-bucket members.
+    rsigs = refine_docs.join(
+        over.select("doc_id").distinct(), "doc_id"
+    ).select("doc_id", refine_sigs_np("text").alias("rsigs"))
+    over2 = over.join(rsigs, "doc_id").select(
+        "band_idx",
+        "band_sig",
+        "doc_id",
+        F.element_at("rsigs", (F.col("band_idx") + 1).cast("int")).alias(
+            "rsig"
+        ),
+    )
+    w2 = Window.partitionBy("band_idx", "band_sig", "rsig")
+    refined = over2.select(
+        "*",
+        F.count(F.lit(1)).over(w2).alias("c2"),
+        F.min("doc_id").over(w2).alias("anc"),
+    ).filter(F.col("c2") >= 2)
+    refined_pairs = _all_pairs(
+        refined.filter(F.col("c2") <= PAIR_BUCKET_CAP),
+        "band_idx", "band_sig", "rsig",
+    )
+    star_pairs = refined.filter(
+        (F.col("c2") > PAIR_BUCKET_CAP) & (F.col("doc_id") > F.col("anc"))
+    ).select(F.col("anc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        small_pairs.unionByName(refined_pairs)
+        .unionByName(star_pairs)
         .distinct()
     )
 
@@ -303,22 +477,16 @@ def _capped_pairs(bands: DataFrame) -> DataFrame:
 @query(
     "minhash_pairs_capped",
     oracle=_duck_band_cte()
-    + f"""
-    , sized AS (
-      SELECT band_idx, band_sig
-      FROM bands
-      GROUP BY band_idx, band_sig
-      HAVING COUNT(*) BETWEEN 2 AND {PAIR_BUCKET_CAP}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-                AND a.doc_id < b.doc_id
-    JOIN sized s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
+    + _duck_capped_pairs_ctes()
+    + """
+    SELECT doc_a, doc_b FROM cpairs
     """,
 )
 def minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _capped_pairs(_spark_bands(spark, sf_dir))
+    return _capped_pairs(
+        _spark_bands(spark, sf_dir),
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -927,23 +1095,11 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_MIN = 0.8
 
 
-# The sized→cand→sh→vpairs chain, shared by jaccard_verified_pairs (the
-# pairs themselves) and dedup_clusters (their transitive closure).
-_DUCK_VERIFIED_PAIRS_CTES = f"""
-    , sized AS (
-      SELECT band_idx, band_sig
-      FROM bands
-      GROUP BY band_idx, band_sig
-      HAVING COUNT(*) BETWEEN 2 AND {PAIR_BUCKET_CAP}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-                  AND a.doc_id < b.doc_id
-      JOIN sized s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
-    ),
-    sh AS (
+# The capped-pairs→sh→vpairs chain, shared by jaccard_verified_pairs
+# (the pairs themselves) and dedup_clusters (their transitive closure);
+# candidates come from the refined two-level rule (_duck_capped_pairs_ctes).
+_DUCK_VERIFIED_PAIRS_CTES = _duck_capped_pairs_ctes() + f"""
+    , sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, len(string_split(text, ' '))),
@@ -959,7 +1115,7 @@ _DUCK_VERIFIED_PAIRS_CTES = f"""
                / (len(a.sh) + len(b.sh)
                   - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
                4) AS jaccard
-      FROM cand c
+      FROM cpairs c
       JOIN sh a ON a.doc_id = c.doc_a
       JOIN sh b ON b.doc_id = c.doc_b
       WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
@@ -1009,7 +1165,10 @@ def _shingle_hashes_np(texts: "pd.Series") -> "pd.Series":
 def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
-    cand = _capped_pairs(_spark_bands(spark, sf_dir))
+    cand = _capped_pairs(
+        _spark_bands(spark, sf_dir),
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    )
     # Intersection as explode + equi-join + groupBy-count over 64-bit
     # shingle tokens, NOT array_intersect over the full string arrays:
     # the earlier array formulation shuffled both docs' complete bigram
@@ -1075,24 +1234,13 @@ EDIT_MAX = 32  # near-dups measure 0-8 on this corpus; background ≥ ~40
 @query(
     "edit_distance_verified_pairs",
     oracle=_duck_band_cte()
+    + _duck_capped_pairs_ctes()
     + f"""
-    , sized AS (
-      SELECT band_idx, band_sig FROM bands
-      GROUP BY band_idx, band_sig
-      HAVING COUNT(*) BETWEEN 2 AND {PAIR_BUCKET_CAP}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-                  AND a.doc_id < b.doc_id
-      JOIN sized s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
-    )
     SELECT c.doc_a, c.doc_b,
            CAST(levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
                             substr(db.text, 1, {EDIT_PREFIX})) AS BIGINT)
              AS edit_dist
-    FROM cand c
+    FROM cpairs c
     JOIN documents da ON da.doc_id = c.doc_a
     JOIN documents db ON db.doc_id = c.doc_b
     WHERE levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
@@ -1102,7 +1250,10 @@ EDIT_MAX = 32  # near-dups measure 0-8 on this corpus; background ≥ ~40
 def edit_distance_verified_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    cand = _capped_pairs(_spark_bands(spark, sf_dir))
+    cand = _capped_pairs(
+        _spark_bands(spark, sf_dir),
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    )
     prefixes = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("prefix")
     )
@@ -1122,9 +1273,18 @@ def edit_distance_verified_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("pa", "pb").cast("long").alias("edit_dist"),
+            # Bounded levenshtein (threshold arg, O(len·k) banded DP vs
+            # O(len²) full DP — returns -1 past the bound) plus an
+            # equality fast path: the refined candidate set is dominated
+            # by exact-duplicate pairs whose prefixes compare equal in
+            # O(len). Same output as the oracle's unbounded form because
+            # rows past EDIT_MAX are filtered either way.
+            F.when(F.col("pa") == F.col("pb"), F.lit(0))
+            .otherwise(F.levenshtein("pa", "pb", EDIT_MAX))
+            .cast("long")
+            .alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= EDIT_MAX)
+        .filter(F.col("edit_dist").between(0, EDIT_MAX))
     )
 
 

@@ -326,3 +326,41 @@ def test_capped_pairs_window_and_collect_share_one_exchange(spark):
     assert band_exchanges == 1, plan[:2000]
     assert pair_exchanges == 1, plan[:2000]
     assert "Window" in plan and "collect_list" in plan
+
+
+def test_capped_pairs_refines_oversized_buckets_with_star_fallback(spark):
+    """Oversized MinHash buckets must be REFINED, not dropped (round 11):
+    mass-duplicate docs — identical text, so identical band AND refine
+    signatures — land in one oversized bucket whose refined sub-bucket
+    is still past the cap, and the star fallback emits exactly m−1
+    pairs anchored at the min doc_id. Without refine_docs the legacy
+    drop-the-bucket behavior is preserved (the synthetic-band callers)."""
+    from bq_nvd_spark.plans.llm import PAIR_BUCKET_CAP, _capped_pairs
+
+    m = PAIR_BUCKET_CAP + 5
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(m)]
+        + [(1000 + i, f"unrelated text number {i} " * 3) for i in range(3)],
+        "doc_id long, text string",
+    )
+    import bq_nvd_spark.plans.llm as llm
+
+    sigs = docs.select(
+        "doc_id", llm.band_sigs_np("text").alias("sigs")
+    ).select(
+        "doc_id",
+        F.posexplode("sigs").alias("band_idx", "band_sig"),
+    )
+    # drop mode: the 25-member bucket vanishes entirely — only the
+    # small near-dup bucket of the three 1000-group docs may pair
+    dropped = sorted(
+        (r.doc_a, r.doc_b) for r in _capped_pairs(sigs).collect()
+    )
+    assert all(a >= 1000 for a, _ in dropped), dropped
+    # refine mode: identical texts share refine sigs → sub-bucket still
+    # oversized → star on the min id, deduped across bands; the small
+    # bucket's pairs are unchanged
+    refined = sorted(
+        (r.doc_a, r.doc_b) for r in _capped_pairs(sigs, docs).collect()
+    )
+    assert refined == [(0, i) for i in range(1, m)] + dropped, refined
