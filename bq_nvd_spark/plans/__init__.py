@@ -22,11 +22,27 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # mixture_resample_docs (added late in round 10 — never driver-checked;
 # mirrored green at sf0.001/0.01/0.1 and invariant-tested locally).
 _DRIVER_PRIORITY = [
-    # -- round 11 window: clear the ENTIRE evidence backlog in one
-    # rotation (VERDICT r10 tasks 1-3). 1 never-checked + 45 stale
-    # (evidence ≤ r6) + 1 re-oracled + 3 touched this round = 50. --
+    # -- round 11 window: changed-RESULT queries first, then the
+    # evidence backlog (VERDICT r10 tasks 1-3). 1 never-checked +
+    # 8 results-changed (the refine-then-star rework of BOTH LSH
+    # families: MinHash capped pairs and embedding bucket pairs emit
+    # strictly more candidates now, so their r8-r10 green rows no
+    # longer describe this code) + 1 re-oracled + 40 stale = 50.
+    # Deferred to r12 for room (unchanged code, green r6/r10 rows):
+    # nvd_count_cves, exact_dedup_docs, q1_pricing_summary,
+    # cube_status_priority_census, streaming_upsert_user_totals,
+    # streaming_cdc_user_totals, customer_rfm_segments. --
     # never driver-checked (added after the r10 window ran):
     "mixture_resample_docs",
+    # results changed in round 11 — oversized-LSH-bucket refinement
+    # (plans/llm.py _capped_pairs, plans/similarity_search.py):
+    "minhash_pairs_capped",
+    "jaccard_verified_pairs",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_survivors_by_quality",
+    "embedding_similar_pairs",
+    "semantic_dedup_survivors",
     # oracle changed this round (accuracy-bound contract replaces the
     # permanent no_oracle row):
     "approx_distinct_users",
@@ -46,25 +62,21 @@ _DRIVER_PRIORITY = [
     # -- last driver row r6 --
     "ann_lsh_topk",
     "cosine_topk",
-    "cube_status_priority_census",
     "customer_balance_tiles",
     "dedup_cluster_size_histogram",
     "edit_distance_verified_pairs",
     "event_transition_matrix",
-    "exact_dedup_docs",
     "heavy_hitter_tokens",
     "incremental_dedup_new_docs",
     "label_centroids",
     "label_cohesion_stats",
     "minhash_candidate_pairs",
     "minhash_lsh_buckets",
-    "nvd_count_cves",
     "nvd_cvss_vector_parse",
     "nvd_feed_ingest",
     "nvd_flagship_linux_cves",
     "oov_rate_by_vocab",
     "q12_priority_buckets",
-    "q1_pricing_summary",
     "q22_idle_rich_customers",
     "q6_forecast_revenue",
     "scd2_event_type_intervals",
@@ -77,11 +89,6 @@ _DRIVER_PRIORITY = [
     "streaming_dedup_within_watermark",
     "streaming_funnel_conversion",
     "tfidf_top_terms",
-    # -- touched in round 11 (merge-sink release pin + floor work;
-    # customer_rfm_segments NULL-metric fixture pin) --
-    "streaming_upsert_user_totals",
-    "streaming_cdc_user_totals",
-    "customer_rfm_segments",
 ]
 
 def _reorder(registry: dict) -> None:
