@@ -8,10 +8,14 @@ mega-bucket — at 10⁷-scale row counts, far past anything the fixtures
 exercise, and measures the paths end-to-end on local[32]:
 
 1. ``_capped_pairs`` (MinHash twin) over N uniform rows + one M-member
-   mega-bucket: output must be the uniform buckets' pairs only (the
-   mega-bucket is dropped by the cap), wall must stay minutes-not-
-   hours, and the window count must SPILL the mega-bucket rather than
-   OOM a single aggregation row.
+   mega-bucket, no document text supplied: output must be the uniform
+   buckets' pairs only (the mega-bucket is dropped by the cap), wall
+   must stay minutes-not-hours, and the window count must SPILL the
+   mega-bucket rather than OOM a single aggregation row.
+1b. ``_capped_pairs`` WITH text (round 11 refine-then-star): the same
+   mega-bucket, now of identical documents, must survive as exactly
+   M−1 min-id star pairs — the refine kernel runs only on mega
+   members and the second window spills like the first.
 2. ``_emb_bucket_pairs`` (embedding twin) with an M-member mega-bucket
    of identical vectors: output must include exactly M−1 star pairs
    (the min-id anchor keeps the duplicate cluster connected) on top of
@@ -87,6 +91,44 @@ def main() -> None:
         "wall_sec": round(wall, 1),
     }
     print(json.dumps({"probe": "minhash_capped", **results["minhash_capped"]}))
+
+    # -- 1b. MinHash refine-then-star: mega-bucket of IDENTICAL texts --
+    # With document text supplied, the mega-bucket is no longer dropped:
+    # identical texts share every refine minhash, so the refined
+    # sub-bucket is still past the cap and the star fallback must emit
+    # exactly M−1 anchor pairs. The Arrow refine kernel runs ONLY on the
+    # mega members (pruned by the distinct-id join) and its per-batch
+    # token memoization makes identical texts the cheap case — the
+    # expensive part under test is the (band, sig, rsig) re-window over
+    # a 2M-row partition, which must spill rather than buffer.
+    texts = spark.range(args.n + args.mega).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") >= args.n, F.lit("mass duplicated boilerplate doc")
+        )
+        .otherwise(F.concat(F.lit("unique tok"), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    out = _capped_pairs(uniform.unionByName(mega), texts)
+    n_star = out.filter(F.col("doc_a") == args.n).count()
+    n_all = out.count()
+    wall = time.perf_counter() - t0
+    results["minhash_refine_star"] = {
+        "rows": args.n + args.mega,
+        "mega_members": args.mega,
+        "star_pairs": n_star,
+        "star_expected": args.mega - 1,
+        "total_pairs": n_all,
+        "total_expected": expect + args.mega - 1,
+        "ok": n_star == args.mega - 1 and n_all == expect + args.mega - 1,
+        "wall_sec": round(wall, 1),
+    }
+    print(
+        json.dumps(
+            {"probe": "minhash_refine_star", **results["minhash_refine_star"]}
+        )
+    )
 
     # -- 2. Embedding star path: mega-bucket of identical vectors ------
     # Small 8-dim vectors keep synthesis cheap; the path under test is
