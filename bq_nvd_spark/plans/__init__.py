@@ -7,45 +7,46 @@ with every declared operator from SURVEY.md §2.
 from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 
 # The external correctness driver verifies the FIRST 50 registered queries
-# (registration order == dict insertion order).  Round-10 rotation: the 4
-# names whose only driver evidence dated to r4 lead (lang_distribution,
-# token_counts_top20, bag_except_order_dates, first_event_per_user_type —
-# the last of the old-evidence backlog), then every query round 10
-# changed: the capped embedding LSH pair path and its dedup consumer,
-# the RFM NULL-parity oracle, the two upsert-store queries (vacuum
-# hysteresis now opt-in at the call sites), value_mad_outliers (shares
-# the rank-selector guards), and the 21 queries whose data-proportional
-# broadcast hints were removed (plans must stay green AND fast without
-# the hints), then the 19 alphabetically-first names whose latest
-# evidence is r5. After this round no query's latest driver row is
-# older than r5; the r11 window owes the remaining 20 r5-era names plus
-# mixture_resample_docs (added late in round 10 — never driver-checked;
-# mirrored green at sf0.001/0.01/0.1 and invariant-tested locally).
+# (registration order == dict insertion order). Rotation rule, learned
+# over rounds 4-11: queries whose CODE changed this round lead (their
+# old green rows describe code that no longer exists), then
+# never-checked and re-oracled names, then the stalest backlog; only
+# truly-unchanged names may defer to the next round.
 _DRIVER_PRIORITY = [
-    # -- round 11 window: changed-RESULT queries first, then the
+    # -- round 11 window: changed-code queries first, then the
     # evidence backlog (VERDICT r10 tasks 1-3). 1 never-checked +
-    # 8 results-changed (the refine-then-star rework of BOTH LSH
-    # families: MinHash capped pairs and embedding bucket pairs emit
-    # strictly more candidates now, so their r8-r10 green rows no
-    # longer describe this code) + 1 re-oracled + 40 stale = 50.
-    # Deferred to r12 for room (unchanged code, green r6/r10 rows):
-    # nvd_count_cves, exact_dedup_docs, q1_pricing_summary,
-    # cube_status_priority_census, streaming_upsert_user_totals,
-    # streaming_cdc_user_totals, customer_rfm_segments. --
+    # 9 results-changed (the refine-then-star rework of BOTH LSH
+    # families: the MinHash capped-pairs chain incl. its
+    # cluster/histogram/edit-distance consumers and both embedding
+    # dedup queries emit strictly more candidates now, so their
+    # r6-r10 green rows no longer describe this code) + 1 re-oracled +
+    # 2 changed-execution-path (the streaming CDC pair runs through
+    # the round's lazy-checkpoint merge sink; results identical but
+    # the sink code their r10 rows describe no longer exists) +
+    # 37 stale = 50. Deferred to r12 for room (code truly unchanged,
+    # green r6/r10 rows): nvd_count_cves, exact_dedup_docs,
+    # q1_pricing_summary, q6_forecast_revenue, q12_priority_buckets,
+    # cube_status_priority_census, customer_rfm_segments. --
     # never driver-checked (added after the r10 window ran):
     "mixture_resample_docs",
     # results changed in round 11 — oversized-LSH-bucket refinement
     # (plans/llm.py _capped_pairs, plans/similarity_search.py):
     "minhash_pairs_capped",
     "jaccard_verified_pairs",
+    "edit_distance_verified_pairs",
     "dedup_clusters",
     "dedup_survivors",
     "dedup_survivors_by_quality",
+    "dedup_cluster_size_histogram",
     "embedding_similar_pairs",
     "semantic_dedup_survivors",
     # oracle changed this round (accuracy-bound contract replaces the
     # permanent no_oracle row):
     "approx_distinct_users",
+    # execution path changed in round 11 (streaming/foreach_sink.py
+    # lazy batch checkpoint + id-pinned release):
+    "streaming_upsert_user_totals",
+    "streaming_cdc_user_totals",
     # -- last driver row r5 (oldest evidence in the registry) --
     "repetition_ngram_profile",
     "sketch_distinct_accuracy",
@@ -63,8 +64,6 @@ _DRIVER_PRIORITY = [
     "ann_lsh_topk",
     "cosine_topk",
     "customer_balance_tiles",
-    "dedup_cluster_size_histogram",
-    "edit_distance_verified_pairs",
     "event_transition_matrix",
     "heavy_hitter_tokens",
     "incremental_dedup_new_docs",
@@ -76,9 +75,7 @@ _DRIVER_PRIORITY = [
     "nvd_feed_ingest",
     "nvd_flagship_linux_cves",
     "oov_rate_by_vocab",
-    "q12_priority_buckets",
     "q22_idle_rich_customers",
-    "q6_forecast_revenue",
     "scd2_event_type_intervals",
     "sequence_packing",
     "session_window_per_user",

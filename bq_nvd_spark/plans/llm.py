@@ -211,13 +211,15 @@ def band_sigs_hof(text) -> "Column":
     )
 
 
-@pandas_udf(ArrayType(StringType()))
-def band_sigs_np(texts: "pd.Series") -> "pd.Series":
-    """Arrow fast path, bit-identical to ``band_sigs_hof``: same md5
-    hex, same lexicographic min over distinct tokens, same band concat —
-    pure string math, so unlike the float ANN twin there is no ordering
-    caveat at all. Higher-order functions never codegen; hashlib's C md5
-    over Arrow batches beats the interpreted expression walk ~3×.
+def _banded_minhash_kernel(
+    texts: "pd.Series", salt_offset: int
+) -> "pd.Series":
+    """Shared Arrow minhash kernel: per-band concatenation of the
+    N_HASHES md5-keyed minhashes whose salts start at ``salt_offset``
+    (0 for the level-1 band signatures, N_HASHES for the refine
+    signatures — ONE kernel body so level-1 and refine can never
+    diverge in tokenization, memoization, or band slicing, and both
+    stay in lockstep with the oracle's ``_duck_minhash``).
 
     Token digests are memoized per Arrow batch: natural-language token
     frequency is Zipfian, so the same tokens recur across the batch's
@@ -226,7 +228,7 @@ def band_sigs_np(texts: "pd.Series") -> "pd.Series":
     footprint is bounded by the batch vocabulary, not the corpus."""
     import hashlib
 
-    salts = [f"{i}:".encode() for i in range(N_HASHES)]
+    salts = [f"{i}:".encode() for i in range(salt_offset, salt_offset + N_HASHES)]
     digests: dict[bytes, list[str]] = {}
     out = []
     for text in texts:
@@ -246,6 +248,17 @@ def band_sigs_np(texts: "pd.Series") -> "pd.Series":
             ]
         )
     return pd.Series(out)
+
+
+@pandas_udf(ArrayType(StringType()))
+def band_sigs_np(texts: "pd.Series") -> "pd.Series":
+    """Arrow fast path, bit-identical to ``band_sigs_hof``: same md5
+    hex, same lexicographic min over distinct tokens, same band concat —
+    pure string math, so unlike the float ANN twin there is no ordering
+    caveat at all. Higher-order functions never codegen; hashlib's C md5
+    over Arrow batches beats the interpreted expression walk ~3×.
+    Body shared with the refine signatures (``_banded_minhash_kernel``)."""
+    return _banded_minhash_kernel(texts, 0)
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -259,30 +272,9 @@ def refine_sigs_np(texts: "pd.Series") -> "pd.Series":
     cluster identically in every band, defeating multi-band recovery;
     independent hashes make the split boundaries differ so the union of
     per-band stars keeps the cluster connected. Same Zipf-memoized
-    Arrow kernel as ``band_sigs_np``; it runs only on docs that appear
-    in an oversized bucket."""
-    import hashlib
-
-    salts = [f"{i}:".encode() for i in range(N_HASHES, 2 * N_HASHES)]
-    digests: dict[bytes, list[str]] = {}
-    out = []
-    for text in texts:
-        toks = {t.encode() for t in text.split(" ")}
-        per_tok = []
-        for t in toks:
-            d = digests.get(t)
-            if d is None:
-                d = [hashlib.md5(s + t).hexdigest() for s in salts]
-                digests[t] = d
-            per_tok.append(d)
-        mins = [min(d[i] for d in per_tok) for i in range(N_HASHES)]
-        out.append(
-            [
-                "".join(mins[b * BAND_SIZE : (b + 1) * BAND_SIZE])
-                for b in range(N_BANDS)
-            ]
-        )
-    return pd.Series(out)
+    kernel as ``band_sigs_np`` (``_banded_minhash_kernel``); it runs
+    only on docs that appear in an oversized bucket."""
+    return _banded_minhash_kernel(texts, N_HASHES)
 
 
 def _spark_bands(

@@ -69,9 +69,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("approx_users") - F.col("exact_users"))
         / F.col("exact_users")
     )
-    return agg.select(
-        "day", "exact_users", (err < 0.05).alias("within_5pct")
-    )
+    # A day whose events all carry NULL user_id has exact = 0: the
+    # relative-error quotient would divide by zero (ANSI error / NULL
+    # vs the oracle's literal TRUE), so gate that case on the sketch
+    # agreeing the set is empty.
+    within = F.when(
+        F.col("exact_users") == 0, F.col("approx_users") == 0
+    ).otherwise(err < 0.05)
+    return agg.select("day", "exact_users", within.alias("within_5pct"))
 
 
 @query(

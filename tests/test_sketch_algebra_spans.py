@@ -64,3 +64,50 @@ def test_span_keys_skip_short_docs(spark, sf_dir):
     }
     flagged = {r["doc_id"] for r in duplicate_span_docs(spark, sf_dir).collect()}
     assert not (short_ids & flagged)
+
+
+def test_approx_distinct_users_all_null_day_matches_oracle(spark, tmp_path):
+    """A day whose events all carry NULL user_id has exact_users = 0:
+    the relative-error quotient would divide by zero, so the engine
+    gates that case on the sketch agreeing the set is empty — and must
+    still emit the oracle's literal TRUE. Hostile fixture: one normal
+    day, one all-NULL day, one mixed day."""
+    import datetime
+
+    import duckdb
+
+    from bq_nvd_spark.oracle_compare import rowset
+    from bq_nvd_spark.plans import ORACLES, QUERIES
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1, 8), 10, "click", 1.0, "{}"),
+        (2, d(2024, 1, 1, 9), 11, "click", 1.0, "{}"),
+        (3, d(2024, 1, 2, 8), None, "click", 1.0, "{}"),
+        (4, d(2024, 1, 2, 9), None, "view", 1.0, "{}"),
+        (5, d(2024, 1, 3, 8), 12, "click", 1.0, "{}"),
+        (6, d(2024, 1, 3, 9), None, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    sdf = QUERIES["approx_distinct_users"](spark, str(tmp_path))
+    got = {r["day"]: (r["exact_users"], r["within_5pct"]) for r in sdf.collect()}
+    assert got[datetime.date(2024, 1, 2)] == (0, True), got
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    rel = con.sql(ORACLES["approx_distinct_users"])
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    s_norm = rowset(sdf.columns, [tuple(r) for r in sdf.collect()])
+    d_norm = rowset(rel.columns, rel.fetchall())
+    assert s_norm == d_norm
