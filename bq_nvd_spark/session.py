@@ -9,9 +9,12 @@ Arrow-backed Python interop for the few Pandas-UDF code paths.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 
 def default_parallelism() -> int:
@@ -67,6 +70,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     ):
         try:
             spark.conf.set(key, value)
-        except Exception:  # pragma: no cover - conf may be static
-            pass
+        except Exception as exc:  # pragma: no cover - conf may be static
+            # A static/locked conf (e.g. a shared cluster session) is
+            # survivable — queries still run, just without this tuning —
+            # but silently so was not: nanosAsLong in particular changes
+            # how events.ts scans, so leave a trace for the operator.
+            _LOG.warning("tune_session: could not set %s=%s: %s", key, value, exc)
     return spark
