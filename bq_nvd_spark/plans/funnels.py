@@ -166,9 +166,14 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")
     )
-    err = F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+    from bq_nvd_spark.plans.sketches import sketch_within_bound
+
     return exact.join(merged, "event_type").select(
-        "event_type", "exact_users", (err < 0.05).alias("rollup_within_5pct")
+        "event_type",
+        "exact_users",
+        sketch_within_bound(F.col("est"), F.col("exact_users")).alias(
+            "rollup_within_5pct"
+        ),
     )
 
 

@@ -38,6 +38,19 @@ from bq_nvd_spark.sources.tables import load_table
 RSD = 0.02  # relative standard deviation for HLL++; ~2% typical error
 
 
+def sketch_within_bound(approx, exact, bound: float = 0.05):
+    """The accuracy-bound oracle contract's Spark half, shared by every
+    sketch-vs-exact query (the oracle emits literal TRUE; Spark computes
+    this column, so a sketch drifting past the bound turns the driver's
+    hash gate into an accuracy assertion). A group whose values are all
+    NULL has ``exact`` = 0: the relative-error quotient would divide by
+    zero (ANSI error / NULL vs the oracle's TRUE), so that case gates on
+    the sketch agreeing the set is empty."""
+    return F.when(exact == 0, approx == 0).otherwise(
+        F.abs(approx - exact) / exact < bound
+    )
+
+
 @query(
     "approx_distinct_users",
     oracle="""
@@ -65,17 +78,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", RSD).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    err = (
-        F.abs(F.col("approx_users") - F.col("exact_users"))
-        / F.col("exact_users")
-    )
-    # A day whose events all carry NULL user_id has exact = 0: the
-    # relative-error quotient would divide by zero (ANSI error / NULL
-    # vs the oracle's literal TRUE), so gate that case on the sketch
-    # agreeing the set is empty.
-    within = F.when(
-        F.col("exact_users") == 0, F.col("approx_users") == 0
-    ).otherwise(err < 0.05)
+    within = sketch_within_bound(F.col("approx_users"), F.col("exact_users"))
     return agg.select("day", "exact_users", within.alias("within_5pct"))
 
 
@@ -103,11 +106,12 @@ def sketch_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", RSD).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
     return agg.select(
         "event_type",
         "exact_users",
-        (err < 0.05).alias("within_5pct"),
+        sketch_within_bound(
+            F.col("approx_users"), F.col("exact_users")
+        ).alias("within_5pct"),
     )
 
 

@@ -466,10 +466,12 @@ def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.count_distinct("user_id").alias("exact_users"))
     )
-    err = (
-        F.abs(F.col("approx_users") - F.col("exact_users"))
-        / F.col("exact_users")
-    )
+    from bq_nvd_spark.plans.sketches import sketch_within_bound
+
     return exact.join(streamed, "day").select(
-        "day", "exact_users", (err < 0.05).alias("within_5pct")
+        "day",
+        "exact_users",
+        sketch_within_bound(
+            F.col("approx_users"), F.col("exact_users")
+        ).alias("within_5pct"),
     )

@@ -79,7 +79,15 @@ def test_approx_distinct_users_all_null_day_matches_oracle(spark, tmp_path):
     from bq_nvd_spark.oracle_compare import rowset
     from bq_nvd_spark.plans import ORACLES, QUERIES
 
-    d = datetime.datetime
+    # tz-AWARE instants: a naive datetime would be interpreted in the
+    # process-local timezone at createDataFrame while to_date runs in
+    # the session's pinned UTC, shifting rows across the day boundary
+    # on hosts far from UTC and splitting the all-NULL day.
+    utc = datetime.timezone.utc
+
+    def d(*a):
+        return datetime.datetime(*a, tzinfo=utc)
+
     rows = [
         (1, d(2024, 1, 1, 8), 10, "click", 1.0, "{}"),
         (2, d(2024, 1, 1, 9), 11, "click", 1.0, "{}"),
