@@ -125,7 +125,7 @@ def _duck_capped_pairs_ctes() -> str:
     ) + "]"
     return f"""
     , sizedall AS (
-      SELECT band_idx, band_sig, COUNT(*) AS c
+      SELECT band_idx, band_sig, COUNT(*) AS c, MIN(doc_id) AS b_anc
       FROM bands GROUP BY band_idx, band_sig HAVING COUNT(*) >= 2
     ),
     over_ids AS (
@@ -154,7 +154,7 @@ def _duck_capped_pairs_ctes() -> str:
       SELECT band_idx, band_sig, rsig,
              COUNT(*) AS c2, MIN(doc_id) AS min_id
       FROM over_m
-      GROUP BY band_idx, band_sig, rsig HAVING COUNT(*) >= 2
+      GROUP BY band_idx, band_sig, rsig
     ),
     cpairs AS (
       -- level-1 buckets at or under the cap: all pairs
@@ -166,14 +166,14 @@ def _duck_capped_pairs_ctes() -> str:
         JOIN sizedall s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
         WHERE s.c <= {PAIR_BUCKET_CAP}
         UNION ALL
-        -- refined sub-buckets at or under the cap: all pairs
+        -- refined sub-buckets of 2..CAP members: all pairs
         SELECT a.doc_id, b.doc_id
         FROM over_m a
         JOIN over_m b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
                      AND a.rsig = b.rsig AND a.doc_id < b.doc_id
         JOIN sized2 t ON t.band_idx = a.band_idx AND t.band_sig = a.band_sig
                      AND t.rsig = a.rsig
-        WHERE t.c2 <= {PAIR_BUCKET_CAP}
+        WHERE t.c2 BETWEEN 2 AND {PAIR_BUCKET_CAP}
         UNION ALL
         -- sub-buckets STILL past the cap: min-id star
         SELECT t.min_id, b.doc_id
@@ -181,6 +181,13 @@ def _duck_capped_pairs_ctes() -> str:
         JOIN over_m b ON b.band_idx = t.band_idx AND b.band_sig = t.band_sig
                      AND b.rsig = t.rsig AND b.doc_id > t.min_id
         WHERE t.c2 > {PAIR_BUCKET_CAP}
+        UNION ALL
+        -- every sub-bucket anchor (incl. refine-singletons) links to
+        -- the level-1 bucket's min-id anchor
+        SELECT s.b_anc, t.min_id
+        FROM sized2 t
+        JOIN sizedall s ON s.band_idx = t.band_idx AND s.band_sig = t.band_sig
+        WHERE s.c > {PAIR_BUCKET_CAP} AND t.min_id <> s.b_anc
       )
     )
     """
@@ -391,21 +398,25 @@ def _capped_pairs(
     pruned to exactly those docs by a distinct-id join) and re-window
     on (band, band_sig, refine_sig); sub-buckets of 2..CAP emit all
     pairs, sub-buckets still past the cap emit the min-id STAR (m−1
-    pairs) — an outsider that won the one-band signature lottery
-    almost surely differs on the refine hashes (P = J^BAND_SIZE), so
-    the star anchors on a true near-duplicate and the downstream
-    exact-Jaccard verification keeps the cluster connected. Per-bucket
+    pairs), and EVERY sub-bucket anchor — refine-singletons included —
+    links to the level-1 bucket's min-id anchor, so each oversized
+    bucket closes into one component per band (see the inline comment
+    for why the 128-bit MinHash band signature makes that link safe
+    where the embedding twin's 8-bit buckets would not). Per-bucket
     output stays O(m); the refined branches carry only
     oversized-bucket rows. With ``refine_docs=None`` (callers without
     document text, e.g. synthetic band relations) oversized buckets
-    are dropped as before.
+    are dropped as before. Recall measured on planted near-dups:
+    scripts/minhash_recall_probe.py.
     """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band_idx", "band_sig")
-    tagged = bands.withColumn("c", F.count(F.lit(1)).over(w)).filter(
-        F.col("c") >= 2
-    )
+    tagged = bands.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.min("doc_id").over(w).alias("bucket_anc"),
+    ).filter(F.col("c") >= 2)
 
     def _all_pairs(rel: DataFrame, *keys: str) -> DataFrame:
         buckets = rel.groupBy(*keys).agg(
@@ -441,6 +452,7 @@ def _capped_pairs(
     over2 = over.join(rsigs, "doc_id").select(
         "band_idx",
         "band_sig",
+        "bucket_anc",
         "doc_id",
         F.element_at("rsigs", (F.col("band_idx") + 1).cast("int")).alias(
             "rsig"
@@ -451,17 +463,36 @@ def _capped_pairs(
         "*",
         F.count(F.lit(1)).over(w2).alias("c2"),
         F.min("doc_id").over(w2).alias("anc"),
-    ).filter(F.col("c2") >= 2)
+    )
     refined_pairs = _all_pairs(
-        refined.filter(F.col("c2") <= PAIR_BUCKET_CAP),
+        refined.filter(F.col("c2").between(2, PAIR_BUCKET_CAP)),
         "band_idx", "band_sig", "rsig",
     )
     star_pairs = refined.filter(
         (F.col("c2") > PAIR_BUCKET_CAP) & (F.col("doc_id") > F.col("anc"))
     ).select(F.col("anc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    # Every refined sub-bucket's anchor — including refine-SINGLETONS —
+    # links to the level-1 bucket's min-id anchor. Unlike the embedding
+    # twin's 8-bit buckets, a MinHash band signature is 4 concatenated
+    # md5 minhashes (128 bits): unrelated docs essentially never share
+    # one, so the bucket anchor is a genuine near-dup candidate and the
+    # link is safe — and without it, a member whose refine signature is
+    # unique in every band's bucket would vanish from the candidate set
+    # entirely despite its level-1 evidence (measured: ~1% of a planted
+    # 120-member cluster isolated; scripts/minhash_recall_probe.py),
+    # and two ≤CAP sub-cliques of one bucket would rely solely on other
+    # bands for connectivity. O(#sub-buckets) extra pairs; verification
+    # still gates every pair.
+    anchor_links = refined.filter(
+        (F.col("doc_id") == F.col("anc"))
+        & (F.col("doc_id") != F.col("bucket_anc"))
+    ).select(
+        F.col("bucket_anc").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
     return (
         small_pairs.unionByName(refined_pairs)
         .unionByName(star_pairs)
+        .unionByName(anchor_links)
         .distinct()
     )
 
