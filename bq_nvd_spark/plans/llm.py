@@ -125,7 +125,7 @@ def _duck_capped_pairs_ctes() -> str:
     ) + "]"
     return f"""
     , sizedall AS (
-      SELECT band_idx, band_sig, COUNT(*) AS c, MIN(doc_id) AS b_anc
+      SELECT band_idx, band_sig, COUNT(*) AS c
       FROM bands GROUP BY band_idx, band_sig HAVING COUNT(*) >= 2
     ),
     over_ids AS (
@@ -156,6 +156,20 @@ def _duck_capped_pairs_ctes() -> str:
       FROM over_m
       GROUP BY band_idx, band_sig, rsig
     ),
+    core AS (
+      -- the bucket's most-corroborated sub-bucket anchor: largest
+      -- sub-bucket first, ties by min id (the Spark side's w_core)
+      SELECT band_idx, band_sig, min_id AS core_anc
+      FROM (
+        SELECT band_idx, band_sig, min_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY band_idx, band_sig
+                 ORDER BY c2 DESC, min_id ASC
+               ) AS rn
+        FROM sized2
+      )
+      WHERE rn = 1
+    ),
     cpairs AS (
       -- level-1 buckets at or under the cap: all pairs
       SELECT DISTINCT doc_a, doc_b FROM (
@@ -183,11 +197,11 @@ def _duck_capped_pairs_ctes() -> str:
         WHERE t.c2 > {PAIR_BUCKET_CAP}
         UNION ALL
         -- every sub-bucket anchor (incl. refine-singletons) links to
-        -- the level-1 bucket's min-id anchor
-        SELECT s.b_anc, t.min_id
+        -- the bucket's core anchor
+        SELECT LEAST(k.core_anc, t.min_id), GREATEST(k.core_anc, t.min_id)
         FROM sized2 t
-        JOIN sizedall s ON s.band_idx = t.band_idx AND s.band_sig = t.band_sig
-        WHERE s.c > {PAIR_BUCKET_CAP} AND t.min_id <> s.b_anc
+        JOIN core k ON k.band_idx = t.band_idx AND k.band_sig = t.band_sig
+        WHERE t.min_id <> k.core_anc
       )
     )
     """
@@ -399,10 +413,10 @@ def _capped_pairs(
     on (band, band_sig, refine_sig); sub-buckets of 2..CAP emit all
     pairs, sub-buckets still past the cap emit the min-id STAR (m−1
     pairs), and EVERY sub-bucket anchor — refine-singletons included —
-    links to the level-1 bucket's min-id anchor, so each oversized
-    bucket closes into one component per band (see the inline comment
-    for why the 128-bit MinHash band signature makes that link safe
-    where the embedding twin's 8-bit buckets would not). Per-bucket
+    links to the bucket's CORE anchor (the largest sub-bucket's
+    anchor), so each oversized bucket closes into one component per
+    band through its most-corroborated member (see the inline comment
+    for why the raw bucket min would be an unsafe cut vertex). Per-bucket
     output stays O(m); the refined branches carry only
     oversized-bucket rows. With ``refine_docs=None`` (callers without
     document text, e.g. synthetic band relations) oversized buckets
@@ -412,11 +426,9 @@ def _capped_pairs(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band_idx", "band_sig")
-    tagged = bands.select(
-        "*",
-        F.count(F.lit(1)).over(w).alias("c"),
-        F.min("doc_id").over(w).alias("bucket_anc"),
-    ).filter(F.col("c") >= 2)
+    tagged = bands.withColumn("c", F.count(F.lit(1)).over(w)).filter(
+        F.col("c") >= 2
+    )
 
     def _all_pairs(rel: DataFrame, *keys: str) -> DataFrame:
         buckets = rel.groupBy(*keys).agg(
@@ -452,7 +464,6 @@ def _capped_pairs(
     over2 = over.join(rsigs, "doc_id").select(
         "band_idx",
         "band_sig",
-        "bucket_anc",
         "doc_id",
         F.element_at("rsigs", (F.col("band_idx") + 1).cast("int")).alias(
             "rsig"
@@ -472,22 +483,38 @@ def _capped_pairs(
         (F.col("c2") > PAIR_BUCKET_CAP) & (F.col("doc_id") > F.col("anc"))
     ).select(F.col("anc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     # Every refined sub-bucket's anchor — including refine-SINGLETONS —
-    # links to the level-1 bucket's min-id anchor. Unlike the embedding
-    # twin's 8-bit buckets, a MinHash band signature is 4 concatenated
-    # md5 minhashes (128 bits): unrelated docs essentially never share
-    # one, so the bucket anchor is a genuine near-dup candidate and the
-    # link is safe — and without it, a member whose refine signature is
-    # unique in every band's bucket would vanish from the candidate set
-    # entirely despite its level-1 evidence (measured: ~1% of a planted
-    # 120-member cluster isolated; scripts/minhash_recall_probe.py),
-    # and two ≤CAP sub-cliques of one bucket would rely solely on other
-    # bands for connectivity. O(#sub-buckets) extra pairs; verification
-    # still gates every pair.
-    anchor_links = refined.filter(
-        (F.col("doc_id") == F.col("anc"))
-        & (F.col("doc_id") != F.col("bucket_anc"))
-    ).select(
-        F.col("bucket_anc").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    # links to the bucket's CORE anchor: the anchor of the bucket's
+    # largest sub-bucket (ties broken by min id). Without any link, a
+    # member whose refine signature is unique in every band's bucket
+    # would vanish from the candidate set entirely despite its level-1
+    # evidence (measured: ~1% of a planted 120-member cluster isolated;
+    # scripts/minhash_recall_probe.py), and two ≤CAP sub-cliques of one
+    # bucket would rely solely on other bands for connectivity. The
+    # core anchor — NOT the raw bucket min — is the cut vertex because
+    # a moderately similar below-threshold doc shares the band bucket
+    # with probability J^BAND_SIZE and could hold the min id, and an
+    # outsider cut vertex fails every verification, re-isolating the
+    # singletons (the round-10 embedding star defect in new clothes).
+    # The largest sub-bucket's members agree on 2·BAND_SIZE hashes
+    # (P = J^8), so its anchor is the bucket's most-corroborated member;
+    # an all-singleton bucket degenerates to the min id, the best guess
+    # available there. O(#sub-buckets) extra pairs; exact-Jaccard
+    # verification still gates every pair.
+    w_core = Window.partitionBy("band_idx", "band_sig").orderBy(
+        F.col("c2").desc(), F.col("anc").asc()
+    )
+    sub_anchors = refined.filter(F.col("doc_id") == F.col("anc")).select(
+        "band_idx", "band_sig", "anc", "c2"
+    )
+    anchor_links = (
+        sub_anchors.select(
+            "anc", F.first("anc").over(w_core).alias("core_anc")
+        )
+        .filter(F.col("anc") != F.col("core_anc"))
+        .select(
+            F.least("core_anc", "anc").alias("doc_a"),
+            F.greatest("core_anc", "anc").alias("doc_b"),
+        )
     )
     return (
         small_pairs.unionByName(refined_pairs)

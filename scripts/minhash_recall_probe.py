@@ -166,15 +166,21 @@ def main() -> None:
         }
 
         # recall stratified by true shingle-Jaccard regime
-        strata = [(0.8, 0.9), (0.9, 0.95), (0.95, 1.01)]
+        # floors: measured 1.0 in both populated strata; set below the
+        # textbook hit probability so environment noise can't flake the
+        # gate, but a broken candidate path (recall collapse) fails it
+        strata = [(0.8, 0.9, 0.75), (0.9, 0.95, 0.9), (0.95, 1.01, 0.9)]
         cluster = set(meta["cluster_ids"])
-        for lo, hi in strata:
+        recall_ok = True
+        for lo, hi, floor in strata:
             in_s = [p for p, j in truth.items() if lo <= j < hi]
             noncluster = [
                 p for p in in_s if not (p[0] in cluster and p[1] in cluster)
             ]
             hits = sum(1 for p in in_s if p in found)
             nc_hits = sum(1 for p in noncluster if p in found)
+            if noncluster and nc_hits / len(noncluster) < floor:
+                recall_ok = False
             print(
                 json.dumps(
                     {
@@ -225,7 +231,7 @@ def main() -> None:
         }
         reps = {comp.get(i) for i in evidenced}
         n_isolated = sum(1 for i in evidenced if i not in comp)
-        ok = len(reps) == 1 and n_isolated == 0
+        ok = len(reps) == 1 and n_isolated == 0 and recall_ok
         print(
             json.dumps(
                 {
