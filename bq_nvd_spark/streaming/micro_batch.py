@@ -432,7 +432,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drains of any chunking agree. Contract shape: the oracle emits the
 # exact per-day cardinality (DuckDB, batch) plus literal TRUE; Spark
 # joins the STREAMED estimate against the batch-exact side and computes
-# the <5% bound, so the driver hash fails if streaming HLL drifts —
+# the accuracy bound (3.5σ at rsd=0.02), so the driver hash fails if streaming HLL drifts —
 # same gate as plans/sketches.py::sketch_distinct_accuracy but across
 # the streaming engine.
 @query(
@@ -440,7 +440,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS within_5pct
+           TRUE AS within_bound
     FROM events
     GROUP BY 1
     """,
@@ -473,5 +473,5 @@ def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         sketch_within_bound(
             F.col("approx_users"), F.col("exact_users")
-        ).alias("within_5pct"),
+        ).alias("within_bound"),
     )

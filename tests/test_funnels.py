@@ -45,4 +45,4 @@ def test_hll_rollup_merge_equals_direct_sketch_bound(spark, sf_dir):
     rows = hll_daily_rollup(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r["rollup_within_5pct"], r["event_type"]
+        assert r["rollup_within_bound"], r["event_type"]

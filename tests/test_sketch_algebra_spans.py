@@ -106,7 +106,7 @@ def test_approx_distinct_users_all_null_day_matches_oracle(spark, tmp_path):
     )
 
     sdf = QUERIES["approx_distinct_users"](spark, str(tmp_path))
-    got = {r["day"]: (r["exact_users"], r["within_5pct"]) for r in sdf.collect()}
+    got = {r["day"]: (r["exact_users"], r["within_bound"]) for r in sdf.collect()}
     assert got[datetime.date(2024, 1, 2)] == (0, True), got
 
     con = duckdb.connect()

@@ -182,11 +182,11 @@ def test_sketch_error_bound_per_group(spark, sf_dir):
 
     rows = approx_distinct_users(spark, sf_dir).collect()
     assert rows
-    assert all(r["within_5pct"] for r in rows), [
-        r for r in rows if not r["within_5pct"]
+    assert all(r["within_bound"] for r in rows), [
+        r for r in rows if not r["within_bound"]
     ]
     acc = sketch_distinct_accuracy(spark, sf_dir).collect()
-    assert all(r["within_5pct"] for r in acc)
+    assert all(r["within_bound"] for r in acc)
 
 
 def test_gapfill_spine_and_forward_fill(spark, sf_dir):
