@@ -79,6 +79,7 @@ def connected_components(
         sym.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
     )
     converged = False
+    prev = None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
@@ -96,6 +97,16 @@ def connected_components(
                 (F.coalesce("nbr_rep", "rep") < F.col("rep")).alias("lowered"),
             )
         )
+        # Round N's checkpoint is built (eagerly) FROM round N−1's
+        # blocks; once it is materialized the old round is dead weight.
+        # Releasing it here bounds the iteration's pinned storage to TWO
+        # rounds of labels instead of `diameter` rounds — on a
+        # high-diameter graph (the chain-forest probe: diameter 16 over
+        # 10⁷ edges) that is the difference between O(|V|) and
+        # O(diameter·|V|) executor storage.
+        if prev is not None:
+            release_checkpoint(prev)
+        prev = stepped
         changed = stepped.filter("lowered").count()
         labels = stepped.select("id", "rep")
         if changed == 0:
