@@ -25,12 +25,23 @@ documents.parquet fixture and runs the registered
 `jaccard_verified_pairs` and `dedup_clusters` queries on it — the
 numbers are evidence about the operator, not about a model of it.
 
+Round 12 adds a GRADED CANDIDATE-recall table × band sweep (the
+MinHash twin of `emb_recall_probe.py`'s table): a CPython simulation
+of the full capped/refine/star rule at 2/4/8 bands of 4 hashes,
+grounded at the shipped B=4 by exact pair-set equality with the
+registered `minhash_pairs_capped` query, reports recall of exact
+shingle-Jaccard truth pairs per stratum (0.4–0.6 / 0.6–0.8 /
+0.8–0.95 / ≥0.95) with asserted floors and per-config cluster
+connectivity. Results are recorded in SCALE.md.
+
 Corpus (seeded):
 - 2000 background docs, 40 tokens each from a 5000-token vocab —
   pairwise Jaccard ≈ 0, a handful of incidental shared shingles;
 - 300 planted near-dup partners at graded token replacements 1..8
-  (bigram-Jaccard ~0.95 down to ~0.62, straddling the 0.8 verify
-  threshold);
+  (bigram-shingle Jaccard ~0.90 down to ~0.42, spanning all four
+  graded strata and straddling the 0.8 verify threshold), plus 40
+  first-token-substitution pairs at shingle-J exactly 0.95 (an END
+  edit kills one bigram, not two) populating the ≥0.95 stratum;
 - one 120-member mass near-dup cluster: each member replaces 2 of the
   base doc's 40 tokens (pairwise token-J ≈ 0.90, NOT identical), so
   its level-1 buckets are oversized and its refined sub-buckets both
@@ -95,6 +106,21 @@ def build_corpus():
         planted_pairs.append((a, next_id))
         next_id += 1
 
+    # high-similarity planted pairs: substituting the FIRST token
+    # kills exactly one bigram -> shingle-J = 38/40 = 0.95, populating
+    # the [0.95, 1.01) stratum the graded table reports (interior
+    # substitutions kill two bigrams and top out at ~0.90).
+    for _ in range(40):
+        base = fresh_tokens(DOC_LEN)
+        partner = list(base)
+        partner[0] = f"h{next_id}"
+        docs.append((next_id, base))
+        a = next_id
+        next_id += 1
+        docs.append((next_id, partner))
+        planted_pairs.append((a, next_id))
+        next_id += 1
+
     # mass near-dup cluster (members differ: refine sigs split it).
     # Unique tokens are APPENDED, not substituted: substitution costs
     # ~2 bigram shingles per edit and would park member-pair Jaccard at
@@ -115,30 +141,138 @@ def build_corpus():
     return [(i, " ".join(toks)) for i, toks in docs], meta, docs
 
 
-def exact_truth(docs: list[tuple[int, list[str]]]) -> dict:
-    """All-pairs bigram-shingle Jaccard ≥ JACCARD_MIN, the verify
-    contract's exact truth. ~3M set intersections; seconds in CPython
-    because non-overlapping vocabularies short-circuit on length."""
-    from bq_nvd_spark.plans.llm import JACCARD_MIN
+def exact_truth(docs: list[tuple[int, list[str]]], j_min: float = 0.4) -> dict:
+    """All-pairs bigram-shingle Jaccard ≥ ``j_min`` via an inverted
+    shingle index: only pairs sharing at least one shingle are scored,
+    so the cost is Σ|posting list|² over shingles, not |docs|² — the
+    background's 25M-bigram space keeps posting lists near length 1."""
+    from collections import Counter, defaultdict
 
-    sh = [(i, _bigrams(t)) for i, t in docs]
+    sh = {i: _bigrams(t) for i, t in docs}
+    inv: dict[str, list[int]] = defaultdict(list)
+    for i, s in sh.items():
+        for g in s:
+            inv[g].append(i)
+    inter: Counter = Counter()
+    for ids in inv.values():
+        if len(ids) < 2:
+            continue
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                inter[(ids[x], ids[y])] += 1
     true_pairs = {}
-    for x in range(len(sh)):
-        ix, sx = sh[x]
-        for y in range(x + 1, len(sh)):
-            iy, sy = sh[y]
-            inter = len(sx & sy)
-            if inter == 0:
-                continue
-            j = inter / (len(sx) + len(sy) - inter)
-            if j >= JACCARD_MIN:
-                true_pairs[(min(ix, iy), max(ix, iy))] = j
+    for (a, b), c in inter.items():
+        j = c / (len(sh[a]) + len(sh[b]) - c)
+        if j >= j_min:
+            true_pairs[(a, b)] = j
     return true_pairs
 
 
+def simulate_capped_pairs(
+    token_docs: list[tuple[int, list[str]]],
+    n_bands: int,
+    cap: int,
+    all_digests: dict,
+) -> tuple[set, set]:
+    """CPython twin of ``plans/llm.py::_capped_pairs`` at an arbitrary
+    band count: 4 md5-keyed minhashes per band (salts 0..4B−1), per-band
+    refine signatures from the NEXT 4B salts (4B..8B−1 — exactly the
+    engine's layout at B=4, where level-1 uses salts 0..15 and refine
+    16..31), the ≤CAP all-pairs / refined-sub-bucket / min-id-star /
+    core-anchor-link rule verbatim. Grounded: at B=4 the output is
+    asserted EQUAL to the registered ``minhash_pairs_capped`` query's
+    pair set, so the 2/8-band sweep numbers describe the real operator,
+    not a drifted model of it. ``all_digests`` memoizes each distinct
+    token's 64 salted digests across band configs. Returns
+    ``(pairs, evidenced)`` — ``evidenced`` is the set of docs sharing a
+    level-1 bucket with at least one other doc, derived from the bucket
+    structure (NOT from the emitted pairs)."""
+    import hashlib
+    from collections import defaultdict
+
+    H = 4 * n_bands
+    sigs: dict[int, list[str]] = {}
+    rsigs: dict[int, list[str]] = {}
+    for doc_id, toks in token_docs:
+        per = []
+        for t in {t.encode() for t in toks}:
+            d = all_digests.get(t)
+            if d is None:
+                d = [hashlib.md5(f"{i}:".encode() + t).hexdigest() for i in range(64)]
+                all_digests[t] = d
+            per.append(d)
+        mins = [min(d[i] for d in per) for i in range(2 * H)]
+        sigs[doc_id] = ["".join(mins[b * 4 : (b + 1) * 4]) for b in range(n_bands)]
+        rsigs[doc_id] = [
+            "".join(mins[H + b * 4 : H + (b + 1) * 4]) for b in range(n_bands)
+        ]
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    for doc_id, s in sigs.items():
+        for b in range(n_bands):
+            buckets[(b, s[b])].append(doc_id)
+    pairs: set = set()
+    evidenced: set = set()  # docs sharing a level-1 bucket with anyone
+    for (b, _sig), members in buckets.items():
+        if len(members) < 2:
+            continue
+        evidenced.update(members)
+        members.sort()
+        if len(members) <= cap:
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    pairs.add((members[x], members[y]))
+            continue
+        subs: dict[str, list[int]] = defaultdict(list)
+        for d in members:
+            subs[rsigs[d][b]].append(d)
+        anchors = []  # (size, min_id) per sub-bucket, singletons included
+        for mem in subs.values():
+            mem.sort()
+            anchors.append((len(mem), mem[0]))
+            if 2 <= len(mem) <= cap:
+                for x in range(len(mem)):
+                    for y in range(x + 1, len(mem)):
+                        pairs.add((mem[x], mem[y]))
+            elif len(mem) > cap:
+                for d in mem[1:]:
+                    pairs.add((mem[0], d))
+        core = min(anchors, key=lambda t: (-t[0], t[1]))[1]
+        for _, anc in anchors:
+            if anc != core:
+                pairs.add((min(anc, core), max(anc, core)))
+    return pairs, evidenced
+
+
+def _components(pairs: set, nodes: set) -> list[set]:
+    """Union-find components of ``nodes`` under ``pairs`` restricted to
+    nodes (pairs through outsiders don't count — verification would cut
+    them in the real chain)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    groups: dict[int, set] = {}
+    for n in nodes:
+        groups.setdefault(find(n), set()).add(n)
+    return list(groups.values())
+
+
 def main() -> None:
+    from bq_nvd_spark.plans.llm import JACCARD_MIN
+
     rows, meta, token_docs = build_corpus()
-    truth = exact_truth([(i, t) for i, t in token_docs])
+    truth04 = exact_truth([(i, t) for i, t in token_docs], j_min=0.4)
+    truth = {p: j for p, j in truth04.items() if j >= JACCARD_MIN}
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     spark = (
@@ -157,6 +291,131 @@ def main() -> None:
         spark.createDataFrame(rows, "doc_id long, text string").coalesce(
             4
         ).write.mode("overwrite").parquet(f"{workdir}/documents.parquet")
+
+        # -- graded CANDIDATE recall × band sweep (round 12) -----------
+        # Candidate pairs (pre-verify) from the CPython twin of
+        # _capped_pairs at 2/4/8 bands of 4 hashes; the B=4 twin is
+        # grounded below against the registered minhash_pairs_capped
+        # query (exact pair-set equality), so the sweep rows describe
+        # the shipped operator. Recall is over NON-cluster truth pairs
+        # per shingle-Jaccard stratum (the 120-member cluster rides the
+        # star path where pair recall is ~2/m BY DESIGN — its contract
+        # is the connectivity column: components among its members with
+        # level-1 evidence, pairs through outsiders excluded).
+        from bq_nvd_spark.plans.llm import PAIR_BUCKET_CAP
+
+        cluster = set(meta["cluster_ids"])
+        strata4 = [(0.4, 0.6), (0.6, 0.8), (0.8, 0.95), (0.95, 1.01)]
+        by_stratum = {
+            s: [
+                p
+                for p, j in truth04.items()
+                if s[0] <= j < s[1]
+                and not (p[0] in cluster and p[1] in cluster)
+            ]
+            for s in strata4
+        }
+        # floors: set below the measured values (B=4: 0.64/0.92/
+        # 1.00/1.00; B=8: 0.83/0.98/1.00/1.00) and consistent with the
+        # textbook hit probability 1−(1−Jt⁴)^B — substitution edits
+        # keep token-J well above shingle-J (e edits: token-J
+        # (40−e)/(40+e) vs shingle-J ≈ (39−2e)/(39+2e)), so even the
+        # 0.4–0.6 SHINGLE stratum sits at token-J ≈ 0.67–0.77 where
+        # theory gives ~0.59–0.85 at B=4. Floors bind a recall
+        # collapse, not seed jitter; only the shipped B=4 (and the
+        # monotone B=8) assert — B=2 rows are information, not
+        # contract.
+        floors = {
+            (4, (0.4, 0.6)): 0.5,
+            (4, (0.6, 0.8)): 0.8,
+            (4, (0.8, 0.95)): 0.95,
+            (4, (0.95, 1.01)): 0.95,
+            (8, (0.8, 0.95)): 0.95,
+            (8, (0.95, 1.01)): 0.95,
+        }
+        digest_memo: dict = {}
+        sweep_ok = True
+        sim4: set = set()
+        print("| bands×hashes | " + " | ".join(f"[{lo},{hi})" for lo, hi in strata4)
+              + " | cluster components |")
+        for n_bands in (2, 4, 8):
+            sim, sim_evidenced = simulate_capped_pairs(
+                token_docs, n_bands, PAIR_BUCKET_CAP, digest_memo
+            )
+            if n_bands == 4:
+                sim4 = sim
+            cells = []
+            for s in strata4:
+                pool = by_stratum[s]
+                rec = (
+                    sum(1 for p in pool if p in sim) / len(pool) if pool else None
+                )
+                floor = floors.get((n_bands, s))
+                if rec is not None and floor is not None and rec < floor:
+                    sweep_ok = False
+                    print(
+                        json.dumps(
+                            {
+                                "probe": "graded_recall_FLOOR",
+                                "bands": n_bands,
+                                "stratum": list(s),
+                                "recall": round(rec, 3),
+                                "floor": floor,
+                            }
+                        )
+                    )
+                cells.append("—" if rec is None else f"{rec:.2f}")
+            # evidence comes from the BUCKET structure, not from the
+            # emitted pairs — deriving it from pairs would be circular
+            # and mask exactly the singleton-isolation defect the
+            # connectivity column exists to catch.
+            comps = _components(sim, sim_evidenced & cluster)
+            n_comp = len(comps)
+            if n_bands >= 4 and n_comp != 1:
+                sweep_ok = False
+                print(
+                    json.dumps(
+                        {
+                            "probe": "graded_recall_SPLIT",
+                            "bands": n_bands,
+                            "components": n_comp,
+                        }
+                    )
+                )
+            print(
+                f"| {n_bands}×4 | " + " | ".join(cells) + f" | {n_comp} |"
+            )
+        for s in strata4:
+            print(
+                json.dumps(
+                    {
+                        "probe": "stratum_population",
+                        "stratum": list(s),
+                        "non_cluster_true_pairs": len(by_stratum[s]),
+                    }
+                )
+            )
+
+        # ground the B=4 simulation against the registered query
+        spark_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in QUERIES["minhash_pairs_capped"](spark, workdir)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        grounded = spark_pairs == sim4
+        print(
+            json.dumps(
+                {
+                    "probe": "grounding_b4",
+                    "spark_pairs": len(spark_pairs),
+                    "sim_pairs": len(sim4),
+                    "equal": grounded,
+                }
+            )
+        )
+        if not grounded:
+            sweep_ok = False
 
         found = {
             (r.doc_a, r.doc_b)
@@ -231,7 +490,7 @@ def main() -> None:
         }
         reps = {comp.get(i) for i in evidenced}
         n_isolated = sum(1 for i in evidenced if i not in comp)
-        ok = len(reps) == 1 and n_isolated == 0 and recall_ok
+        ok = len(reps) == 1 and n_isolated == 0 and recall_ok and sweep_ok
         print(
             json.dumps(
                 {
