@@ -146,6 +146,71 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return out
 
 
+# Session-scoped memo for SHARED chain stages: {appId: {key: frame}}.
+# Deliberately NOT in _TRACKED — the blanket release at each top-level
+# query entry must not drop a relation the NEXT query in the chain is
+# about to reuse. Guarded by the same lock.
+_SHARED: dict[str, dict[tuple, DataFrame]] = {}
+
+
+def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Memoize an expensive chain stage across top-level queries.
+
+    The dedup chain (candidates → verify → connected components) feeds
+    five registered queries; under the one-query-at-a-time driver
+    contract each used to rebuild the whole upstream pipeline — ~5× the
+    signature/verify cost per session pass at sf0.1. ``shared_stage``
+    materializes the stage once per (application, key) and returns the
+    same checkpointed frame to every later consumer in the session.
+
+    Contract: ``key`` must determine the stage's CONTENT — include the
+    input path, so different sf_dirs never collide — and the inputs
+    under that path are assumed immutable for the session's lifetime
+    (true for warehouse fixtures and any append-only lake layout where
+    re-ingest lands under a new path). A deployment that overwrites
+    inputs in place must call ``release_shared_stages`` between runs.
+    Blocks live until ``release_shared_stages`` (or application exit);
+    entries for stopped applications are pruned on access (their
+    executor blocks died with the app — only the dict entry remains).
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    with _TRACKED_LOCK:
+        for stale in [a for a in _SHARED if a != app]:
+            del _SHARED[stale]
+        cached = _SHARED.get(app, {}).get(key)
+    if cached is not None:
+        return cached
+    built = build()
+    if sc.getCheckpointDir() is not None:
+        out = built.checkpoint(eager=True)
+    else:
+        out = built.localCheckpoint(eager=True)
+    with _TRACKED_LOCK:
+        _SHARED.setdefault(app, {})[key] = out
+    return out
+
+
+def release_shared_stages(spark: SparkSession) -> int:
+    """Unpersist every ``shared_stage`` block of the current application
+    and forget the memo. For tests, benchmarks that want cold runs, and
+    deployments that mutate inputs in place."""
+    sc = spark.sparkContext
+    with _TRACKED_LOCK:
+        frames = _SHARED.pop(sc.applicationId, {})
+    ids = set()
+    for df in frames.values():
+        rdd_id = checkpointed_rdd_id(df)
+        if rdd_id is not None:
+            ids.add(rdd_id)
+    released = 0
+    for rdd_id, jrdd in _persistent_rdd_entries(sc):
+        if rdd_id in ids:
+            jrdd.unpersist(False)
+            released += 1
+    return released
+
+
 def release_checkpoint(df: DataFrame) -> int:
     """Unpersist the blocks backing ONE ``stage_checkpoint``-ed frame now.
 

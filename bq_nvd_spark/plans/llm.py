@@ -524,6 +524,28 @@ def _capped_pairs(
     )
 
 
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash capped-candidate relation as a SHARED chain stage
+    (round 12): three registered queries consume it
+    (``minhash_pairs_capped``, ``jaccard_verified_pairs`` via the
+    verified relation, ``edit_distance_verified_pairs``) and under the
+    one-query-at-a-time driver contract each used to re-run the
+    signature UDF + window + refine pipeline from scratch.
+    ``shared_stage`` materializes it once per (application, sf_dir);
+    inputs under a fixture path are immutable for the session (see the
+    contract note on ``operators/checkpoint.py::shared_stage``)."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("llm.minhash_candidates", sf_dir),
+        lambda: _capped_pairs(
+            _spark_bands(spark, sf_dir),
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        ),
+    )
+
+
 @query(
     "minhash_pairs_capped",
     oracle=_duck_band_cte()
@@ -533,10 +555,7 @@ def _capped_pairs(
     """,
 )
 def minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _capped_pairs(
-        _spark_bands(spark, sf_dir),
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-    )
+    return _minhash_candidates(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -1213,12 +1232,23 @@ def _shingle_hashes_np(texts: "pd.Series") -> "pd.Series":
     """,
 )
 def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    # The verified relation is itself a shared chain stage: four
+    # downstream queries (clusters, both survivor rules, the histogram)
+    # consume it through _dedup_clusters_rel, and the verify join is
+    # the chain's second-most expensive stage after the signatures.
+    return shared_stage(
+        spark,
+        ("llm.verified_pairs", sf_dir),
+        lambda: _verified_pairs_build(spark, sf_dir),
+    )
+
+
+def _verified_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
-    cand = _capped_pairs(
-        _spark_bands(spark, sf_dir),
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-    )
+    cand = _minhash_candidates(spark, sf_dir)
     # Intersection as explode + equi-join + groupBy-count over 64-bit
     # shingle tokens, NOT array_intersect over the full string arrays:
     # the earlier array formulation shuffled both docs' complete bigram
@@ -1300,10 +1330,7 @@ EDIT_MAX = 32  # near-dups measure 0-8 on this corpus; background ≥ ~40
 def edit_distance_verified_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    cand = _capped_pairs(
-        _spark_bands(spark, sf_dir),
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-    )
+    cand = _minhash_candidates(spark, sf_dir)
     prefixes = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("prefix")
     )
@@ -1365,14 +1392,22 @@ def edit_distance_verified_pairs(
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bq_nvd_spark.operators.graph import connected_components
+    from bq_nvd_spark.operators.checkpoint import shared_stage
 
-    pairs = jaccard_verified_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    cc = connected_components(edges, max_iter=10)
-    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+    def _build() -> DataFrame:
+        from bq_nvd_spark.operators.graph import connected_components
+
+        pairs = jaccard_verified_pairs(spark, sf_dir)
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        cc = connected_components(edges, max_iter=10)
+        return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+    # Third shared link of the chain: both survivor rules and the size
+    # histogram consume the cluster relation; the CC iteration (joins +
+    # per-round checkpoints) re-ran for each of them before round 12.
+    return shared_stage(spark, ("llm.dedup_clusters", sf_dir), _build)
 
 
 # --------------------------------------------------------------------------

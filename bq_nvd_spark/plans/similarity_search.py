@@ -576,6 +576,23 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade is the price of never emitting O(m²) from degenerate input;
     the oracle implements the identical rule from the shared CTE.
     """
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    # Shared chain stage (round 12): semantic_dedup_survivors closes
+    # this relation into clusters, so under the one-query-at-a-time
+    # contract the signature/bucket/cosine pipeline ran twice per
+    # session pass. Same immutable-input contract as the MinHash chain
+    # (operators/checkpoint.py::shared_stage).
+    return shared_stage(
+        spark,
+        ("similarity.embedding_similar_pairs", sf_dir),
+        lambda: _embedding_similar_pairs_build(spark, sf_dir),
+    )
+
+
+def _embedding_similar_pairs_build(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     emb = _spread_embeddings(spark, sf_dir)
     sig = emb.select(
         "vec_id",

@@ -74,11 +74,17 @@ def test_verify_pipeline_on_reliable_path(spark, sf_dir, tmp_path):
     after CC) must produce identical pairs through the reliable
     checkpoint path — the exact configuration a cluster deployment
     runs with."""
+    from bq_nvd_spark.operators.checkpoint import release_shared_stages
     from bq_nvd_spark.plans.llm import jaccard_verified_pairs
 
+    # the verified relation is a shared chain stage (memoized per
+    # session): clear it so BOTH calls below genuinely build, each on
+    # its own checkpoint path
+    release_shared_stages(spark)
     local = {
         tuple(r) for r in jaccard_verified_pairs(spark, sf_dir).collect()
     }
+    release_shared_stages(spark)
     spark.sparkContext.setCheckpointDir(str(tmp_path / "verify_ck"))
     try:
         reliable = {
@@ -86,6 +92,7 @@ def test_verify_pipeline_on_reliable_path(spark, sf_dir, tmp_path):
         }
     finally:
         spark.sparkContext._jsc.sc().setCheckpointDir(None)
+        release_shared_stages(spark)
     assert reliable == local
     assert local, "verify pipeline returned no pairs at test SF"
 
@@ -145,3 +152,74 @@ def test_unregistered_pins_release_anonymously(spark, caplog):
     assert any(
         "<unregistered plan>" in r.getMessage() for r in caplog.records
     )
+
+
+def test_shared_stage_builds_once_and_survives_blanket_release(spark):
+    """The chain-sharing contract: one build per (app, key); the memo's
+    blocks survive the per-query blanket release (that is its whole
+    point) and die only on the explicit release_shared_stages."""
+    from bq_nvd_spark.operators.checkpoint import (
+        release_shared_stages,
+        release_stage_checkpoints,
+        shared_stage,
+    )
+
+    calls: list[int] = []
+
+    def build():
+        calls.append(1)
+        return spark.range(7)
+
+    key = ("test.shared", "k1")
+    try:
+        a = shared_stage(spark, key, build)
+        assert a.count() == 7 and len(calls) == 1
+        # the blanket release every top-level query entry performs...
+        release_stage_checkpoints(spark)
+        # ...must not drop the shared blocks or forget the memo
+        b = shared_stage(spark, key, build)
+        assert len(calls) == 1
+        assert b.count() == 7
+        assert release_shared_stages(spark) >= 1
+        c = shared_stage(spark, key, build)
+        assert len(calls) == 2 and c.count() == 7
+    finally:
+        release_shared_stages(spark)
+
+
+def test_shared_stage_keys_are_isolated(spark):
+    """Different keys (e.g. different sf_dir paths) never collide."""
+    from bq_nvd_spark.operators.checkpoint import (
+        release_shared_stages,
+        shared_stage,
+    )
+
+    try:
+        a = shared_stage(spark, ("t", "p1"), lambda: spark.range(3))
+        b = shared_stage(spark, ("t", "p2"), lambda: spark.range(5))
+        assert a.count() == 3 and b.count() == 5
+    finally:
+        release_shared_stages(spark)
+
+
+def test_dedup_chain_shares_and_stays_correct(spark, sf_dir):
+    """The registered chain consumers return identical results from the
+    shared relations as from a cold build (the driver compares each
+    against its independent DuckDB oracle; this pins the cached-vs-cold
+    equality locally)."""
+    from bq_nvd_spark.operators.checkpoint import release_shared_stages
+    from bq_nvd_spark.plans import QUERIES
+
+    release_shared_stages(spark)
+    cold = {
+        name: {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
+        for name in ("jaccard_verified_pairs", "dedup_survivors")
+    }
+    # second pass hits the memo (jaccard_verified_pairs built it above)
+    warm = {
+        name: {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
+        for name in ("jaccard_verified_pairs", "dedup_survivors")
+    }
+    release_shared_stages(spark)
+    assert warm == cold
+    assert cold["dedup_survivors"], "empty survivors at test SF"
