@@ -146,11 +146,14 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return out
 
 
-# Session-scoped memo for SHARED chain stages: {appId: {key: frame}}.
-# Deliberately NOT in _TRACKED — the blanket release at each top-level
-# query entry must not drop a relation the NEXT query in the chain is
-# about to reuse. Guarded by the same lock.
-_SHARED: dict[str, dict[tuple, DataFrame]] = {}
+# Session-scoped memo for SHARED chain stages:
+# {appId: {key: (frame, [rdd_ids])}} — the persisted-block ids are
+# captured AT CREATION (same target-id-then-diff logic as
+# stage_checkpoint) so release never depends on re-resolving the id
+# later under py4j drift. Deliberately NOT in _TRACKED — the blanket
+# release at each top-level query entry must not drop a relation the
+# NEXT query in the chain is about to reuse. Guarded by the same lock.
+_SHARED: dict[str, dict[tuple, tuple[DataFrame, list[int]]]] = {}
 
 
 def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
@@ -176,18 +179,43 @@ def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
     sc = spark.sparkContext
     app = sc.applicationId
     with _TRACKED_LOCK:
+        # Entries for other application ids belong to a STOPPED app
+        # (Spark supports one active context per process) — their
+        # executor blocks died with it; only the dict entry remains.
         for stale in [a for a in _SHARED if a != app]:
             del _SHARED[stale]
         cached = _SHARED.get(app, {}).get(key)
     if cached is not None:
-        return cached
+        return cached[0]
     built = build()
+    before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
     if sc.getCheckpointDir() is not None:
-        out = built.checkpoint(eager=True)
+        # reliable files are the ContextCleaner's to manage — no
+        # executor blocks to track
+        out, ids = built.checkpoint(eager=True), []
     else:
         out = built.localCheckpoint(eager=True)
+        target_id = checkpointed_rdd_id(out)
+        after = [rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)]
+        ids = [r for r in after if r == target_id] or [
+            r for r in after if r not in before
+        ]
     with _TRACKED_LOCK:
-        _SHARED.setdefault(app, {})[key] = out
+        entries = _SHARED.setdefault(app, {})
+        winner = entries.get(key)
+        if winner is not None:
+            # A concurrent first call won the race while we were
+            # building: keep ITS frame and release ours, or the loser's
+            # eagerly persisted blocks would be unreachable forever.
+            loser_ids = set(ids)
+        else:
+            entries[key] = (out, list(ids))
+            loser_ids = set()
+    if winner is not None:
+        for rdd_id, jrdd in _persistent_rdd_entries(sc):
+            if rdd_id in loser_ids:
+                jrdd.unpersist(False)
+        return winner[0]
     return out
 
 
@@ -198,11 +226,7 @@ def release_shared_stages(spark: SparkSession) -> int:
     sc = spark.sparkContext
     with _TRACKED_LOCK:
         frames = _SHARED.pop(sc.applicationId, {})
-    ids = set()
-    for df in frames.values():
-        rdd_id = checkpointed_rdd_id(df)
-        if rdd_id is not None:
-            ids.add(rdd_id)
+    ids = {rdd_id for _, stored in frames.values() for rdd_id in stored}
     released = 0
     for rdd_id, jrdd in _persistent_rdd_entries(sc):
         if rdd_id in ids:

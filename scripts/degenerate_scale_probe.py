@@ -62,6 +62,20 @@ def main() -> None:
     )
     args = ap.parse_args()
     only = {p for p in args.only.split(",") if p}
+    known = {
+        "minhash_capped",
+        "minhash_refine_star",
+        "embedding_star",
+        "rank_select",
+        "cc_chain_forest",
+    }
+    unknown = only - known
+    if unknown:
+        # A typo'd --only would otherwise run ZERO probes and exit 0 —
+        # a regression gate that silently reports success.
+        raise SystemExit(
+            f"unknown probe name(s): {sorted(unknown)}; known: {sorted(known)}"
+        )
 
     def want(name: str) -> bool:
         return not only or name in only
