@@ -13,79 +13,77 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # never-checked and re-oracled names, then the stalest backlog; only
 # truly-unchanged names may defer to the next round.
 _DRIVER_PRIORITY = [
-    # -- round 11 window: changed-code queries first, then the
-    # evidence backlog (VERDICT r10 tasks 1-3). 1 never-checked +
-    # 9 results-changed (the refine-then-star rework of BOTH LSH
-    # families: the MinHash capped-pairs chain incl. its
-    # cluster/histogram/edit-distance consumers and both embedding
-    # dedup queries emit strictly more candidates now, so their
-    # r6-r10 green rows no longer describe this code) + 1 re-oracled +
-    # 2 changed-execution-path (the streaming CDC pair runs through
-    # the round's lazy-checkpoint merge sink; results identical but
-    # the sink code their r10 rows describe no longer exists) +
-    # 37 stale = 50. Deferred to r12 for room (code truly unchanged,
-    # green r6/r10 rows): nvd_count_cves, exact_dedup_docs,
-    # q1_pricing_summary, q6_forecast_revenue, q12_priority_buckets,
-    # cube_status_priority_census, customer_rfm_segments. --
-    # never driver-checked (added after the r10 window ran):
-    "mixture_resample_docs",
-    # results changed in round 11 — oversized-LSH-bucket refinement
-    # (plans/llm.py _capped_pairs, plans/similarity_search.py):
+    # -- round 12 window: the FINAL evidence-backlog sweep (VERDICT r11
+    # task 1) plus this round's changed names. 4 results-changed (the
+    # sketch accuracy gate widened to 3.5σ and its column renamed
+    # within_5pct → within_bound in Spark AND oracle — old rows
+    # describe the old schema) + 4 changed-execution-path (the shared-
+    # stage chain rework: these four now build/return memoized
+    # checkpointed relations, and dedup_clusters additionally runs the
+    # round's per-round-released CC) + 6 r6-era + 36 r8-era backlog
+    # = 50. Deferred to r13 with justification: the five thin chain
+    # CONSUMERS (edit_distance_verified_pairs, dedup_survivors,
+    # dedup_survivors_by_quality, dedup_cluster_size_histogram,
+    # semantic_dedup_survivors — result-identical projections/joins
+    # over the four IN-window shared relations, each mirror-green at
+    # sf0.01 this round after the rework) and customer_rfm_segments
+    # (code unchanged, r9 evidence, already meets the no-older-than-r9
+    # bar). --
+    # results changed in round 12 (3.5σ sketch gate, renamed column):
+    "approx_distinct_users",
+    "sketch_distinct_accuracy",
+    "streaming_approx_daily_users",
+    "hll_daily_rollup",
+    # execution path changed in round 12 (shared chain stages;
+    # dedup_clusters also exercises the per-round-released CC):
     "minhash_pairs_capped",
     "jaccard_verified_pairs",
-    "edit_distance_verified_pairs",
     "dedup_clusters",
-    "dedup_survivors",
-    "dedup_survivors_by_quality",
-    "dedup_cluster_size_histogram",
     "embedding_similar_pairs",
-    "semantic_dedup_survivors",
-    # oracle changed this round (accuracy-bound contract replaces the
-    # permanent no_oracle row):
-    "approx_distinct_users",
-    # execution path changed in round 11 (streaming/foreach_sink.py
-    # lazy batch checkpoint + id-pinned release):
-    "streaming_upsert_user_totals",
-    "streaming_cdc_user_totals",
-    # -- last driver row r5 (oldest evidence in the registry) --
-    "repetition_ngram_profile",
-    "sketch_distinct_accuracy",
-    "sketch_percentile_accuracy",
-    "source_mixture_weights",
-    "span_contamination_census",
-    "udaf_median_chars",
-    "udtf_token_chunks",
-    "unigram_surprisal_scores",
-    "variant_props_stats",
-    "weekly_retention_cohorts",
-    "weighted_sample_docs",
-    "zorder_cell_census",
-    # -- last driver row r6 --
-    "ann_lsh_topk",
-    "cosine_topk",
-    "customer_balance_tiles",
-    "event_transition_matrix",
-    "heavy_hitter_tokens",
-    "incremental_dedup_new_docs",
-    "label_centroids",
-    "label_cohesion_stats",
-    "minhash_candidate_pairs",
-    "minhash_lsh_buckets",
-    "nvd_cvss_vector_parse",
-    "nvd_feed_ingest",
-    "nvd_flagship_linux_cves",
-    "oov_rate_by_vocab",
-    "q22_idle_rich_customers",
-    "scd2_event_type_intervals",
-    "sequence_packing",
-    "session_window_per_user",
-    "simhash_near_dup_pairs",
-    "stateful_user_totals",
-    "stratified_sample_per_lang",
-    "streaming_approx_daily_users",
-    "streaming_dedup_within_watermark",
-    "streaming_funnel_conversion",
-    "tfidf_top_terms",
+    # -- last driver row r6 (oldest evidence in the registry) --
+    "nvd_count_cves",
+    "exact_dedup_docs",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q12_priority_buckets",
+    "cube_status_priority_census",
+    # -- last driver row r8 --
+    "nested_exists_returned_items",
+    "doubly_nested_exists",
+    "nested_projection_dotted_path",
+    "count_nested_field",
+    "explode_unnest_roundtrip",
+    "hof_filter_transform_fold",
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_urgent_orders",
+    "agg_count_scalar",
+    "group_agg_order_stats",
+    "like_filter_parts",
+    "topk_orders_by_price",
+    "distinct_market_segments",
+    "window_top3_customers_per_nation",
+    "window_running_order_total",
+    "set_intersect_custkeys",
+    "set_except_custkeys",
+    "set_union_keys",
+    "quality_filtered_docs",
+    "token_length_histogram",
+    "nvd_severity_summary",
+    "nvd_cpe_product_counts",
+    "decontamination_overlaps",
+    "ivf_topk",
+    "ivf_refined_topk",
+    "salted_join_event_weights",
+    "quantized_cosine_topk",
+    "theta_overlap_users",
+    "pq_adc_recall_topk",
+    "bpe_train_merges",
+    "vocab_growth_curve",
+    "kmeans_lloyd_clusters",
+    "bpe_encode_top_tokens",
+    "chunk_documents_sliding",
+    "textrank_keywords",
+    "gap_fill_daily_counts",
 ]
 
 def _reorder(registry: dict) -> None:
