@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import logging
 import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -91,6 +92,19 @@ def _persistent_rdd_entries(sc):
         yield t._1(), t._2()
 
 
+def _unpersist_ids(sc, ids) -> int:
+    """Unpersist every persistent RDD whose id is in ``ids``; returns
+    the count actually released (ids already evicted contribute 0)."""
+    released = 0
+    if not ids:
+        return released
+    for rdd_id, jrdd in _persistent_rdd_entries(sc):
+        if rdd_id in ids:
+            jrdd.unpersist(False)
+            released += 1
+    return released
+
+
 def checkpointed_rdd_id(df: DataFrame):
     """RDD id backing a ``localCheckpoint``-ed DataFrame, or None.
 
@@ -110,6 +124,44 @@ def checkpointed_rdd_id(df: DataFrame):
         return None
 
 
+# Block ids each checkpointed frame pinned, captured AT CREATION and
+# keyed weakly by the frame itself — ``release_checkpoint`` consults
+# this first so a later py4j drift in re-resolving the id cannot turn
+# a targeted release into a silent no-op. Weak keys: a frame the
+# caller dropped takes its entry with it (the blanket release still
+# frees the blocks via _TRACKED).
+_FRAME_IDS: "weakref.WeakKeyDictionary[DataFrame, list[int]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _local_checkpoint_with_ids(
+    df: DataFrame, *, eager: bool = True
+) -> tuple[DataFrame, list[int]]:
+    """``localCheckpoint`` ``df`` and return the persisted block ids.
+
+    Prefers the checkpointed frame's own LogicalRDD id when resolvable
+    (scopes a later release to exactly this block even if a concurrent
+    query persists an RDD in the window); falls back to a before/after
+    diff of the persistentRdds map — RDD.persist registers there at
+    call time (localCheckpoint persists immediately even when lazy), so
+    the diff identifies the blocks this call pinned without touching
+    RDDs the caller cached. The fallback also covers the py4j drift
+    where ``analyzed().rdd()`` succeeds but hands back a non-persisted
+    wrapper: an untracked pin silently reintroduces the per-run leak.
+    """
+    sc = df.sparkSession.sparkContext
+    before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
+    out = df.localCheckpoint(eager=eager)
+    target_id = checkpointed_rdd_id(out)
+    after = [rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)]
+    ids = [r for r in after if r == target_id] or [
+        r for r in after if r not in before
+    ]
+    _FRAME_IDS[out] = list(ids)
+    return out, ids
+
+
 def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 
@@ -121,28 +173,12 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
-    # Track the checkpointed frame's own LogicalRDD id when resolvable
-    # (scopes the later release to exactly this block even if a
-    # concurrent query persists an RDD in the window); fall back to a
-    # before/after diff of the persistentRdds map — RDD.persist
-    # registers there at call time (localCheckpoint persists
-    # immediately even when lazy), so the diff identifies the blocks
-    # this call pinned without touching RDDs the caller cached.
-    before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
-    out = df.localCheckpoint(eager=eager)
-    target_id = checkpointed_rdd_id(out)
+    out, ids = _local_checkpoint_with_ids(df, eager=eager)
     owner = getattr(_CURRENT_QUERY, "name", None)
-    after = [rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)]
-    new = [(rdd_id, owner) for rdd_id in after if rdd_id == target_id]
-    if not new:
-        # target_id unresolved (None) OR resolved but absent from the
-        # persistent map (py4j drift where analyzed().rdd() succeeds but
-        # hands back a non-persisted wrapper) — either way, fall back to
-        # the before/after diff so the pinned blocks are still tracked;
-        # an untracked pin silently reintroduces the per-run leak.
-        new = [(rdd_id, owner) for rdd_id in after if rdd_id not in before]
     with _TRACKED_LOCK:
-        _TRACKED.setdefault(sc.applicationId, []).extend(new)
+        _TRACKED.setdefault(sc.applicationId, []).extend(
+            (rdd_id, owner) for rdd_id in ids
+        )
     return out
 
 
@@ -188,18 +224,12 @@ def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
     if cached is not None:
         return cached[0]
     built = build()
-    before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
     if sc.getCheckpointDir() is not None:
         # reliable files are the ContextCleaner's to manage — no
         # executor blocks to track
         out, ids = built.checkpoint(eager=True), []
     else:
-        out = built.localCheckpoint(eager=True)
-        target_id = checkpointed_rdd_id(out)
-        after = [rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)]
-        ids = [r for r in after if r == target_id] or [
-            r for r in after if r not in before
-        ]
+        out, ids = _local_checkpoint_with_ids(built)
     with _TRACKED_LOCK:
         entries = _SHARED.setdefault(app, {})
         winner = entries.get(key)
@@ -207,14 +237,17 @@ def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
             # A concurrent first call won the race while we were
             # building: keep ITS frame and release ours, or the loser's
             # eagerly persisted blocks would be unreachable forever.
-            loser_ids = set(ids)
+            # Subtract the winner's stored ids first: if OUR id capture
+            # fell back to the before/after diff, the winner's block —
+            # persisted inside our window — can appear in our list, and
+            # releasing it would strand the memoized frame (lineage
+            # truncated, blocks gone) for every later consumer.
+            loser_ids = set(ids) - set(winner[1])
         else:
             entries[key] = (out, list(ids))
             loser_ids = set()
     if winner is not None:
-        for rdd_id, jrdd in _persistent_rdd_entries(sc):
-            if rdd_id in loser_ids:
-                jrdd.unpersist(False)
+        _unpersist_ids(sc, loser_ids)
         return winner[0]
     return out
 
@@ -227,12 +260,7 @@ def release_shared_stages(spark: SparkSession) -> int:
     with _TRACKED_LOCK:
         frames = _SHARED.pop(sc.applicationId, {})
     ids = {rdd_id for _, stored in frames.values() for rdd_id in stored}
-    released = 0
-    for rdd_id, jrdd in _persistent_rdd_entries(sc):
-        if rdd_id in ids:
-            jrdd.unpersist(False)
-            released += 1
-    return released
+    return _unpersist_ids(sc, ids)
 
 
 def release_checkpoint(df: DataFrame) -> int:
@@ -243,25 +271,32 @@ def release_checkpoint(df: DataFrame) -> int:
     symmetric relation FROM it — after which the raw blocks are ~1.5×
     the edge-list memory held as dead weight until the next top-level
     query's blanket release). Removes the frame's pin from the tracked
-    list so the later blanket release doesn't double-release. No-op
-    (returns 0) when the frame's RDD id can't be resolved or isn't
-    persisted — e.g. on the reliable-checkpoint branch, whose files the
-    ContextCleaner owns.
+    list so the later blanket release doesn't double-release. Uses the
+    block ids captured when the frame was checkpointed; when none exist
+    (the reliable-checkpoint branch, whose files the ContextCleaner
+    owns, or a frame this module didn't checkpoint) it falls back to
+    re-resolving the id, and if THAT fails it logs the skip — an
+    iteration calling this per round (connected components) must not
+    silently degrade to O(rounds·|V|) pinned storage.
     """
     sc = df.sparkSession.sparkContext
-    target_id = checkpointed_rdd_id(df)
-    if target_id is None:
+    ids = _FRAME_IDS.pop(df, None)
+    if ids is None:
+        target_id = checkpointed_rdd_id(df)
+        ids = [] if target_id is None else [target_id]
+    if not ids:
+        logger.info(
+            "release_checkpoint: no block ids resolvable for the frame — "
+            "its blocks (if any) stay pinned until the next top-level "
+            "query's blanket release"
+        )
         return 0
+    id_set = set(ids)
     with _TRACKED_LOCK:
         pins = _TRACKED.get(sc.applicationId)
         if pins:
-            pins[:] = [(rid, o) for rid, o in pins if rid != target_id]
-    released = 0
-    for rdd_id, jrdd in _persistent_rdd_entries(sc):
-        if rdd_id == target_id:
-            jrdd.unpersist(False)
-            released += 1
-    return released
+            pins[:] = [(rid, o) for rid, o in pins if rid not in id_set]
+    return _unpersist_ids(sc, id_set)
 
 
 def release_stage_checkpoints(
@@ -300,9 +335,4 @@ def release_stage_checkpoints(
         ", ".join(owners),
         "that query" if len(owners) == 1 else "those queries",
     )
-    released = 0
-    for rdd_id, jrdd in _persistent_rdd_entries(sc):
-        if rdd_id in ids:
-            jrdd.unpersist(False)
-            released += 1
-    return released
+    return _unpersist_ids(sc, ids)

@@ -1236,8 +1236,10 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The verified relation is itself a shared chain stage: four
     # downstream queries (clusters, both survivor rules, the histogram)
-    # consume it through _dedup_clusters_rel, and the verify join is
-    # the chain's second-most expensive stage after the signatures.
+    # consume it through dedup_clusters' own shared stage
+    # ("llm.dedup_clusters", built from this relation), and the verify
+    # join is the chain's second-most expensive stage after the
+    # signatures.
     return shared_stage(
         spark,
         ("llm.verified_pairs", sf_dir),

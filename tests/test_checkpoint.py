@@ -202,6 +202,84 @@ def test_shared_stage_keys_are_isolated(spark):
         release_shared_stages(spark)
 
 
+def test_shared_stage_build_race_releases_loser_blocks(spark):
+    """Two threads racing the same key's FIRST build must agree on one
+    memoized frame, and the loser's eagerly persisted blocks must be
+    unpersisted — not stranded in executor storage with no owner."""
+    import threading
+
+    from bq_nvd_spark.operators.checkpoint import (
+        _persistent_rdd_entries,
+        release_shared_stages,
+        shared_stage,
+    )
+
+    sc = spark.sparkContext
+    release_shared_stages(spark)
+    baseline = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
+
+    barrier = threading.Barrier(2, timeout=30)
+    builds: list[int] = []
+
+    def build():
+        barrier.wait()  # force both threads into the build section
+        builds.append(1)
+        return spark.range(9)
+
+    results: dict[int, int] = {}
+
+    def run(slot: int) -> None:
+        results[slot] = shared_stage(
+            spark, ("test.race", "k"), build
+        ).count()
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(60)
+        assert results == {0: 9, 1: 9}
+        assert len(builds) == 2  # both genuinely built...
+        # the memoized winner must still be SERVABLE after the loser's
+        # blocks were released (a loser that releases the winner's
+        # blocks would strand a lineage-truncated frame)
+        again = shared_stage(spark, ("test.race", "k"), build)
+        assert again.count() == 9 and len(builds) == 2
+        # ...but only the winner's blocks may remain pinned
+        now = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
+        assert len(now - baseline) <= 1, (baseline, now)
+        assert release_shared_stages(spark) == len(now - baseline)
+        after = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
+        assert not (after - baseline)
+    finally:
+        release_shared_stages(spark)
+
+
+def test_shared_stage_reliable_dir_leaves_no_pinned_blocks(
+    spark, tmp_path
+):
+    """With a checkpoint dir configured the shared stage lands on
+    reliable files (the ContextCleaner's to manage): no executor blocks
+    are tracked, and the explicit release is a zero-count no-op."""
+    from bq_nvd_spark.operators.checkpoint import (
+        release_shared_stages,
+        shared_stage,
+    )
+
+    release_shared_stages(spark)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "shared_ck"))
+    try:
+        out = shared_stage(
+            spark, ("test.reliable", "k"), lambda: spark.range(4)
+        )
+        assert out.count() == 4
+        assert release_shared_stages(spark) == 0
+    finally:
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
+        release_shared_stages(spark)
+
+
 def test_dedup_chain_shares_and_stays_correct(spark, sf_dir):
     """The registered chain consumers return identical results from the
     shared relations as from a cold build (the driver compares each
