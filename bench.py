@@ -91,6 +91,7 @@ def main() -> None:
     names = [n for n in sorted(QUERIES) if not only or n in only]
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    cold: dict[str, float] = {}
     total = 0.0
     for name in names:
         samples: list[float] = []
@@ -98,19 +99,29 @@ def main() -> None:
         # its candidate/verified/cluster relations per session
         # (operators/checkpoint.py::shared_stage). Release the memo
         # before each query's FIRST run only: run 1 therefore records
-        # the query's full COLD pipeline (visible in queries_runs, the
-        # regression breadcrumb), while runs 2+ hit the memo so the
-        # recorded MEDIAN is the session-pass number a long-lived
+        # the query's full COLD pipeline, while runs 2+ hit the memo so
+        # the recorded MEDIAN is the session-pass number a long-lived
         # deployment sees — chain queries after the first pay the
         # consumer's marginal cost, which is exactly the engine's
-        # shared-stage semantics. Releasing between repeats instead
-        # would hide the sharing the bench exists to measure; never
-        # releasing would let the memo hide a pipeline regression from
-        # every recorded sample.
-        from bq_nvd_spark.operators.checkpoint import release_shared_stages
+        # shared-stage semantics (and consistent with the bench's
+        # standing discipline of excluding once-per-session costs such
+        # as codegen/Arrow warm-up from every median). Releasing
+        # between repeats instead would hide the sharing the bench
+        # exists to measure. Because a memo-hit median CANNOT move when
+        # the build pipeline regresses, every query that BUILT shared
+        # stages on its cold run also records that run-1 sample in
+        # ``queries_cold`` — the monitored regression channel: the
+        # scaling audit computes its ratios/flags from these cold
+        # numbers for chain queries, and round-over-round diffs should
+        # compare them alongside the medians.
+        from bq_nvd_spark.operators.checkpoint import (
+            release_shared_stages,
+            shared_stage_count,
+        )
 
         release_shared_stages(spark)
-        for _ in range(repeats):
+        built_shared = False
+        for rep in range(repeats):
             # Per-run isolation: collect the previous run's garbage
             # OUTSIDE the next timing window. Everything shares one
             # local JVM here; without this, an allocation-heavy query
@@ -130,6 +141,13 @@ def main() -> None:
             start = time.perf_counter()
             n = force_count(QUERIES[name](spark, sf_dir), name)
             samples.append(time.perf_counter() - start)
+            if rep == 0:
+                # memo was empty entering run 1 (released above), so a
+                # non-empty memo now means THIS query built the shared
+                # stages — its cold sample is the pipeline's number.
+                built_shared = shared_stage_count(spark) > 0
+        if built_shared:
+            cold[name] = round(samples[0], 3)
         # Lower median: with an even repeat count the upper-middle sample
         # is the warm-up-contaminated one (run 1 absorbs codegen/Arrow
         # spin-up), so picking it would defeat the median's purpose.
@@ -165,6 +183,16 @@ def main() -> None:
         # from jitter.
         "timing": {"stat": "median", "n": repeats},
         "queries_runs": runs,
+        # Cold-pipeline regression channel: run-1 wall time for every
+        # query that BUILT shared-stage relations on that run (memo
+        # released before run 1). Their medians above are memo-hit
+        # numbers by design (session-pass semantics) and cannot move
+        # when the build pipeline regresses — gates and round-over-
+        # round comparisons for these names must read queries_cold.
+        # A fresh session pays each chain's build once (≈ the largest
+        # entry of a chain), so the headline total understates a truly
+        # cold session pass by about that much.
+        "queries_cold": cold,
     }
     line = json.dumps(payload)
     # The driver captures stdout, which has truncated the per-query tail

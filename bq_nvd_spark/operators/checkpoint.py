@@ -137,7 +137,7 @@ _FRAME_IDS: "weakref.WeakKeyDictionary[DataFrame, list[int]]" = (
 
 def _local_checkpoint_with_ids(
     df: DataFrame, *, eager: bool = True
-) -> tuple[DataFrame, list[int]]:
+) -> tuple[DataFrame, list[int], bool]:
     """``localCheckpoint`` ``df`` and return the persisted block ids.
 
     Prefers the checkpointed frame's own LogicalRDD id when resolvable
@@ -149,17 +149,22 @@ def _local_checkpoint_with_ids(
     RDDs the caller cached. The fallback also covers the py4j drift
     where ``analyzed().rdd()`` succeeds but hands back a non-persisted
     wrapper: an untracked pin silently reintroduces the per-run leak.
+
+    The third element says whether the ids are EXACT (the frame's own
+    LogicalRDD id) or a diff capture that may include blocks a
+    concurrent call persisted in the window — ``shared_stage``'s race
+    path releases a loser's exact id unconditionally but must subtract
+    the winner's possible blocks from a diff capture.
     """
     sc = df.sparkSession.sparkContext
     before = {rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)}
     out = df.localCheckpoint(eager=eager)
     target_id = checkpointed_rdd_id(out)
     after = [rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)]
-    ids = [r for r in after if r == target_id] or [
-        r for r in after if r not in before
-    ]
+    exact = [r for r in after if r == target_id]
+    ids = exact or [r for r in after if r not in before]
     _FRAME_IDS[out] = list(ids)
-    return out, ids
+    return out, ids, bool(exact)
 
 
 def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
@@ -173,7 +178,7 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
-    out, ids = _local_checkpoint_with_ids(df, eager=eager)
+    out, ids, _ = _local_checkpoint_with_ids(df, eager=eager)
     owner = getattr(_CURRENT_QUERY, "name", None)
     with _TRACKED_LOCK:
         _TRACKED.setdefault(sc.applicationId, []).extend(
@@ -227,9 +232,9 @@ def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         # reliable files are the ContextCleaner's to manage — no
         # executor blocks to track
-        out, ids = built.checkpoint(eager=True), []
+        out, ids, exact = built.checkpoint(eager=True), [], True
     else:
-        out, ids = _local_checkpoint_with_ids(built)
+        out, ids, exact = _local_checkpoint_with_ids(built)
     with _TRACKED_LOCK:
         entries = _SHARED.setdefault(app, {})
         winner = entries.get(key)
@@ -237,12 +242,19 @@ def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
             # A concurrent first call won the race while we were
             # building: keep ITS frame and release ours, or the loser's
             # eagerly persisted blocks would be unreachable forever.
-            # Subtract the winner's stored ids first: if OUR id capture
-            # fell back to the before/after diff, the winner's block —
-            # persisted inside our window — can appear in our list, and
-            # releasing it would strand the memoized frame (lineage
-            # truncated, blocks gone) for every later consumer.
-            loser_ids = set(ids) - set(winner[1])
+            # An EXACT capture is OUR frame's own LogicalRDD id — it can
+            # never name the winner's block, so release it even if the
+            # winner's diff-captured list over-counted it (otherwise the
+            # loser's duplicate relation stays pinned for the app's
+            # lifetime). Only a diff capture, which may have swept up
+            # the winner's block persisted inside our window, must
+            # subtract the winner's stored ids — releasing the winner's
+            # block would strand the memoized frame (lineage truncated,
+            # blocks gone) for every later consumer. Double drift (both
+            # captures fell back to the diff) leaks the loser's blocks
+            # until release_shared_stages; leaking bounded storage beats
+            # risking the winner's relation.
+            loser_ids = set(ids) if exact else set(ids) - set(winner[1])
         else:
             entries[key] = (out, list(ids))
             loser_ids = set()
@@ -250,6 +262,17 @@ def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
         _unpersist_ids(sc, loser_ids)
         return winner[0]
     return out
+
+
+def shared_stage_count(spark: SparkSession) -> int:
+    """Number of shared-stage relations currently memoized for this
+    application. Lets a harness detect that a query's run BUILT shared
+    stages (memo empty before, non-empty after) — the bench uses it to
+    route such queries' cold samples into a dedicated regression
+    channel, since their memo-hit medians cannot move when the build
+    pipeline regresses."""
+    with _TRACKED_LOCK:
+        return len(_SHARED.get(spark.sparkContext.applicationId, ()))
 
 
 def release_shared_stages(spark: SparkSession) -> int:

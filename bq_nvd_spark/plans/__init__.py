@@ -21,14 +21,20 @@ _DRIVER_PRIORITY = [
     # stage chain rework: these four now build/return memoized
     # checkpointed relations, and dedup_clusters additionally runs the
     # round's per-round-released CC) + 6 r6-era + 36 r8-era backlog
-    # = 50. Deferred to r13 with justification: the five thin chain
-    # CONSUMERS (edit_distance_verified_pairs, dedup_survivors,
-    # dedup_survivors_by_quality, dedup_cluster_size_histogram,
-    # semantic_dedup_survivors — result-identical projections/joins
-    # over the four IN-window shared relations, each mirror-green at
-    # sf0.01 this round after the rework) and customer_rfm_segments
-    # (code unchanged, r9 evidence, already meets the no-older-than-r9
-    # bar). --
+    # = 50. The allocation is FORCED: the task-1 age bar ("no evidence
+    # older than r9") makes all 42 backlog names mandatory, leaving 8
+    # slots for this round's 13 changed names; the 5 that defer are the
+    # lowest-risk by construction. Deferred to r13 with justification:
+    # the five thin chain CONSUMERS (edit_distance_verified_pairs —
+    # whose body edit is exactly "call the memoized _minhash_candidates
+    # accessor that three in-window queries drive end-to-end" —
+    # dedup_survivors, dedup_survivors_by_quality,
+    # dedup_cluster_size_histogram, semantic_dedup_survivors —
+    # result-identical projections/joins over the four IN-window shared
+    # relations, each mirror-green at sf0.01 this round after the
+    # rework, each carrying r11 driver evidence) and
+    # customer_rfm_segments (code unchanged, r9 evidence, already meets
+    # the no-older-than-r9 bar). --
     # results changed in round 12 (3.5σ sketch gate, renamed column):
     "approx_distinct_users",
     "sketch_distinct_accuracy",

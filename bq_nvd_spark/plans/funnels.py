@@ -151,11 +151,15 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is what a 100 TB deployment materializes once, and every
     wider window (week, month, all-time) is then a register merge over
     that tiny table — no second scan of the fact data. The driver gate
-    bounds the merged estimate against the exact distinct count at 7%
-    (Datasketches HLL, default lgK=12 => ~1.6% expected; the bound is
-    3.5σ-sized, see sketch_within_bound), same
-    accuracy-bound contract as the other sketch queries: oracle emits
-    exact + literal TRUE, Spark computes the comparison.
+    bounds the merged estimate against the exact distinct count at the
+    shared 7% default (sketch_within_bound). NOTE: that default is
+    SIZED for approx_count_distinct at rsd=0.02 (3.5σ); this query uses
+    Datasketches HLL at lgK=12 (~1.6% expected error), where 7% is
+    ~4.4σ — deliberately looser, do NOT re-derive it down to 3.5×1.6%
+    for this query, the shared default exists so the rsd=0.02 twins
+    keep the bound they need. Same accuracy-bound contract as the other
+    sketch queries: oracle emits exact + literal TRUE, Spark computes
+    the comparison.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(

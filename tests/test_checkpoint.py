@@ -256,6 +256,53 @@ def test_shared_stage_build_race_releases_loser_blocks(spark):
         release_shared_stages(spark)
 
 
+def test_shared_stage_drift_race_releases_exact_loser(spark, monkeypatch):
+    """Drift+race combination: the WINNER's id capture fell back to the
+    before/after diff and swept the loser's block (persisted inside its
+    window) into its stored list. A loser whose own capture is EXACT
+    must still release its block — its LogicalRDD id can never name the
+    winner's block, so appearing in the winner's over-captured list is
+    not a reason to strand a duplicate copy of the relation."""
+    import bq_nvd_spark.operators.checkpoint as cp
+
+    sc = spark.sparkContext
+    app = sc.applicationId
+    key = ("test.drift_race", "k")
+    cp.release_shared_stages(spark)
+
+    # Real checkpointed frames so the block ids are genuinely pinned.
+    w_out, w_ids, _ = cp._local_checkpoint_with_ids(spark.range(5))
+    l_out, l_ids, l_exact = cp._local_checkpoint_with_ids(spark.range(6))
+    assert l_exact and w_ids and l_ids and set(w_ids) != set(l_ids)
+
+    def build():
+        # The racing winner stores its entry while we are "building":
+        # its diff capture over-counted the loser's block.
+        with cp._TRACKED_LOCK:
+            cp._SHARED.setdefault(app, {})[key] = (
+                w_out,
+                list(w_ids) + list(l_ids),
+            )
+        return spark.range(6)
+
+    monkeypatch.setattr(
+        cp,
+        "_local_checkpoint_with_ids",
+        lambda df, eager=True: (l_out, list(l_ids), True),
+    )
+    try:
+        got = cp.shared_stage(spark, key, build)
+        live = {rid for rid, _ in cp._persistent_rdd_entries(sc)}
+        # loser's duplicate blocks released despite the over-capture...
+        assert not (set(l_ids) & live), (l_ids, live)
+        # ...winner's frame kept servable
+        assert set(w_ids) <= live
+        assert got.count() == 5
+    finally:
+        cp.release_shared_stages(spark)
+        cp._unpersist_ids(sc, set(w_ids) | set(l_ids))
+
+
 def test_shared_stage_reliable_dir_leaves_no_pinned_blocks(
     spark, tmp_path
 ):
