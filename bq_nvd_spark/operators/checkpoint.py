@@ -196,6 +196,15 @@ def stage_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
 # NEXT query in the chain is about to reuse. Guarded by the same lock.
 _SHARED: dict[str, dict[tuple, tuple[DataFrame, list[int]]]] = {}
 
+# Audit escape hatch: when True, ``shared_stage`` returns ``build()``
+# directly — no checkpoint, no memo — so a plan audit can see the full
+# upstream pipeline (an eager checkpoint truncates the returned plan to
+# a single materialized scan, which is the correct SESSION plan but
+# useless for auditing the pipeline's distributed shape). Never set on
+# a production path: without the checkpoint every chain consumer would
+# replay the whole pipeline.
+AUDIT_BYPASS_SHARED = False
+
 
 def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
     """Memoize an expensive chain stage across top-level queries.
@@ -217,6 +226,8 @@ def shared_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
     entries for stopped applications are pruned on access (their
     executor blocks died with the app — only the dict entry remains).
     """
+    if AUDIT_BYPASS_SHARED:
+        return build()
     sc = spark.sparkContext
     app = sc.applicationId
     with _TRACKED_LOCK:
