@@ -34,7 +34,9 @@ _DRIVER_PRIORITY = [
     # relations, each mirror-green at sf0.01 this round after the
     # rework, each carrying r11 driver evidence) and
     # customer_rfm_segments (code unchanged, r9 evidence, already meets
-    # the no-older-than-r9 bar). --
+    # the no-older-than-r9 bar). Added late in round 12, NEVER driver-
+    # checked, FIRST priority for the r13 window: bm25_topk_docs
+    # (mirror-green at all 3 SFs on add; registers beyond slot 50). --
     # results changed in round 12 (3.5σ sketch gate, renamed column):
     "approx_distinct_users",
     "sketch_distinct_accuracy",

@@ -878,6 +878,148 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E4g2: BM25 retrieval — rank the corpus against a fixed term-set query,
+# the lexical-retrieval half of every RAG / training-data-curation
+# stack (TF-IDF above extracts keywords; this SCORES documents).
+# Okapi BM25 with k1=1.2, b=0.75 and one deliberate, documented
+# substitution: the idf is the Lucene log ARGUMENT (N+1)/(df+0.5)
+# rather than its ln — ln() is libm-dependent across engines (see
+# tfidf_top_terms) and this rational surrogate is a strictly monotone
+# transform of the standard idf computed as one correctly-rounded
+# divide of two exact integers, (2N+2)/(2df+1). Per-term contributions
+# are quantized to integer MICRO-units before the per-doc sum so the
+# aggregation is order-independent (float sums are not); every float
+# op before quantization is a single correctly-rounded IEEE-754
+# operation on identically-shaped expressions in both engines.
+#
+# Scale shape: the explode is filtered to the 4 query terms before any
+# shuffle (codegen'd generator+filter), so the tf agg touches only
+# matching tokens; the df relation is |query|-rows (broadcast); the
+# length stats are a 1-row broadcast; the final top-k compiles to
+# TakeOrderedAndProject — no global sort shuffle. At 100 TB nothing
+# here scales with vocabulary, only with query-term postings.
+BM25_TERMS = ("hash", "join", "vector", "filter")
+BM25_TOPK = 10
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_dl
+      FROM docs
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM docs
+    ),
+    qtoks AS (
+      SELECT doc_id, term FROM toks
+      WHERE term IN {tuple(BM25_TERMS)!r}
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM qtoks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM qtoks GROUP BY term
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               (CAST(2 * s.n_docs + 2 AS DOUBLE)
+                  / CAST(2 * df.df + 1 AS DOUBLE))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75
+                           * (CAST(d.dl * s.n_docs AS DOUBLE)
+                              / CAST(s.total_dl AS DOUBLE))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM tf
+      JOIN df USING (term)
+      JOIN docs d ON d.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           CAST(SUM(micro) AS BIGINT) AS bm25_micro
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    qtoks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_rel = qtoks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    tfd = F.col("tf").cast("double")
+    # identical expression shape to the oracle: every float op is one
+    # correctly-rounded IEEE step, quantized to micro-units before SUM
+    contrib = (
+        tf.join(F.broadcast(df_rel), "term")
+        .join(docs.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                (
+                    (2 * F.col("n_docs") + 2).cast("double")
+                    / (2 * F.col("df") + 1).cast("double")
+                )
+                * (tfd * 2.2)
+                / (
+                    tfd
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * (
+                            (F.col("dl") * F.col("n_docs")).cast("double")
+                            / F.col("total_dl").cast("double")
+                        )
+                    )
+                )
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("micro").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
 # E4c: language distribution (the lang-id *evaluation* surface; the n-gram
 # classifier itself lives in operators/text.py).
 @query(

@@ -73,6 +73,10 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (C, "query set: vec_id < 5 by construction"),
     ("plans/llm.py", "tfidf_top_terms", "n_docs"):
         (A, "one-row corpus count"),
+    ("plans/llm.py", "bm25_topk_docs", "df_rel"):
+        (C, "per-query-term doc frequencies: ≤len(BM25_TERMS)=4 rows"),
+    ("plans/llm.py", "bm25_topk_docs", "stats"):
+        (A, "one-row corpus count/total-length aggregate"),
     ("plans/llm.py", "simhash_near_dup_pairs", "sized"):
         (A, "(band_idx, byte) bucket ids: domain ≤ 4×256 rows"),
     ("plans/llm.py", "source_mixture_weights", "tot"):

@@ -183,3 +183,35 @@ def test_bpe_training_invariants(spark, sf_dir):
     assert rows[0]["n"] == census_top["n"]
     ns = [rows[r]["n"] for r in range(BPE_ROUNDS)]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_bm25_semantics_on_controlled_fixture(spark, tmp_path):
+    """BM25 invariants on a corpus built to separate them: length
+    normalization (same tf, longer doc scores LOWER), tf monotonicity
+    (same length, higher tf scores HIGHER), non-matching docs absent,
+    and n_terms_matched counts distinct matched query terms."""
+    from bq_nvd_spark.plans.llm import BM25_TOPK, bm25_topk_docs
+
+    filler = "x"
+    rows = [
+        (1, " ".join(["hash", "join"] + [filler] * 8)),  # 2 terms, dl=10
+        (2, " ".join(["hash"] * 3 + [filler] * 7)),  # tf=3, dl=10
+        (3, " ".join(["hash"] + [filler] * 99)),  # tf=1, dl=100
+        (4, " ".join(["hash"] + [filler] * 9)),  # tf=1, dl=10
+        (5, " ".join([filler] * 10)),  # no query terms
+    ]
+    sf = str(tmp_path / "bm25_fixture")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in bm25_topk_docs(spark, sf).collect()}
+    assert len(got) <= BM25_TOPK
+    assert 5 not in got  # no query term -> never retrieved
+    # length normalization: identical tf, 10x the length, lower score
+    assert got[4]["bm25_micro"] > got[3]["bm25_micro"]
+    # tf monotonicity at equal length (saturating but increasing)
+    assert got[2]["bm25_micro"] > got[4]["bm25_micro"]
+    assert got[1]["n_terms_matched"] == 2
+    assert all(
+        got[d]["n_terms_matched"] == 1 for d in (2, 3, 4)
+    )
