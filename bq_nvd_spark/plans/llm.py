@@ -920,7 +920,7 @@ BM25_TOPK = 10
     ),
     qtoks AS (
       SELECT doc_id, term FROM toks
-      WHERE term IN {tuple(BM25_TERMS)!r}
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
     ),
     tf AS (
       SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
