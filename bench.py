@@ -154,7 +154,14 @@ def main() -> None:
                 # stages — its cold sample is the pipeline's number.
                 built_shared = shared_stage_count(spark) > 0
         if built_shared:
-            # dedicated warm-plan cold-build sample, outside the median
+            # dedicated warm-plan cold-build sample, outside the median.
+            # Fault-isolated: by this point every median is already
+            # collected, so a flaky cold run (transient executor OOM
+            # after the release+gc, a killed stage) must not abort the
+            # whole bench and discard the round's record — record a
+            # null sentinel instead, which the scaling audit and the
+            # drift gate both treat as "no sample" (they require a
+            # numeric sample on BOTH sides before comparing).
             from bq_nvd_spark.operators.checkpoint import (
                 release_stage_checkpoints,
             )
@@ -163,8 +170,16 @@ def main() -> None:
             release_stage_checkpoints(spark)
             spark.sparkContext._jvm.System.gc()
             start = time.perf_counter()
-            force_count(QUERIES[name](spark, sf_dir), name)
-            cold[name] = round(time.perf_counter() - start, 3)
+            try:
+                force_count(QUERIES[name](spark, sf_dir), name)
+                cold[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # noqa: BLE001 — fault isolation
+                cold[name] = None
+                print(
+                    f"# {name}: cold-build sample FAILED "
+                    f"({type(exc).__name__}: {exc})",
+                    file=sys.stderr,
+                )
         # Lower median: with an even repeat count the upper-middle sample
         # is the warm-up-contaminated one (run 1 absorbs codegen/Arrow
         # spin-up), so picking it would defeat the median's purpose.

@@ -163,7 +163,12 @@ def _local_checkpoint_with_ids(
     after = [rdd_id for rdd_id, _ in _persistent_rdd_entries(sc)]
     exact = [r for r in after if r == target_id]
     ids = exact or [r for r in after if r not in before]
-    _FRAME_IDS[out] = list(ids)
+    # Under _TRACKED_LOCK: shared_stage supports concurrent racing
+    # builds, so two threads can insert here while GC-driven weakref
+    # callbacks mutate the dict — WeakKeyDictionary is not thread-safe
+    # under concurrent insert/pop.
+    with _TRACKED_LOCK:
+        _FRAME_IDS[out] = list(ids)
     return out, ids, bool(exact)
 
 
@@ -289,7 +294,16 @@ def shared_stage_count(spark: SparkSession) -> int:
 def release_shared_stages(spark: SparkSession) -> int:
     """Unpersist every ``shared_stage`` block of the current application
     and forget the memo. For tests, benchmarks that want cold runs, and
-    deployments that mutate inputs in place."""
+    deployments that mutate inputs in place.
+
+    Hazard: every frame ``shared_stage`` EVER returned in this
+    application becomes unusable afterwards — the frames are
+    lineage-truncated (localCheckpoint), so once their blocks are
+    unpersisted Spark cannot recompute them and any later action on a
+    held reference fails with an opaque block-not-found error, not a
+    recompute. Callers must not hold a shared frame across a release;
+    re-invoke the owning query (the memo rebuilds cleanly) instead.
+    """
     sc = spark.sparkContext
     with _TRACKED_LOCK:
         frames = _SHARED.pop(sc.applicationId, {})
@@ -314,7 +328,8 @@ def release_checkpoint(df: DataFrame) -> int:
     silently degrade to O(rounds·|V|) pinned storage.
     """
     sc = df.sparkSession.sparkContext
-    ids = _FRAME_IDS.pop(df, None)
+    with _TRACKED_LOCK:  # WeakKeyDictionary: see _local_checkpoint_with_ids
+        ids = _FRAME_IDS.pop(df, None)
     if ids is None:
         target_id = checkpointed_rdd_id(df)
         ids = [] if target_id is None else [target_id]

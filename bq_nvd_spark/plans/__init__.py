@@ -13,85 +13,72 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # never-checked and re-oracled names, then the stalest backlog; only
 # truly-unchanged names may defer to the next round.
 _DRIVER_PRIORITY = [
-    # -- round 12 window: the FINAL evidence-backlog sweep (VERDICT r11
-    # task 1) plus this round's changed names. 4 results-changed (the
-    # sketch accuracy gate widened to 3.5σ and its column renamed
-    # within_5pct → within_bound in Spark AND oracle — old rows
-    # describe the old schema) + 4 changed-execution-path (the shared-
-    # stage chain rework: these four now build/return memoized
-    # checkpointed relations, and dedup_clusters additionally runs the
-    # round's per-round-released CC) + 6 r6-era + 36 r8-era backlog
-    # = 50. The allocation is FORCED: the task-1 age bar ("no evidence
-    # older than r9") makes all 42 backlog names mandatory, leaving 8
-    # slots for this round's 13 changed names; the 5 that defer are the
-    # lowest-risk by construction. Deferred to r13 with justification:
-    # the five thin chain CONSUMERS (edit_distance_verified_pairs —
-    # whose body edit is exactly "call the memoized _minhash_candidates
-    # accessor that three in-window queries drive end-to-end" —
-    # dedup_survivors, dedup_survivors_by_quality,
-    # dedup_cluster_size_histogram, semantic_dedup_survivors —
-    # result-identical projections/joins over the four IN-window shared
-    # relations, each mirror-green at sf0.01 this round after the
-    # rework, each carrying r11 driver evidence) and
-    # customer_rfm_segments (code unchanged, r9 evidence, already meets
-    # the no-older-than-r9 bar). Added late in round 12, NEVER driver-
-    # checked, FIRST priority for the r13 window: bm25_topk_docs
-    # (mirror-green at all 3 SFs on add; registers beyond slot 50). --
-    # results changed in round 12 (3.5σ sketch gate, renamed column):
-    "approx_distinct_users",
-    "sketch_distinct_accuracy",
-    "streaming_approx_daily_users",
-    "hll_daily_rollup",
-    # execution path changed in round 12 (shared chain stages;
-    # dedup_clusters also exercises the per-round-released CC):
-    "minhash_pairs_capped",
-    "jaccard_verified_pairs",
-    "dedup_clusters",
-    "embedding_similar_pairs",
-    # -- last driver row r6 (oldest evidence in the registry) --
-    "nvd_count_cves",
-    "exact_dedup_docs",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q12_priority_buckets",
-    "cube_status_priority_census",
-    # -- last driver row r8 --
-    "nested_exists_returned_items",
-    "doubly_nested_exists",
-    "nested_projection_dotted_path",
-    "count_nested_field",
-    "explode_unnest_roundtrip",
-    "hof_filter_transform_fold",
-    "anti_join_customers_without_orders",
-    "semi_join_customers_with_urgent_orders",
-    "agg_count_scalar",
-    "group_agg_order_stats",
-    "like_filter_parts",
-    "topk_orders_by_price",
-    "distinct_market_segments",
-    "window_top3_customers_per_nation",
-    "window_running_order_total",
-    "set_intersect_custkeys",
-    "set_except_custkeys",
-    "set_union_keys",
-    "quality_filtered_docs",
-    "token_length_histogram",
-    "nvd_severity_summary",
-    "nvd_cpe_product_counts",
-    "decontamination_overlaps",
-    "ivf_topk",
-    "ivf_refined_topk",
-    "salted_join_event_weights",
-    "quantized_cosine_topk",
-    "theta_overlap_users",
-    "pq_adc_recall_topk",
-    "bpe_train_merges",
-    "vocab_growth_curve",
-    "kmeans_lloyd_clusters",
-    "bpe_encode_top_tokens",
-    "chunk_documents_sliding",
-    "textrank_keywords",
-    "gap_fill_daily_counts",
+    # -- round 13 window (VERDICT r12 task 1): the 6 owed names + the
+    # whole r9-era backlog in one rotation. 2 never-driver-checked
+    # (bm25_topk_docs, added late in r12, mirror-green ×3 SFs; and
+    # bm25_multi_query_topk, the r13 parameterized-retrieval add) +
+    # 5 changed-execution-path (the chain consumers whose r11 rows
+    # predate the r12 shared-stage rework: result-identical
+    # projections/joins over memoized relations, each mirror-green
+    # post-rework) + 43 r9-era backlog names = 50 exactly. After this
+    # window, no name's latest driver evidence is older than r10.
+    # Deferral note: NOTHING defers this round — the 44 r10-era, 43
+    # r11-era and 50 r12-era names are all unchanged and inside the
+    # age bar. (r12 header slip fixed per VERDICT: customer_rfm_segments
+    # carries r10 evidence — CORRECTNESS_r10.json — not r9.)
+    # -- never driver-checked --
+    "bm25_topk_docs",
+    "bm25_multi_query_topk",
+    # -- execution path changed in round 12 (shared-stage consumers) --
+    "edit_distance_verified_pairs",
+    "dedup_survivors",
+    "dedup_survivors_by_quality",
+    "dedup_cluster_size_histogram",
+    "semantic_dedup_survivors",
+    # -- last driver row r9 (stalest evidence in the registry) --
+    "asof_last_error_per_click",
+    "bag_intersect_order_dates",
+    "bpe_token_stats",
+    "collocation_pmi_top",
+    "cross_source_contamination_matrix",
+    "deterministic_sample_docs",
+    "doc_length_percentiles_by_lang",
+    "doc_rolling_fingerprint",
+    "json_extract_props",
+    "lang_group_profile",
+    "langid_ngram_pred",
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_thumb",
+    "ngram_jaccard_adjacent",
+    "nvd_assigner_stats",
+    "nvd_av_severity_matrix",
+    "nvd_cwe_counts",
+    "nvd_modification_lag",
+    "nvd_reference_tag_counts",
+    "nvd_v2_v3_score_gap",
+    "nvd_version_bounds",
+    "order_price_percentiles_exact",
+    "order_price_quantiles",
+    "orders_above_customer_avg",
+    "orders_mom_growth",
+    "range_join_clicks_after_error",
+    "regex_normalize_parts",
+    "rollup_orders_by_month",
+    "salted_distinct_users_per_type",
+    "ship_delay_by_month",
+    "simhash_signatures",
+    "sliding_window_hourly_30m",
+    "streaming_click_error_join",
+    "streaming_dedup_keys",
+    "streaming_session_counts",
+    "streaming_sliding_counts",
+    "streaming_tumbling_counts",
+    "text_quality_stats",
+    "train_val_test_split",
+    "tumbling_window_hourly",
+    "unpivot_lineitem_measures",
 ]
 
 def _reorder(registry: dict) -> None:

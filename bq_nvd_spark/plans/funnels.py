@@ -151,13 +151,13 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is what a 100 TB deployment materializes once, and every
     wider window (week, month, all-time) is then a register merge over
     that tiny table — no second scan of the fact data. The driver gate
-    bounds the merged estimate against the exact distinct count at the
-    shared 7% default (sketch_within_bound). NOTE: that default is
-    SIZED for approx_count_distinct at rsd=0.02 (3.5σ); this query uses
-    Datasketches HLL at lgK=12 (~1.6% expected error), where 7% is
-    ~4.4σ — deliberately looser, do NOT re-derive it down to 3.5×1.6%
-    for this query, the shared default exists so the rsd=0.02 twins
-    keep the bound they need. Same accuracy-bound contract as the other
+    bounds the merged estimate against the exact distinct count with an
+    EXPLICIT per-sketch bound: this query uses Datasketches HLL at
+    lgK=12 (~1.6% relative standard error), so the bound is
+    3.5σ × 1.6% = 0.056 — the same sigma level as the rsd=0.02 twins'
+    shared 7% default, which is sized for approx_count_distinct and
+    would be ~4.4σ here (tolerating a near-tripling of this sketch's
+    error before failing). Same accuracy-bound contract as the other
     sketch queries: oracle emits exact + literal TRUE, Spark computes
     the comparison.
     """
@@ -176,9 +176,9 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(merged, "event_type").select(
         "event_type",
         "exact_users",
-        sketch_within_bound(F.col("est"), F.col("exact_users")).alias(
-            "rollup_within_bound"
-        ),
+        sketch_within_bound(
+            F.col("est"), F.col("exact_users"), bound=0.056
+        ).alias("rollup_within_bound"),
     )
 
 

@@ -901,61 +901,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_TERMS = ("hash", "join", "vector", "filter")
 BM25_TOPK = 10
 
-
-@query(
-    "bm25_topk_docs",
-    oracle=f"""
-    WITH docs AS (
-      SELECT doc_id, text,
-             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
-      FROM documents
-    ),
-    stats AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(dl) AS BIGINT) AS total_dl
-      FROM docs
-    ),
-    toks AS (
-      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM docs
-    ),
-    qtoks AS (
-      SELECT doc_id, term FROM toks
-      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
-    ),
-    tf AS (
-      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM qtoks GROUP BY doc_id, term
-    ),
-    df AS (
-      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-      FROM qtoks GROUP BY term
-    ),
-    contrib AS (
-      SELECT tf.doc_id,
-             CAST(FLOOR(
-               (CAST(2 * s.n_docs + 2 AS DOUBLE)
-                  / CAST(2 * df.df + 1 AS DOUBLE))
-               * (CAST(tf.tf AS DOUBLE) * 2.2)
-               / (CAST(tf.tf AS DOUBLE)
-                  + 1.2 * (0.25 + 0.75
-                           * (CAST(d.dl * s.n_docs AS DOUBLE)
-                              / CAST(s.total_dl AS DOUBLE))))
-               * 1000000 + 0.5) AS BIGINT) AS micro
-      FROM tf
-      JOIN df USING (term)
-      JOIN docs d ON d.doc_id = tf.doc_id
-      CROSS JOIN stats s
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
-           CAST(SUM(micro) AS BIGINT) AS bm25_micro
-    FROM contrib
-    GROUP BY doc_id
-    ORDER BY bm25_micro DESC, doc_id
-    LIMIT {BM25_TOPK}
-    """,
+# E4g3 (round 13): the multi-query retrieval surface. One fixed query
+# set relation (query_id, term) scored per-query — the shape a RAG
+# eval harness or a batched retrieval service runs, and the lexical
+# twin of the ANN family's multi-probe queries. The per-(doc, term)
+# BM25 kernel is computed ONCE over the union term set and the tiny
+# query relation is broadcast onto the scored contributions, so adding
+# queries costs a broadcast fan-out, never another corpus scan.
+BM25_QUERY_SET = (
+    ("q_joins", ("hash", "join", "merge")),
+    ("q_streaming", ("stream", "window", "batch")),
+    ("q_retrieval", ("vector", "scan", "dup")),
 )
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+BM25_MQ_TOPK = 5
+_BM25_MQ_TERMS = tuple(sorted({t for _, ts in BM25_QUERY_SET for t in ts}))
+
+
+def _bm25_contrib(
+    spark: SparkSession, sf_dir: str, terms: tuple
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared Okapi BM25 scoring kernel over ``documents``.
+
+    Returns ``(docs, contrib)`` where ``contrib`` is the per-(doc_id,
+    term) integer micro-unit BM25 contribution for every ``term`` —
+    tf/df/length-norm exactly as documented on ``bm25_topk_docs``
+    (rational idf surrogate (2N+2)/(2df+1), micro-quantized before any
+    sum so downstream aggregation is order-independent).
+
+    Scale shape: the explode is filtered to the query terms before any
+    shuffle, df is a |terms|-row broadcast, stats a 1-row broadcast —
+    cost scales with query-term postings, never with vocabulary.
+    """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
@@ -967,7 +943,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qtoks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.col("term").isin(*BM25_TERMS))
+    ).filter(F.col("term").isin(*terms))
     tf = qtoks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
@@ -983,6 +959,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
+            "term",
             F.floor(
                 (
                     (2 * F.col("n_docs") + 2).cast("double")
@@ -1008,6 +985,71 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("micro"),
         )
     )
+    return docs, contrib
+
+
+_BM25_ORACLE_KERNEL = """
+    docs AS (
+      SELECT doc_id, text,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_dl
+      FROM docs
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM docs
+    ),
+    qtoks AS (
+      SELECT doc_id, term FROM toks
+      WHERE term IN ({term_list})
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM qtoks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM qtoks GROUP BY term
+    ),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(FLOOR(
+               (CAST(2 * s.n_docs + 2 AS DOUBLE)
+                  / CAST(2 * df.df + 1 AS DOUBLE))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75
+                           * (CAST(d.dl * s.n_docs AS DOUBLE)
+                              / CAST(s.total_dl AS DOUBLE))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM tf
+      JOIN df USING (term)
+      JOIN docs d ON d.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+"""
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH {_BM25_ORACLE_KERNEL.format(
+        term_list=", ".join(f"'{t}'" for t in BM25_TERMS)
+    )}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           CAST(SUM(micro) AS BIGINT) AS bm25_micro
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, contrib = _bm25_contrib(spark, sf_dir, BM25_TERMS)
     return (
         contrib.groupBy("doc_id")
         .agg(
@@ -1017,6 +1059,75 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
         .limit(BM25_TOPK)
     )
+
+
+@query(
+    "bm25_multi_query_topk",
+    oracle=f"""
+    WITH queryset(query_id, term) AS (
+      VALUES {", ".join(
+          f"('{qid}', '{t}')" for qid, ts in BM25_QUERY_SET for t in ts
+      )}
+    ),
+    {_BM25_ORACLE_KERNEL.format(
+        term_list=", ".join(f"'{t}'" for t in _BM25_MQ_TERMS)
+    )},
+    scored AS (
+      SELECT q.query_id, c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             CAST(SUM(c.micro) AS BIGINT) AS bm25_micro
+      FROM contrib c
+      JOIN queryset q ON q.term = c.term
+      GROUP BY q.query_id, c.doc_id
+    )
+    SELECT query_id, doc_id, n_terms_matched, bm25_micro, rnk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY bm25_micro DESC, doc_id) AS INT) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {BM25_MQ_TOPK}
+    """,
+)
+def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query BM25 top-k over a query-set relation (SURVEY §2.11 E4).
+
+    The retrieval twin of the ANN family's multi-probe queries: the
+    per-(doc, term) kernel runs ONCE over the union term set, then the
+    |queries×terms|-row query relation is broadcast onto the scored
+    contributions, fanned out per query_id, and ranked per query with
+    ``Window.partitionBy(query_id)``. At 100 TB the corpus-side cost is
+    identical to the single-query form (postings of the union term
+    set); each extra query adds one broadcast fan-out row, never a
+    corpus scan, and the window's partition count equals |queries| ×
+    candidate docs — tiny, after the contributions aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    _, contrib = _bm25_contrib(spark, sf_dir, _BM25_MQ_TERMS)
+    qrel = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERY_SET for t in ts],
+        "query_id string, term string",
+    )
+    scored = (
+        contrib.join(F.broadcast(qrel), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("micro").cast("long").alias("bm25_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("doc_id")
+    )
+    return scored.select(
+        "query_id",
+        "doc_id",
+        "n_terms_matched",
+        "bm25_micro",
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") <= BM25_MQ_TOPK)
 
 
 # --------------------------------------------------------------------------

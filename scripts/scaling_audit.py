@@ -30,6 +30,69 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 THRESHOLD = 12.0
 MIN_BIG_SEC = 1.0
+# Round-over-round cold-build drift gate (VERDICT r12 task 2): the
+# chain queries' headline medians are memo-hits that CANNOT move when
+# the build pipeline regresses, and the cross-SF superlinear rule is
+# blind to a regression that is uniform at every SF. This gate closes
+# that class: each sf0.1 cold sample is compared against the previous
+# round's committed record (bench_history/rNN.json, the durable
+# per-round evidence) and flagged when it grew past DRIFT_RATIO with
+# an absolute size worth flagging. 1.5× is deliberately generous —
+# same-code same-day runs on this VM have spanned ±20% (SCALE.md) —
+# so only a real build-pipeline change can trip it.
+DRIFT_RATIO = 1.5
+DRIFT_MIN_SEC = 1.0
+
+
+def _is_num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def cold_drift_flags(
+    current_cold: dict,
+    prior_cold: dict,
+    ratio: float = DRIFT_RATIO,
+    min_sec: float = DRIFT_MIN_SEC,
+) -> list[tuple]:
+    """Pure drift rule, unit-tested against synthetic fixtures.
+
+    Returns ``(name, prior_s, cur_s, cur/prior, flagged)`` rows for
+    every name with a numeric cold sample on BOTH sides (a null
+    sentinel from a flaked cold run, or a builder new this round, is
+    skipped — there is nothing sound to compare). Flag rule: the
+    sample grew more than ``ratio``× AND the current sample exceeds
+    ``min_sec`` (a 0.2s → 0.4s jitter pair must not fail the build).
+    """
+    rows = []
+    for name in sorted(current_cold):
+        cur = current_cold[name]
+        prior = prior_cold.get(name)
+        if not _is_num(cur) or not _is_num(prior) or prior <= 0:
+            continue
+        r = cur / prior
+        rows.append((name, prior, cur, r, r > ratio and cur > min_sec))
+    return rows
+
+
+def latest_history_record(history_dir: str) -> "tuple[str, dict] | None":
+    """The highest-numbered bench_history/rNN.json, parsed, or None."""
+    import re
+
+    try:
+        # strictly rNN.json (zero-padded) — side records like
+        # r11_precheck.json are not round evidence and must not win
+        names = sorted(
+            n for n in os.listdir(history_dir) if re.fullmatch(r"r\d+\.json", n)
+        )
+    except OSError:
+        return None
+    for n in reversed(names):
+        try:
+            with open(os.path.join(history_dir, n)) as fh:
+                return n, json.load(fh)
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 def run_bench(sf_dir: str) -> dict:
@@ -64,7 +127,10 @@ def main() -> int:
     rows = []
     flagged = []
     for name in sorted(big["queries"]):
-        is_cold = name in big_cold and name in small_cold
+        # numeric on BOTH sides — a null sentinel (flaked cold run)
+        # falls back to the memo-hit medians rather than ratioing a
+        # cold pipeline against a memo hit.
+        is_cold = _is_num(big_cold.get(name)) and _is_num(small_cold.get(name))
         t_small = small_cold[name] if is_cold else small["queries"].get(name)
         t_big = big_cold[name] if is_cold else big["queries"][name]
         if t_small is None or t_small <= 0:
@@ -74,6 +140,18 @@ def main() -> int:
         rows.append((name, t_small, t_big, ratio, bad, is_cold))
         if bad:
             flagged.append(name)
+
+    # Round-over-round cold-build drift gate (see DRIFT_RATIO above).
+    prior = latest_history_record(os.path.join(REPO, "bench_history"))
+    drift_rows: list[tuple] = []
+    drift_flagged: list[str] = []
+    prior_label = "none found"
+    if prior is not None:
+        prior_label, prior_payload = prior
+        drift_rows = cold_drift_flags(
+            big_cold, prior_payload.get("queries_cold", {}) or {}
+        )
+        drift_flagged = [r[0] for r in drift_rows if r[4]]
 
     lines = [
         "# Empirical scaling audit (generated by scripts/scaling_audit.py)",
@@ -113,6 +191,29 @@ def main() -> int:
             f"{t_big:.3f} | {ratio:.1f} | "
             f"{'**SUPERLINEAR**' if bad else ''} |"
         )
+    lines += [
+        "",
+        f"### Cold-build drift vs prior round ({prior_label})",
+        "",
+        f"Same-SF (sf0.1) cold-build samples vs the previous round's "
+        f"committed `bench_history` record. Flag rule: grew > "
+        f"{DRIFT_RATIO}× AND current sample > {DRIFT_MIN_SEC}s — the "
+        "cross-SF superlinear rule is blind to build regressions that "
+        "are uniform at every SF; this gate is not. Names with a null "
+        "sentinel (flaked cold run) or no prior sample are skipped.",
+        "",
+        "| query | prior s | now s | ratio | flag |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t_prior, t_cur, r, bad in sorted(
+        drift_rows, key=lambda r: -r[3]
+    ):
+        lines.append(
+            f"| {name} | {t_prior:.3f} | {t_cur:.3f} | {r:.2f} | "
+            f"{'**DRIFT**' if bad else ''} |"
+        )
+    if not drift_rows:
+        lines.append("| _(no comparable cold samples)_ | | | | |")
     # Preserve hand/tool-maintained trailing sections (e.g. the
     # broadcast-hint audit table) — everything from the first "## "
     # heading of the EXISTING file onward survives the rewrite. Fail
@@ -146,8 +247,8 @@ def main() -> int:
         )
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n" + trailer)
-    print(f"wrote SCALING.md; flagged={flagged}")
-    return 1 if flagged else 0
+    print(f"wrote SCALING.md; flagged={flagged}; drift_flagged={drift_flagged}")
+    return 1 if flagged or drift_flagged else 0
 
 
 if __name__ == "__main__":

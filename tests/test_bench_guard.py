@@ -77,3 +77,73 @@ def test_existing_custom_sf_record_is_protected(tmp_path, monkeypatch):
     assert not bench._sidecar_writable(sidecar, {"sf": 0.001, "n_queries": 1})
     monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
     assert bench._sidecar_writable(sidecar, {"sf": 0.001, "n_queries": 1})
+
+
+# ---------------------------------------------------------------------------
+# Cold-build drift gate (scripts/scaling_audit.py, VERDICT r12 task 2):
+# memo-hit medians cannot move when the shared-stage BUILD pipeline
+# regresses, and the cross-SF superlinear rule is blind to a regression
+# that is uniform at every SF. The drift rule compares each round's
+# sf0.1 cold samples against the prior round's committed record and
+# must trip on a deliberately slowed build — verified here on
+# synthetic fixtures, including every skip rule.
+
+
+def _load_scaling_audit():
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "scaling_audit", os.path.join(repo, "scripts", "scaling_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_drift_gate_trips_on_slowed_build():
+    sa = _load_scaling_audit()
+    rows = sa.cold_drift_flags(
+        {"dedup_clusters": 6.0}, {"dedup_clusters": 3.0}
+    )
+    assert rows == [("dedup_clusters", 3.0, 6.0, 2.0, True)]
+
+
+def test_drift_gate_tolerates_vm_band():
+    sa = _load_scaling_audit()
+    # ±20% VM band and even a 1.4x move stay under the 1.5x gate
+    rows = sa.cold_drift_flags({"q": 4.2}, {"q": 3.0})
+    assert [r[4] for r in rows] == [False]
+
+
+def test_drift_gate_min_sec_floor():
+    sa = _load_scaling_audit()
+    # a 0.2s -> 0.6s jitter pair is 3x but under the absolute floor
+    rows = sa.cold_drift_flags({"q": 0.6}, {"q": 0.2})
+    assert [r[4] for r in rows] == [False]
+
+
+def test_drift_gate_skips_incomparable_samples():
+    sa = _load_scaling_audit()
+    rows = sa.cold_drift_flags(
+        {
+            "flaked_now": None,  # null sentinel from a failed cold run
+            "new_builder": 5.0,  # no prior sample
+            "bool_trap": True,  # JSON true must not compare as 1.0
+        },
+        {"flaked_now": 3.0, "flaked_prior": None, "bool_trap": 2.0},
+    )
+    assert rows == []
+
+
+def test_latest_history_record_picks_highest_round(tmp_path):
+    sa = _load_scaling_audit()
+    for name, payload in [
+        ("r11.json", {"queries_cold": {"q": 1.0}}),
+        ("r12.json", {"queries_cold": {"q": 2.0}}),
+    ]:
+        with open(tmp_path / name, "w") as fh:
+            json.dump(payload, fh)
+    name, payload = sa.latest_history_record(str(tmp_path))
+    assert name == "r12.json" and payload["queries_cold"]["q"] == 2.0
+    assert sa.latest_history_record(str(tmp_path / "absent")) is None

@@ -348,3 +348,59 @@ def test_dedup_chain_shares_and_stays_correct(spark, sf_dir):
     release_shared_stages(spark)
     assert warm == cold
     assert cold["dedup_survivors"], "empty survivors at test SF"
+
+
+def test_shared_stage_survives_interleaved_registry_queries(spark, sf_dir):
+    """The driver's REAL session pattern (VERDICT r12 task 4): a chain
+    consumer builds the memo; unrelated registry queries run next —
+    each top-level entry performs the blanket release_stage_checkpoints,
+    and one of them (customer_rfm_segments) additionally pins and
+    releases its own stage checkpoints — then chain consumers must
+    still serve from the memoized relation (same results, no rebuild).
+    Only release_shared_stages may drop the memo, and the post-release
+    rebuild must be green."""
+    from bq_nvd_spark.operators.checkpoint import (
+        release_shared_stages,
+        shared_stage_count,
+    )
+    from bq_nvd_spark.plans import QUERIES
+
+    release_shared_stages(spark)
+    first = {
+        tuple(r)
+        for r in QUERIES["jaccard_verified_pairs"](spark, sf_dir).collect()
+    }
+    assert first, "no verified pairs at test SF"
+    built = shared_stage_count(spark)
+    assert built > 0
+
+    # interleave: a plain registry query (blanket release at entry) and
+    # one that stage_checkpoints its own blocks (pin + later release)
+    QUERIES["agg_count_scalar"](spark, sf_dir).count()
+    QUERIES["customer_rfm_segments"](spark, sf_dir).count()
+    QUERIES["agg_count_scalar"](spark, sf_dir).count()
+
+    # the memo survived every blanket release...
+    assert shared_stage_count(spark) == built
+    # ...and both chain consumers serve correct results from it
+    survivors = {
+        tuple(r) for r in QUERIES["dedup_survivors"](spark, sf_dir).collect()
+    }
+    assert survivors, "no survivors at test SF"
+    memo_pass = {
+        tuple(r)
+        for r in QUERIES["jaccard_verified_pairs"](spark, sf_dir).collect()
+    }
+    assert memo_pass == first
+
+    # only the explicit release drops it; the rebuild is green after
+    assert release_shared_stages(spark) >= 1
+    assert shared_stage_count(spark) == 0
+    try:
+        rebuilt = {
+            tuple(r)
+            for r in QUERIES["jaccard_verified_pairs"](spark, sf_dir).collect()
+        }
+        assert rebuilt == first
+    finally:
+        release_shared_stages(spark)
