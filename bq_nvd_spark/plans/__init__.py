@@ -26,6 +26,13 @@ _DRIVER_PRIORITY = [
     # r11-era and 50 r12-era names are all unchanged and inside the
     # age bar. (r12 header slip fixed per VERDICT: customer_rfm_segments
     # carries r10 evidence — CORRECTNESS_r10.json — not r9.)
+    # Added in round 13 BEYOND the full window, owed to the r14 window
+    # as never-driver-checked (each mirror-green ×3 SFs on add):
+    # rrf_fusion_topk (RRF hybrid retrieval over BM25+VSM rankings).
+    # Also changed in r13 but NOT in the window (no slot): hll_daily_rollup
+    # — accuracy gate tightened 7%→5.6% (3.5σ at lgK=12, ADVICE r12);
+    # expected-result-identical (all rows TRUE before and after),
+    # mirror-green ×3 SFs post-change, carries r12 driver evidence.
     # -- never driver-checked --
     "bm25_topk_docs",
     "bm25_multi_query_topk",

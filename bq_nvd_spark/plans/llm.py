@@ -920,13 +920,19 @@ _BM25_MQ_TERMS = tuple(sorted({t for _, ts in BM25_QUERY_SET for t in ts}))
 def _bm25_contrib(
     spark: SparkSession, sf_dir: str, terms: tuple
 ) -> "tuple[DataFrame, DataFrame]":
-    """Shared Okapi BM25 scoring kernel over ``documents``.
+    """Shared lexical-retrieval scoring kernel over ``documents``.
 
-    Returns ``(docs, contrib)`` where ``contrib`` is the per-(doc_id,
-    term) integer micro-unit BM25 contribution for every ``term`` —
-    tf/df/length-norm exactly as documented on ``bm25_topk_docs``
-    (rational idf surrogate (2N+2)/(2df+1), micro-quantized before any
-    sum so downstream aggregation is order-independent).
+    Returns ``(docs, contrib)`` where ``contrib`` carries TWO integer
+    micro-unit per-(doc_id, term) contributions computed in the same
+    pass — ``micro`` (Okapi BM25: tf saturation + length norm, exactly
+    as documented on ``bm25_topk_docs``) and ``micro_vsm`` (a
+    length-normalized vector-space-model weight, idf · tf/dl, the
+    classic no-saturation ranker RRF fusion wants as its second voice).
+    Both use the rational idf surrogate (2N+2)/(2df+1) and are
+    micro-quantized before any sum so downstream aggregation is
+    order-independent. A consumer that selects only one column gets the
+    other pruned by Catalyst — BM25-only queries pay nothing for the
+    extra projection.
 
     Scale shape: the explode is filtered to the query terms before any
     shuffle, df is a |terms|-row broadcast, stats a 1-row broadcast —
@@ -983,6 +989,17 @@ def _bm25_contrib(
             )
             .cast("long")
             .alias("micro"),
+            F.floor(
+                (
+                    (2 * F.col("n_docs") + 2).cast("double")
+                    / (2 * F.col("df") + 1).cast("double")
+                )
+                * (tfd / F.col("dl").cast("double"))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("micro_vsm"),
         )
     )
     return docs, contrib
@@ -1024,7 +1041,12 @@ _BM25_ORACLE_KERNEL = """
                   + 1.2 * (0.25 + 0.75
                            * (CAST(d.dl * s.n_docs AS DOUBLE)
                               / CAST(s.total_dl AS DOUBLE))))
-               * 1000000 + 0.5) AS BIGINT) AS micro
+               * 1000000 + 0.5) AS BIGINT) AS micro,
+             CAST(FLOOR(
+               (CAST(2 * s.n_docs + 2 AS DOUBLE)
+                  / CAST(2 * df.df + 1 AS DOUBLE))
+               * (CAST(tf.tf AS DOUBLE) / CAST(d.dl AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS micro_vsm
       FROM tf
       JOIN df USING (term)
       JOIN docs d ON d.doc_id = tf.doc_id
@@ -1128,6 +1150,130 @@ def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_micro",
         F.row_number().over(w).alias("rnk"),
     ).filter(F.col("rnk") <= BM25_MQ_TOPK)
+
+
+# --------------------------------------------------------------------------
+# E4g4 (round 13): reciprocal-rank-fusion hybrid retrieval. Production
+# retrieval is rarely one ranker: a curation/RAG stack fuses a
+# saturating lexical ranker (BM25) with at least one other voice and
+# takes the RRF consensus — robust to either ranker's score scale
+# because it consumes only RANKS. Here the second voice is the classic
+# length-normalized vector-space model (idf · tf/dl, no saturation),
+# computed in the SAME corpus pass as BM25 (one extra projection on the
+# shared kernel — no second scan). RRF contribution per ranker is the
+# EXACT integer 10^9 div (K + rank) (floor division in both engines),
+# so the fused score is hash-exact cross-engine with no float sums.
+# Docs outside a ranker's top-RRF_POOL get no contribution from it —
+# standard RRF over truncated lists; a doc in neither pool is dropped.
+RRF_K = 60  # the canonical RRF damping constant (Cormack et al.)
+RRF_POOL = 20  # per-ranker candidate list depth
+RRF_TOPK = 10
+
+
+@query(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH queryset(query_id, term) AS (
+      VALUES {", ".join(
+          f"('{qid}', '{t}')" for qid, ts in BM25_QUERY_SET for t in ts
+      )}
+    ),
+    {_BM25_ORACLE_KERNEL.format(
+        term_list=", ".join(f"'{t}'" for t in _BM25_MQ_TERMS)
+    )},
+    scored AS (
+      SELECT q.query_id, c.doc_id,
+             CAST(SUM(c.micro) AS BIGINT) AS bm25_micro,
+             CAST(SUM(c.micro_vsm) AS BIGINT) AS vsm_micro
+      FROM contrib c
+      JOIN queryset q ON q.term = c.term
+      GROUP BY q.query_id, c.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY bm25_micro DESC, doc_id) AS r_bm25,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY vsm_micro DESC, doc_id) AS r_vsm
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(
+               (CASE WHEN r_bm25 <= {RRF_POOL}
+                     THEN 1000000000 // ({RRF_K} + r_bm25) ELSE 0 END)
+             + (CASE WHEN r_vsm <= {RRF_POOL}
+                     THEN 1000000000 // ({RRF_K} + r_vsm) ELSE 0 END)
+             AS BIGINT) AS rrf_micro
+      FROM ranked
+    )
+    SELECT query_id, doc_id, rrf_micro, rnk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_micro DESC, doc_id) AS INT) AS rnk
+      FROM fused
+      WHERE rrf_micro > 0
+    )
+    WHERE rnk <= {RRF_TOPK}
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF consensus of BM25 and VSM rankings.
+
+    Scale shape: identical corpus cost to ``bm25_multi_query_topk`` —
+    the shared kernel computes both per-(doc, term) contributions in
+    one filtered-postings pass, both rankers aggregate in ONE shuffle
+    (same (query_id, doc_id) keys), and the two rank windows + fusion
+    run over the small scored relation (|queries| × matched docs). At
+    100 TB adding a third ranker is one more projection column and one
+    more window over that small relation, never another corpus scan.
+    """
+    from pyspark.sql.window import Window
+
+    _, contrib = _bm25_contrib(spark, sf_dir, _BM25_MQ_TERMS)
+    qrel = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERY_SET for t in ts],
+        "query_id string, term string",
+    )
+    scored = (
+        contrib.join(F.broadcast(qrel), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("micro").cast("long").alias("bm25_micro"),
+            F.sum("micro_vsm").cast("long").alias("vsm_micro"),
+        )
+    )
+    w_bm25 = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("doc_id")
+    )
+    w_vsm = Window.partitionBy("query_id").orderBy(
+        F.desc("vsm_micro"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w_bm25).alias("r_bm25"),
+        F.row_number().over(w_vsm).alias("r_vsm"),
+    )
+    # exact integer floor division — hash-identical in both engines
+    rrf_of = lambda r: F.when(  # noqa: E731 — tiny local expression
+        F.col(r) <= RRF_POOL,
+        F.expr(f"div(CAST(1000000000 AS BIGINT), CAST({RRF_K} + {r} AS BIGINT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    fused = ranked.select(
+        "query_id",
+        "doc_id",
+        (rrf_of("r_bm25") + rrf_of("r_vsm")).cast("long").alias("rrf_micro"),
+    ).filter(F.col("rrf_micro") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "rrf_micro",
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") <= RRF_TOPK)
 
 
 # --------------------------------------------------------------------------
