@@ -91,7 +91,9 @@ def main() -> None:
     names = [n for n in sorted(QUERIES) if not only or n in only]
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    cold: dict[str, float] = {}
+    # None marks a flaked cold run (fault-isolated sentinel) — part of
+    # the recorded queries_cold contract, consumers must _is_num-guard.
+    cold: "dict[str, float | None]" = {}
     total = 0.0
     for name in names:
         samples: list[float] = []

@@ -164,9 +164,13 @@ def _local_checkpoint_with_ids(
     exact = [r for r in after if r == target_id]
     ids = exact or [r for r in after if r not in before]
     # Under _TRACKED_LOCK: shared_stage supports concurrent racing
-    # builds, so two threads can insert here while GC-driven weakref
-    # callbacks mutate the dict — WeakKeyDictionary is not thread-safe
-    # under concurrent insert/pop.
+    # builds, so two threads insert/pop this dict concurrently; the
+    # lock serializes THOSE explicit mutations. Note the limit: the
+    # GC-driven weakref removal callbacks inside WeakKeyDictionary do
+    # NOT take this lock — their safety rests on CPython's per-bytecode
+    # atomicity for single dict ops (GIL), not on the lock. On a
+    # free-threaded build this would need the dict's removal path to
+    # share the lock too.
     with _TRACKED_LOCK:
         _FRAME_IDS[out] = list(ids)
     return out, ids, bool(exact)

@@ -917,12 +917,10 @@ BM25_MQ_TOPK = 5
 _BM25_MQ_TERMS = tuple(sorted({t for _, ts in BM25_QUERY_SET for t in ts}))
 
 
-def _bm25_contrib(
-    spark: SparkSession, sf_dir: str, terms: tuple
-) -> "tuple[DataFrame, DataFrame]":
+def _bm25_contrib(spark: SparkSession, sf_dir: str, terms: tuple) -> DataFrame:
     """Shared lexical-retrieval scoring kernel over ``documents``.
 
-    Returns ``(docs, contrib)`` where ``contrib`` carries TWO integer
+    Returns a ``contrib`` relation that carries TWO integer
     micro-unit per-(doc_id, term) contributions computed in the same
     pass — ``micro`` (Okapi BM25: tf saturation + length norm, exactly
     as documented on ``bm25_topk_docs``) and ``micro_vsm`` (a
@@ -1002,7 +1000,28 @@ def _bm25_contrib(
             .alias("micro_vsm"),
         )
     )
-    return docs, contrib
+    return contrib
+
+
+def _bm25_mq_scored(spark: SparkSession, sf_dir: str, *aggs) -> DataFrame:
+    """Per-(query_id, doc_id) aggregation of the shared kernel.
+
+    Broadcasts the (query_id, term) query-set relation onto the
+    contribution kernel (computed once over the union term set) and
+    aggregates with the caller's column list — the one place the
+    query-set fan-out and its join key live, shared by every
+    multi-query retrieval consumer.
+    """
+    contrib = _bm25_contrib(spark, sf_dir, _BM25_MQ_TERMS)
+    qrel = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERY_SET for t in ts],
+        "query_id string, term string",
+    )
+    return (
+        contrib.join(F.broadcast(qrel), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(*aggs)
+    )
 
 
 _BM25_ORACLE_KERNEL = """
@@ -1055,6 +1074,32 @@ _BM25_ORACLE_KERNEL = """
 """
 
 
+def _bm25_mq_oracle_prefix(agg_cols: str) -> str:
+    """Shared multi-query oracle prefix — the SQL twin of
+    ``_bm25_mq_scored``: query-set VALUES CTE + the scoring kernel +
+    a per-(query_id, doc_id) ``scored`` CTE with the caller's
+    aggregate column list. Keeping both engines' query-set fan-out in
+    one template each means a change to BM25_QUERY_SET handling cannot
+    desynchronize the consumers."""
+    values = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in BM25_QUERY_SET for t in ts
+    )
+    kernel = _BM25_ORACLE_KERNEL.format(
+        term_list=", ".join(f"'{t}'" for t in _BM25_MQ_TERMS)
+    )
+    return f"""
+    WITH queryset(query_id, term) AS (
+      VALUES {values}
+    ),
+    {kernel},
+    scored AS (
+      SELECT q.query_id, c.doc_id, {agg_cols}
+      FROM contrib c
+      JOIN queryset q ON q.term = c.term
+      GROUP BY q.query_id, c.doc_id
+    )"""
+
+
 @query(
     "bm25_topk_docs",
     oracle=f"""
@@ -1071,7 +1116,7 @@ _BM25_ORACLE_KERNEL = """
     """,
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, contrib = _bm25_contrib(spark, sf_dir, BM25_TERMS)
+    contrib = _bm25_contrib(spark, sf_dir, BM25_TERMS)
     return (
         contrib.groupBy("doc_id")
         .agg(
@@ -1085,23 +1130,11 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bm25_multi_query_topk",
-    oracle=f"""
-    WITH queryset(query_id, term) AS (
-      VALUES {", ".join(
-          f"('{qid}', '{t}')" for qid, ts in BM25_QUERY_SET for t in ts
-      )}
-    ),
-    {_BM25_ORACLE_KERNEL.format(
-        term_list=", ".join(f"'{t}'" for t in _BM25_MQ_TERMS)
-    )},
-    scored AS (
-      SELECT q.query_id, c.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
-             CAST(SUM(c.micro) AS BIGINT) AS bm25_micro
-      FROM contrib c
-      JOIN queryset q ON q.term = c.term
-      GROUP BY q.query_id, c.doc_id
+    oracle=_bm25_mq_oracle_prefix(
+        "CAST(COUNT(*) AS BIGINT) AS n_terms_matched, "
+        "CAST(SUM(c.micro) AS BIGINT) AS bm25_micro"
     )
+    + f"""
     SELECT query_id, doc_id, n_terms_matched, bm25_micro, rnk
     FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (
@@ -1127,18 +1160,11 @@ def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    _, contrib = _bm25_contrib(spark, sf_dir, _BM25_MQ_TERMS)
-    qrel = spark.createDataFrame(
-        [(qid, t) for qid, ts in BM25_QUERY_SET for t in ts],
-        "query_id string, term string",
-    )
-    scored = (
-        contrib.join(F.broadcast(qrel), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
-            F.sum("micro").cast("long").alias("bm25_micro"),
-        )
+    scored = _bm25_mq_scored(
+        spark,
+        sf_dir,
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.sum("micro").cast("long").alias("bm25_micro"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25_micro"), F.asc("doc_id")
@@ -1172,23 +1198,11 @@ RRF_TOPK = 10
 
 @query(
     "rrf_fusion_topk",
-    oracle=f"""
-    WITH queryset(query_id, term) AS (
-      VALUES {", ".join(
-          f"('{qid}', '{t}')" for qid, ts in BM25_QUERY_SET for t in ts
-      )}
-    ),
-    {_BM25_ORACLE_KERNEL.format(
-        term_list=", ".join(f"'{t}'" for t in _BM25_MQ_TERMS)
-    )},
-    scored AS (
-      SELECT q.query_id, c.doc_id,
-             CAST(SUM(c.micro) AS BIGINT) AS bm25_micro,
-             CAST(SUM(c.micro_vsm) AS BIGINT) AS vsm_micro
-      FROM contrib c
-      JOIN queryset q ON q.term = c.term
-      GROUP BY q.query_id, c.doc_id
-    ),
+    oracle=_bm25_mq_oracle_prefix(
+        "CAST(SUM(c.micro) AS BIGINT) AS bm25_micro, "
+        "CAST(SUM(c.micro_vsm) AS BIGINT) AS vsm_micro"
+    )
+    + f""",
     ranked AS (
       SELECT query_id, doc_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1230,18 +1244,11 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    _, contrib = _bm25_contrib(spark, sf_dir, _BM25_MQ_TERMS)
-    qrel = spark.createDataFrame(
-        [(qid, t) for qid, ts in BM25_QUERY_SET for t in ts],
-        "query_id string, term string",
-    )
-    scored = (
-        contrib.join(F.broadcast(qrel), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum("micro").cast("long").alias("bm25_micro"),
-            F.sum("micro_vsm").cast("long").alias("vsm_micro"),
-        )
+    scored = _bm25_mq_scored(
+        spark,
+        sf_dir,
+        F.sum("micro").cast("long").alias("bm25_micro"),
+        F.sum("micro_vsm").cast("long").alias("vsm_micro"),
     )
     w_bm25 = Window.partitionBy("query_id").orderBy(
         F.desc("bm25_micro"), F.asc("doc_id")

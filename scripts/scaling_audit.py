@@ -79,10 +79,14 @@ def latest_history_record(history_dir: str) -> "tuple[str, dict] | None":
     import re
 
     try:
-        # strictly rNN.json (zero-padded) — side records like
-        # r11_precheck.json are not round evidence and must not win
+        # strictly rNN.json — side records like r11_precheck.json are
+        # not round evidence and must not win. Sort by the round NUMBER,
+        # not the filename: lexicographic order puts r99 after r100 (and
+        # an unpadded r9 after r12), which would baseline the drift gate
+        # on a stale round.
         names = sorted(
-            n for n in os.listdir(history_dir) if re.fullmatch(r"r\d+\.json", n)
+            (n for n in os.listdir(history_dir) if re.fullmatch(r"r\d+\.json", n)),
+            key=lambda n: int(n[1:-5]),
         )
     except OSError:
         return None
@@ -148,10 +152,20 @@ def main() -> int:
     prior_label = "none found"
     if prior is not None:
         prior_label, prior_payload = prior
-        drift_rows = cold_drift_flags(
-            big_cold, prior_payload.get("queries_cold", {}) or {}
-        )
-        drift_flagged = [r[0] for r in drift_rows if r[4]]
+        # Compare only same-SF records: a round record force-written
+        # from a custom-SF run would ratio sf0.1 cold samples against
+        # a different data size — masking regressions (larger prior SF)
+        # or flagging phantoms (smaller prior SF).
+        if prior_payload.get("sf") == big.get("sf"):
+            drift_rows = cold_drift_flags(
+                big_cold, prior_payload.get("queries_cold", {}) or {}
+            )
+            drift_flagged = [r[0] for r in drift_rows if r[4]]
+        else:
+            prior_label = (
+                f"{prior_label} (sf={prior_payload.get('sf')!r} ≠ current "
+                f"{big.get('sf')!r} — drift gate skipped)"
+            )
 
     lines = [
         "# Empirical scaling audit (generated by scripts/scaling_audit.py)",

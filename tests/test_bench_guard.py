@@ -147,3 +147,20 @@ def test_latest_history_record_picks_highest_round(tmp_path):
     name, payload = sa.latest_history_record(str(tmp_path))
     assert name == "r12.json" and payload["queries_cold"]["q"] == 2.0
     assert sa.latest_history_record(str(tmp_path / "absent")) is None
+
+
+def test_latest_history_record_sorts_numerically(tmp_path):
+    sa = _load_scaling_audit()
+    # lexicographic order would pick r99 over r100 (and r9 over r12) —
+    # the drift gate must baseline on the true latest ROUND
+    for name, payload in [
+        ("r9.json", {"round": 9}),
+        ("r12.json", {"round": 12}),
+        ("r99.json", {"round": 99}),
+        ("r100.json", {"round": 100}),
+        ("r11_precheck.json", {"round": -1}),  # side record: never wins
+    ]:
+        with open(tmp_path / name, "w") as fh:
+            json.dump(payload, fh)
+    name, payload = sa.latest_history_record(str(tmp_path))
+    assert name == "r100.json" and payload["round"] == 100
