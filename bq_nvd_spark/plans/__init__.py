@@ -28,7 +28,9 @@ _DRIVER_PRIORITY = [
     # carries r10 evidence — CORRECTNESS_r10.json — not r9.)
     # Added in round 13 BEYOND the full window, owed to the r14 window
     # as never-driver-checked (each mirror-green ×3 SFs on add):
-    # rrf_fusion_topk (RRF hybrid retrieval over BM25+VSM rankings).
+    # rrf_fusion_topk (RRF hybrid retrieval over BM25+VSM rankings),
+    # nb_lang_confusion (Naive Bayes learned-filter classifier, E7),
+    # pii_redaction_census (PII scrub census, E8).
     # Also changed in r13 but NOT in the window (no slot): hll_daily_rollup
     # — accuracy gate tightened 7%→5.6% (3.5σ at lgK=12, ADVICE r12);
     # expected-result-identical (all rows TRUE before and after),
@@ -127,6 +129,7 @@ def finalize_registry() -> None:
 # streaming -> micro_batch -> plans import can call it when streaming
 # registration completes.
 from bq_nvd_spark.plans import (  # noqa: E402,F401
+    classify,
     clustering,
     curation,
     events,
@@ -136,6 +139,7 @@ from bq_nvd_spark.plans import (  # noqa: E402,F401
     nested,
     nvd_ingest,
     pq,
+    privacy,
     python_udfs,
     quantization,
     relational,

@@ -1,0 +1,224 @@
+"""Learned-filter curation: a multinomial Naive Bayes text classifier
+trained, applied, and evaluated entirely inside the engine.
+
+Production curation pipelines (CCNet, LLaMA/RedPajama, FineWeb) gate
+documents with a cheap learned classifier — fastText-style linear
+models over token counts — trained on an in-corpus labeled split. This
+module is that component's engine-native shape: train on the
+deterministic md5-bucket train split (the same split contract as
+``plans/sampling.py``, so membership can never drift across runs or
+re-shards), score the held-out split, and emit the confusion matrix —
+the artifact a curation engineer actually reads before trusting the
+filter.
+
+Exactness contract: Naive Bayes needs log-probabilities, and floating
+SUM order is engine-dependent, so every log-likelihood and log-prior is
+quantized to INTEGER micro-units (``floor(ln(p) * 1e6 + 0.5)``) before
+any aggregation — per-document scores are exact integer sums, and the
+argmax (ties broken by class name) is hash-identical cross-engine. The
+one float op outside +,*,/ is ``ln`` of an exactly-representable
+rational; both engines' ln agree to <=1 ulp, which is ~1e-10 of a
+micro-unit after scaling — far below the floor boundary.
+
+Scale shape (100 TB): training aggregates shuffle on (class, term) and
+(class) — partial aggregation makes the map side absorb the token
+explosion. The likelihood grid is vocab x classes (vocab-bounded; a
+production run caps it at top-V terms by document frequency, same plan)
+and is BROADCAST to the scorer, so scoring is one token explode + a
+broadcast join + one (doc, class) aggregate: no corpus-sized shuffle
+carries more than one row per (doc, term, class). The argmax window
+partitions by doc_id — maximal key cardinality, never a global sort.
+
+Reference scope: the reference engine (redteam-project/bq-nvd) has no
+learned-classifier surface; this is part of the driver-mandated
+training-data-pipeline extension layer (SURVEY.md section 2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.plans.sampling import _DUCK_BUCKET, TRAIN_END, _spark_bucket
+from bq_nvd_spark.sources.tables import load_table
+
+#: log-prob quantization: integer micro-units make score sums exact.
+NB_MICRO = 1_000_000
+
+
+@query(
+    "nb_lang_confusion",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text, {_DUCK_BUCKET} AS bucket FROM documents
+    ),
+    train AS (SELECT * FROM docs WHERE bucket < {TRAIN_END}),
+    held AS (SELECT * FROM docs WHERE bucket >= {TRAIN_END}),
+    ttr AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM train
+    ),
+    cnt AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ttr GROUP BY lang, term
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT term FROM cnt),
+    vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    ll AS (
+      SELECT t.lang, vb.term,
+             CAST(FLOOR(LN(
+               CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                 / CAST(t.tot + vs.v AS DOUBLE)
+             ) * {NB_MICRO} + 0.5) AS BIGINT) AS ll_micro
+      FROM vocab vb
+      CROSS JOIN tot t
+      CROSS JOIN vs
+      LEFT JOIN cnt c ON c.lang = t.lang AND c.term = vb.term
+    ),
+    nd AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY lang
+    ),
+    ntr AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM nd),
+    prior AS (
+      SELECT lang,
+             CAST(FLOOR(LN(
+               CAST(nd AS DOUBLE) / CAST(ntr.n AS DOUBLE)
+             ) * {NB_MICRO} + 0.5) AS BIGINT) AS prior_micro
+      FROM nd CROSS JOIN ntr
+    ),
+    tte AS (
+      SELECT doc_id, lang AS actual_lang,
+             UNNEST(string_split(text, ' ')) AS term
+      FROM held
+    ),
+    tf AS (
+      SELECT doc_id, actual_lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tte GROUP BY doc_id, actual_lang, term
+    ),
+    part AS (
+      SELECT f.doc_id, f.actual_lang, l.lang AS pred_lang,
+             CAST(SUM(f.tf * l.ll_micro) AS BIGINT) AS s
+      FROM tf f
+      JOIN ll l ON l.term = f.term
+      GROUP BY f.doc_id, f.actual_lang, l.lang
+    ),
+    scores AS (
+      SELECT p0.doc_id, p0.actual_lang, p0.pred_lang,
+             p0.s + pr.prior_micro AS score_micro
+      FROM part p0
+      JOIN prior pr ON pr.lang = p0.pred_lang
+    ),
+    pred AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_micro DESC, pred_lang) AS rn
+      FROM scores
+    )
+    SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY actual_lang, pred_lang
+    """,
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train multinomial NB on the train split, score the held-out
+    split, emit the (actual, predicted) confusion matrix.
+
+    Laplace +1 smoothing over the full train vocabulary; held-out terms
+    outside that vocabulary are dropped (standard multinomial NB — an
+    unseen term carries no class evidence), and a held-out document
+    with NO in-vocab terms is unclassifiable and excluded — identically
+    in both engines, so the exclusion is oracle-checked too.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _spark_bucket().alias("bucket")
+    )
+    train = docs.filter(F.col("bucket") < TRAIN_END)
+    held = docs.filter(F.col("bucket") >= TRAIN_END)
+
+    ttr = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    cnt = ttr.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # tot / vocab / vsize derive from the (class, term) counts — ONE
+    # corpus-sized tokenize+aggregate feeds the whole model; at 100 TB
+    # this is the difference between 1 and 3 token-explode scans.
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    vocab = cnt.select("term").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+
+    # Laplace grid: every (class, vocab term) pair gets a likelihood,
+    # zero-count pairs included. vocab x classes — bounded, broadcast
+    # the class-level relations onto the vocab side.
+    ll = (
+        vocab.crossJoin(F.broadcast(tot))
+        .join(cnt, ["lang", "term"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "lang",
+            "term",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                )
+                * NB_MICRO
+                + 0.5
+            )
+            .cast("long")
+            .alias("ll_micro"),
+        )
+    )
+
+    nd = train.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    ntr = nd.agg(F.sum("nd").cast("long").alias("n"))
+    prior = nd.crossJoin(F.broadcast(ntr)).select(
+        F.col("lang").alias("pred_lang"),
+        F.floor(
+            F.log(F.col("nd").cast("double") / F.col("n").cast("double"))
+            * NB_MICRO
+            + 0.5
+        )
+        .cast("long")
+        .alias("prior_micro"),
+    )
+
+    tf = (
+        held.select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .groupBy("doc_id", "actual_lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # Broadcast the vocab x classes likelihood table onto the held-out
+    # term frequencies: the scorer's only join, corpus never re-shuffled
+    # beyond the (doc, class) aggregate.
+    scores = (
+        tf.join(
+            F.broadcast(ll.withColumnRenamed("lang", "pred_lang")), "term"
+        )
+        .groupBy("doc_id", "actual_lang", "pred_lang")
+        .agg(F.sum(F.col("tf") * F.col("ll_micro")).cast("long").alias("s"))
+        .join(F.broadcast(prior), "pred_lang")
+        .select(
+            "doc_id",
+            "actual_lang",
+            "pred_lang",
+            (F.col("s") + F.col("prior_micro")).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("pred_lang")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
