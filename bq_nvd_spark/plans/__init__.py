@@ -30,7 +30,9 @@ _DRIVER_PRIORITY = [
     # as never-driver-checked (each mirror-green ×3 SFs on add):
     # rrf_fusion_topk (RRF hybrid retrieval over BM25+VSM rankings),
     # nb_lang_confusion (Naive Bayes learned-filter classifier, E7),
-    # pii_redaction_census (PII scrub census, E8).
+    # pii_redaction_census (PII scrub census, E8),
+    # cms_user_freq_accuracy (Count-Min point-frequency sketch under
+    # the accuracy-bound oracle contract).
     # Also changed in r13 but NOT in the window (no slot): hll_daily_rollup
     # — accuracy gate tightened 7%→5.6% (3.5σ at lgK=12, ADVICE r12);
     # expected-result-identical (all rows TRUE before and after),

@@ -376,3 +376,93 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.array_contains(F.col("tok_freqItems"), F.col("tok")).alias("in_sketch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch: the point-frequency member of the sketch family
+# (HLL++ = distinct counts, GK/KLL = quantiles, Theta = set algebra,
+# freqItems = heavy-hitter MEMBERSHIP, CMS = heavy-hitter FREQUENCY).
+# Implemented as pure DataFrame ops rather than an opaque binary: the
+# d x w counter grid is a (row_idx, bucket) aggregate — the sketch
+# state is BOUNDED (d*w cells) no matter how many events stream in,
+# and map-side partial aggregation means the shuffle carries at most
+# tasks x d x w rows at 100 TB. Estimation joins the probe keys
+# against the broadcast grid and takes min over the d rows.
+#
+# Determinism: xxhash64 with fixed per-row salts — for a fixed dataset
+# the sketch, the estimates, and both gate columns are exactly
+# reproducible (no RNG), so driver evidence is stable.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 20
+_CMS_E = 2.718281828459045  # eps = e/width in the classic CMS bound
+
+
+def _cms_rows() -> "F.Column":
+    return F.explode(F.array([F.lit(i) for i in range(CMS_DEPTH)]))
+
+
+def _cms_bucket() -> "F.Column":
+    return F.pmod(
+        F.xxhash64(F.col("user_id"), F.col("row_idx")), F.lit(CMS_WIDTH)
+    )
+
+
+@query(
+    "cms_user_freq_accuracy",
+    oracle=f"""
+    WITH exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, exact_count,
+           TRUE AS overcount_ok, TRUE AS within_bound
+    FROM exact
+    ORDER BY exact_count DESC, user_id
+    LIMIT {CMS_TOPK}
+    """,
+)
+def cms_user_freq_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for the top-K users, gated.
+
+    Same accuracy-bound oracle contract as the HLL/Theta/KLL queries:
+    the oracle emits the exact counts + literal TRUE; Spark computes
+    both CMS guarantees — ``overcount_ok`` (a CMS estimate can never
+    undercount: structural, must ALWAYS hold) and ``within_bound``
+    (est − exact ≤ ceil(e·N/w), the classic Markov bound at depth 4,
+    P[exceed] ≤ e⁻⁴ per point; deterministic here for a fixed dataset,
+    verified at all three SFs). A broken bucket hash, a lost counter,
+    or min-over-rows taken on the wrong key flips a flag and fails the
+    driver's hash gate.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    # d x w counter grid: one explode (xD) into a bounded aggregate
+    cells = (
+        ev.select(_cms_rows().alias("row_idx"), "user_id")
+        .select("row_idx", _cms_bucket().alias("bucket"))
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_count"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    n_tot = exact.agg(F.sum("exact_count").cast("long").alias("n"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("user_id")).limit(
+        CMS_TOPK
+    )
+    est = (
+        top.select("user_id", "exact_count", _cms_rows().alias("row_idx"))
+        .select("user_id", "exact_count", "row_idx", _cms_bucket().alias("bucket"))
+        .join(F.broadcast(cells), ["row_idx", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cell_count").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(n_tot)).select(
+        "user_id",
+        "exact_count",
+        (F.col("est") >= F.col("exact_count")).alias("overcount_ok"),
+        (
+            F.col("est") - F.col("exact_count")
+            <= F.ceil(F.lit(_CMS_E) * F.col("n") / CMS_WIDTH)
+        ).alias("within_bound"),
+    )

@@ -119,3 +119,28 @@ def test_approx_distinct_users_all_null_day_matches_oracle(spark, tmp_path):
     s_norm = rowset(sdf.columns, [tuple(r) for r in sdf.collect()])
     d_norm = rowset(rel.columns, rel.fetchall())
     assert s_norm == d_norm
+
+
+def test_cms_flags_hold_and_selection_is_exact_topk(spark, sf_dir):
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.sketches import CMS_TOPK
+
+    rows = QUERIES["cms_user_freq_accuracy"](spark, sf_dir).collect()
+    assert all(r.overcount_ok for r in rows)  # CMS can never undercount
+    assert all(r.within_bound for r in rows)
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct().count()
+    )
+    assert len(rows) == min(CMS_TOPK, n_users)
+    # selection is the exact top-K: every returned exact_count must be
+    # >= the (K+1)-th user's exact count
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("user_id"))
+        .collect()
+    )
+    if len(exact) > CMS_TOPK:
+        floor_c = exact[CMS_TOPK].c
+        assert all(r.exact_count >= floor_c for r in rows)
