@@ -41,14 +41,21 @@ def test_nb_confusion_accounts_for_every_classifiable_doc(spark, sf_dir):
     assert {r.pred_lang for r in rows} <= train_langs
 
 
-def test_nb_beats_chance_on_synthetic_langs(spark, sf_dir):
+def test_nb_beats_majority_baseline_on_synthetic_langs(spark, sf_dir):
     # The synthetic generator gives each lang a distinct token mix, so
-    # a working NB must put more mass on the diagonal than chance (1/5
-    # classes). A broken scorer (e.g. argmax over garbage) fails this.
+    # a working NB must beat the MAJORITY-CLASS baseline, not just 1/5
+    # chance — a prior-collapsed scorer (constant likelihoods) predicts
+    # the majority class everywhere and sits exactly at that baseline,
+    # so this catches a broken Laplace grid, not only argmax garbage.
+    # Data-deterministic: sf0.001 is 38 vs 36 (thin but fixed); larger
+    # SFs separate widely (near-diagonal confusion at sf0.1).
     rows = QUERIES["nb_lang_confusion"](spark, sf_dir).collect()
-    total = sum(r.n_docs for r in rows)
     diag = sum(r.n_docs for r in rows if r.actual_lang == r.pred_lang)
-    assert diag / total > 0.2, f"accuracy {diag}/{total} is at/below chance"
+    by_actual: dict[str, int] = {}
+    for r in rows:
+        by_actual[r.actual_lang] = by_actual.get(r.actual_lang, 0) + r.n_docs
+    majority = max(by_actual.values())
+    assert diag > majority, f"diag {diag} <= majority baseline {majority}"
 
 
 def test_pii_census_counts_match_injection_arithmetic(spark, sf_dir):
@@ -84,10 +91,14 @@ def test_redact_kernel_on_adversarial_literals(spark):
     out = [r.r for r in df.collect()]
     assert out[0] == "[EMAIL] and [EMAIL] twice"
     assert out[1] == "call [PHONE] then [PHONE]"
-    # 192.168.* is out of scope for the 10.0.* pattern; "10.0.300x"
-    # still matches its first 3 digits via {1,3} — a documented
-    # property of bounded-quantifier IP regexes, identical cross-engine
-    assert out[2].startswith("host [IP], not 192.168.1.1")
+    # 192.168.* is out of scope for the 10.0.* pattern, and
+    # "10.0.300x" does NOT match at all: the pattern requires a fourth
+    # dot-separated octet after "300". Pin the full string so a regex
+    # change that alters either edge behavior fails loudly.
+    assert out[2] == "host [IP], not 192.168.1.1 or 10.0.300x"
     assert out[3] == "no pii at all"
-    for pat in (PII_EMAIL, PII_PHONE):
-        assert not any("@" in r or "+1-555" in r for r in out), pat
+    # no scrubbed row may still match ANY of the three PII patterns
+    import re
+
+    for pat in (PII_EMAIL, PII_PHONE, PII_IP):
+        assert not any(re.search(pat, r) for r in out), pat
