@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 from bq_nvd_spark.plans.registry import query
 from bq_nvd_spark.plans.sampling import _DUCK_BUCKET, TRAIN_END, _spark_bucket
 from bq_nvd_spark.sources.tables import load_table
@@ -141,12 +142,18 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = train.select(
         "lang", F.explode(F.split("text", " ")).alias("term")
     )
-    cnt = ttr.groupBy("lang", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
     # tot / vocab / vsize derive from the (class, term) counts — ONE
-    # corpus-sized tokenize+aggregate feeds the whole model; at 100 TB
-    # this is the difference between 1 and 3 token-explode scans.
+    # corpus-sized tokenize+aggregate feeds the whole model. The
+    # checkpoint makes that literal: cnt is consumed by four branches
+    # (grid spine, left join, class totals, vocab) and Spark's exchange
+    # reuse only collapses some of them, so without it the corpus
+    # explode re-executes per branch; materializing the vocab×classes
+    # relation (tiny by construction) caps the 100 TB scan at one.
+    cnt = stage_checkpoint(
+        ttr.groupBy("lang", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
     tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
     vocab = cnt.select("term").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
