@@ -29,7 +29,8 @@ _DRIVER_PRIORITY = [
     # Added in round 13 BEYOND the full window, owed to the r14 window
     # as never-driver-checked (each mirror-green ×3 SFs on add):
     # rrf_fusion_topk (RRF hybrid retrieval over BM25+VSM rankings),
-    # nb_lang_confusion (Naive Bayes learned-filter classifier, E11),
+    # nb_lang_confusion + nb_confidence_filter (Naive Bayes learned-
+    # filter classifier: confusion matrix + margin-gated filter, E11),
     # pii_redaction_census (PII scrub census, E12),
     # cms_user_freq_accuracy (Count-Min point-frequency sketch under
     # the accuracy-bound oracle contract).

@@ -4,34 +4,38 @@ trained, applied, and evaluated entirely inside the engine.
 Production curation pipelines (CCNet, LLaMA/RedPajama, FineWeb) gate
 documents with a cheap learned classifier — fastText-style linear
 models over token counts — trained on an in-corpus labeled split. This
-module is that component's engine-native shape: train on the
-deterministic md5-bucket train split (the same split contract as
-``plans/sampling.py``, so membership can never drift across runs or
-re-shards), score the held-out split, and emit the confusion matrix —
-the artifact a curation engineer actually reads before trusting the
-filter.
+module is that component's engine-native shape, as two registered
+queries over one shared scoring kernel:
+
+- ``nb_lang_confusion`` — the EVALUATION artifact: score the held-out
+  split, emit the (actual, predicted) confusion matrix a curation
+  engineer reads before trusting the filter.
+- ``nb_confidence_filter`` — the FILTER act itself: gate held-out
+  documents on the classifier's decision margin (top-1 minus top-2
+  posterior, in exact micro-units) and report the kept/dropped census
+  per actual class — the artifact that says how much corpus a given
+  confidence threshold costs.
 
 Exactness contract: Naive Bayes needs log-probabilities, and floating
 SUM order is engine-dependent, so every log-likelihood and log-prior is
 quantized to INTEGER micro-units (``floor(ln(p) * 1e6 + 0.5)``) before
 any aggregation — per-document scores are exact integer sums, and the
-argmax (ties broken by class name) is hash-identical cross-engine. The
-one float op outside +,*,/ is ``ln`` of an exactly-representable
-rational; both engines' ln agree to <=1 ulp, which is ~1e-10 of a
-micro-unit after scaling — far below the floor boundary.
+argmax/margin (ties broken by class name) are hash-identical
+cross-engine. The one float op outside +,*,/ is ``ln`` of an
+exactly-representable rational; both engines' ln agree to <=1 ulp,
+which is ~1e-10 of a micro-unit after scaling — far below the floor
+boundary.
 
-Scale shape (100 TB): training aggregates shuffle on (class, term) and
-(class) — partial aggregation makes the map side absorb the token
-explosion. The likelihood grid is vocab x classes (vocab-bounded; a
-production run caps it at top-V terms by document frequency, same plan)
-and is BROADCAST to the scorer, so scoring is one token explode + a
-broadcast join + one (doc, class) aggregate: no corpus-sized shuffle
-carries more than one row per (doc, term, class). The argmax window
-partitions by doc_id — maximal key cardinality, never a global sort.
+Scale shape (100 TB): training is ONE corpus tokenize + (class, term)
+aggregate (checkpointed — see ``_nb_scores``); the vocab x classes
+likelihood grid is BROADCAST to the scorer, so scoring is one held-out
+token explode + a broadcast join + one (doc, class) aggregate. The
+argmax/margin window partitions by doc_id — maximal key cardinality,
+never a global sort.
 
 Reference scope: the reference engine (redteam-project/bq-nvd) has no
 learned-classifier surface; this is part of the driver-mandated
-training-data-pipeline extension layer (SURVEY.md section 2.11).
+training-data-pipeline extension layer (SURVEY.md section 2.11, E11).
 """
 
 from __future__ import annotations
@@ -46,11 +50,15 @@ from bq_nvd_spark.sources.tables import load_table
 
 #: log-prob quantization: integer micro-units make score sums exact.
 NB_MICRO = 1_000_000
+#: decision-margin gate for the confidence filter, in micro-units
+#: (0.75 nats between the top-1 and top-2 posterior).
+NB_MARGIN_MICRO = 750_000
 
-
-@query(
-    "nb_lang_confusion",
-    oracle=f"""
+# Shared oracle prefix: everything through the ranked per-(doc, class)
+# scores. The SQL twin of ``_nb_scores`` — keeping both engines' kernel
+# in one template each means a model change cannot desynchronize the
+# two consumers (same discipline as the BM25 multi-query prefix).
+_NB_ORACLE_PREFIX = f"""
     WITH docs AS (
       SELECT doc_id, lang, text, {_DUCK_BUCKET} AS bucket FROM documents
     ),
@@ -117,15 +125,13 @@ NB_MICRO = 1_000_000
                PARTITION BY doc_id
                ORDER BY score_micro DESC, pred_lang) AS rn
       FROM scores
-    )
-    SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM pred WHERE rn = 1
-    GROUP BY actual_lang, pred_lang
-    """,
-)
-def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train multinomial NB on the train split, score the held-out
-    split, emit the (actual, predicted) confusion matrix.
+    )"""
+
+
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared NB kernel: train on the md5-bucket train split, score the
+    held-out split; returns ranked per-(doc, class) integer scores
+    ``(doc_id, actual_lang, pred_lang, score_micro, rn)``.
 
     Laplace +1 smoothing over the full train vocabulary; held-out terms
     outside that vocabulary are dropped (standard multinomial NB — an
@@ -223,9 +229,77 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_micro"), F.asc("pred_lang")
     )
+    return scores.withColumn("rn", F.row_number().over(w))
+
+
+@query(
+    "nb_lang_confusion",
+    oracle=_NB_ORACLE_PREFIX
+    + """
+    SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY actual_lang, pred_lang
+    """,
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation artifact: (actual, predicted) confusion matrix
+    over the held-out split. See ``_nb_scores`` for the kernel."""
     return (
-        scores.withColumn("rn", F.row_number().over(w))
+        _nb_scores(spark, sf_dir)
         .filter(F.col("rn") == 1)
         .groupBy("actual_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@query(
+    "nb_confidence_filter",
+    oracle=_NB_ORACLE_PREFIX
+    + f""",
+    margins AS (
+      SELECT doc_id, actual_lang,
+             MAX(CASE WHEN rn = 1 THEN score_micro END)
+               - COALESCE(MAX(CASE WHEN rn = 2 THEN score_micro END),
+                          MAX(CASE WHEN rn = 1 THEN score_micro END)
+                            - {NB_MARGIN_MICRO})
+               AS margin_micro
+      FROM pred WHERE rn <= 2
+      GROUP BY doc_id, actual_lang
+    )
+    SELECT actual_lang,
+           CAST(SUM(CASE WHEN margin_micro >= {NB_MARGIN_MICRO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN margin_micro >= {NB_MARGIN_MICRO}
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM margins
+    GROUP BY actual_lang
+    """,
+)
+def nb_confidence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter act: gate held-out docs on the classifier's decision
+    margin (top-1 − top-2 posterior, exact micro-units) and census
+    kept/dropped per actual class — how much corpus a confidence
+    threshold costs, per class.
+
+    A single-class degenerate run (no rn=2 row) keeps the doc: with no
+    competitor the decision is unambiguous, encoded identically in the
+    oracle via the COALESCE default. The margin pivot runs over the
+    ≤ 2·|held| ranked rows the shared kernel already produced — no new
+    corpus-sized work beyond ``_nb_scores``.
+    """
+    ranked = _nb_scores(spark, sf_dir).filter(F.col("rn") <= 2)
+    margins = ranked.groupBy("doc_id", "actual_lang").agg(
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("score_micro")))
+            - F.coalesce(
+                F.max(F.when(F.col("rn") == 2, F.col("score_micro"))),
+                F.max(F.when(F.col("rn") == 1, F.col("score_micro")))
+                - F.lit(NB_MARGIN_MICRO),
+            )
+        ).alias("margin_micro")
+    )
+    keep = F.col("margin_micro") >= NB_MARGIN_MICRO
+    return margins.groupBy("actual_lang").agg(
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+        F.sum((~keep).cast("long")).cast("long").alias("n_dropped"),
     )

@@ -102,3 +102,18 @@ def test_redact_kernel_on_adversarial_literals(spark):
 
     for pat in (PII_EMAIL, PII_PHONE, PII_IP):
         assert not any(re.search(pat, r) for r in out), pat
+
+
+def test_nb_filter_accounts_and_agrees_with_confusion(spark, sf_dir):
+    filt = QUERIES["nb_confidence_filter"](spark, sf_dir).collect()
+    conf = QUERIES["nb_lang_confusion"](spark, sf_dir).collect()
+    # same population: kept+dropped per class == confusion row count
+    conf_by_actual: dict[str, int] = {}
+    for r in conf:
+        conf_by_actual[r.actual_lang] = (
+            conf_by_actual.get(r.actual_lang, 0) + r.n_docs
+        )
+    assert {r.actual_lang: r.n_kept + r.n_dropped for r in filt} == conf_by_actual
+    # the gate is non-trivial at every SF: both sides non-empty
+    assert sum(r.n_kept for r in filt) > 0
+    assert sum(r.n_dropped for r in filt) > 0
