@@ -31,7 +31,8 @@ _DRIVER_PRIORITY = [
     # rrf_fusion_topk (RRF hybrid retrieval over BM25+VSM rankings),
     # nb_lang_confusion + nb_confidence_filter (Naive Bayes learned-
     # filter classifier: confusion matrix + margin-gated filter, E11),
-    # pii_redaction_census (PII scrub census, E12),
+    # pii_redaction_census + streaming_pii_scrub (PII scrub census
+    # and its scrub-on-ingest streaming twin, E12),
     # cms_user_freq_accuracy (Count-Min point-frequency sketch under
     # the accuracy-bound oracle contract).
     # Also changed in r13 but NOT in the window (no slot): hll_daily_rollup

@@ -85,9 +85,10 @@ def redact(col: "F.Column") -> "F.Column":
     return F.regexp_replace(out, PII_IP, "[IP]")
 
 
-@query(
-    "pii_redaction_census",
-    oracle=f"""
+#: Shared census oracle — also the oracle of the streaming twin
+#: (``streaming/micro_batch.py::streaming_pii_scrub``): the scrub is
+#: stateless, so the streamed AvailableNow census equals the batch SQL.
+PII_CENSUS_ORACLE = f"""
     WITH probe AS (
       SELECT source, ({_DUCK_PROBE}) AS p FROM documents
     ),
@@ -114,16 +115,16 @@ def redact(col: "F.Column") -> "F.Column":
            CAST(SUM(LEN(p) - LEN(r)) AS BIGINT) AS redaction_delta_chars
     FROM scrubbed
     GROUP BY source
-    """,
-)
-def pii_redaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source PII census: detected counts by type, the scrubbed
-    text's residual match count (must be 0 — oracle-checked), and the
-    net character delta of redaction."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", _spark_probe().alias("p")
-    )
-    scrubbed = docs.select("source", "p", redact(F.col("p")).alias("r"))
+    """
+
+
+def scrub_census(docs: DataFrame) -> DataFrame:
+    """The full scrub + census kernel over a (source, text, doc_id)
+    relation — batch or streaming (the expressions are stateless
+    projections; only the final per-source aggregate carries state, so
+    the streaming twin reuses this verbatim)."""
+    probe = docs.select("source", _spark_probe().alias("p"))
+    scrubbed = probe.select("source", "p", redact(F.col("p")).alias("r"))
     n = lambda c, pat: F.regexp_count(F.col(c), F.lit(pat))  # noqa: E731
     return scrubbed.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -139,3 +140,11 @@ def pii_redaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("redaction_delta_chars"),
     )
+
+
+@query("pii_redaction_census", oracle=PII_CENSUS_ORACLE)
+def pii_redaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII census: detected counts by type, the scrubbed
+    text's residual match count (must be 0 — oracle-checked), and the
+    net character delta of redaction."""
+    return scrub_census(load_table(spark, sf_dir, "documents"))

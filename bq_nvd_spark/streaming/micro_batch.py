@@ -50,6 +50,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from bq_nvd_spark.plans.privacy import PII_CENSUS_ORACLE, scrub_census
 from bq_nvd_spark.plans.registry import query
 
 #: Streaming file sources require an explicit schema (no inference at
@@ -474,4 +475,31 @@ def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_within_bound(
             F.col("approx_users"), F.col("exact_users")
         ).alias("within_bound"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T4 × E12: the PII scrub as a stream. Privacy redaction is the
+# curation stage most naturally run ON INGEST — scrub documents as they
+# land, before anything else persists them — and because the kernel is
+# a stateless per-row projection (plans/privacy.py::scrub_census), the
+# streaming form reuses it VERBATIM: only the final per-source census
+# aggregate carries state (|sources| rows, complete mode). AvailableNow
+# drains the landed files in bounded micro-batches; at 100 TB a
+# steady-state activation scrubs the delta, never the lake, and the
+# stateless scrub stays inside whole-stage codegen per batch. The
+# oracle is the batch census SQL — stateless kernel + deterministic
+# fixture means the streamed result must equal it exactly.
+@query("streaming_pii_scrub", oracle=PII_CENSUS_ORACLE)
+def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(batch_schema)
+        .parquet(f"{sf_dir}/documents.parquet*")
+    )
+    return run_available_now(
+        scrub_census(docs),
+        output_mode="complete",
+        name_prefix="stream_pii",
+        state_partitions=8,
     )
