@@ -133,6 +133,25 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out split; returns ranked per-(doc, class) integer scores
     ``(doc_id, actual_lang, pred_lang, score_micro, rn)``.
 
+    Memoized per (application, sf_dir) via ``shared_stage`` — both E11
+    consumers (confusion matrix, confidence filter) read the same
+    materialized relation, so a session pass trains the model and
+    scores the held-out split ONCE (the same N-consumers-of-one-
+    expensive-stage shape as the dedup chain; at 100 TB the second
+    full-lake training scan disappears).
+    """
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("nb_scores", sf_dir),
+        lambda: _build_nb_scores(spark, sf_dir),
+    )
+
+
+def _build_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kernel's build pipeline (see ``_nb_scores`` for the memo).
+
     Laplace +1 smoothing over the full train vocabulary; held-out terms
     outside that vocabulary are dropped (standard multinomial NB — an
     unseen term carries no class evidence), and a held-out document
@@ -258,18 +277,17 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f""",
     margins AS (
       SELECT doc_id, actual_lang,
-             MAX(CASE WHEN rn = 1 THEN score_micro END)
-               - COALESCE(MAX(CASE WHEN rn = 2 THEN score_micro END),
-                          MAX(CASE WHEN rn = 1 THEN score_micro END)
-                            - {NB_MARGIN_MICRO})
-               AS margin_micro
+             MAX(CASE WHEN rn = 1 THEN score_micro END) AS s1,
+             MAX(CASE WHEN rn = 2 THEN score_micro END) AS s2
       FROM pred WHERE rn <= 2
       GROUP BY doc_id, actual_lang
     )
     SELECT actual_lang,
-           CAST(SUM(CASE WHEN margin_micro >= {NB_MARGIN_MICRO}
+           CAST(SUM(CASE WHEN s2 IS NULL
+                           OR s1 - s2 >= {NB_MARGIN_MICRO}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN margin_micro >= {NB_MARGIN_MICRO}
+           CAST(SUM(CASE WHEN s2 IS NULL
+                           OR s1 - s2 >= {NB_MARGIN_MICRO}
                          THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
     FROM margins
     GROUP BY actual_lang
@@ -281,24 +299,22 @@ def nb_confidence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept/dropped per actual class — how much corpus a confidence
     threshold costs, per class.
 
-    A single-class degenerate run (no rn=2 row) keeps the doc: with no
-    competitor the decision is unambiguous, encoded identically in the
-    oracle via the COALESCE default. The margin pivot runs over the
-    ≤ 2·|held| ranked rows the shared kernel already produced — no new
-    corpus-sized work beyond ``_nb_scores``.
+    A single-class degenerate run (no rn=2 row, s2 null) keeps the doc
+    outright: with no competitor the decision is unambiguous — stated
+    directly as ``s2 IS NULL OR margin >= threshold`` in both engines,
+    so the semantics survive any future change to the gate comparator
+    or threshold. The margin pivot runs over the ≤ 2·|held| ranked rows
+    the shared kernel already produced — no new corpus-sized work
+    beyond ``_nb_scores``.
     """
     ranked = _nb_scores(spark, sf_dir).filter(F.col("rn") <= 2)
     margins = ranked.groupBy("doc_id", "actual_lang").agg(
-        (
-            F.max(F.when(F.col("rn") == 1, F.col("score_micro")))
-            - F.coalesce(
-                F.max(F.when(F.col("rn") == 2, F.col("score_micro"))),
-                F.max(F.when(F.col("rn") == 1, F.col("score_micro")))
-                - F.lit(NB_MARGIN_MICRO),
-            )
-        ).alias("margin_micro")
+        F.max(F.when(F.col("rn") == 1, F.col("score_micro"))).alias("s1"),
+        F.max(F.when(F.col("rn") == 2, F.col("score_micro"))).alias("s2"),
     )
-    keep = F.col("margin_micro") >= NB_MARGIN_MICRO
+    keep = F.col("s2").isNull() | (
+        F.col("s1") - F.col("s2") >= NB_MARGIN_MICRO
+    )
     return margins.groupBy("actual_lang").agg(
         F.sum(keep.cast("long")).cast("long").alias("n_kept"),
         F.sum((~keep).cast("long")).cast("long").alias("n_dropped"),

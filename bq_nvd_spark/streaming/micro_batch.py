@@ -74,23 +74,29 @@ EVENTS_STREAM_SCHEMA = StructType(
 _SINK_IDS = itertools.count()
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet, ts as a true timestamp.
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Footer-schema file-source stream over one store table.
 
     The stream schema is the batch reader's footer-derived schema (one
-    driver-side footer read at plan time — no data scan), so the stream
-    and its batch twin always agree on how ``ts`` arrives; the
-    nanos→timestamp repair applies only when the footer says long.
+    driver-side footer read at plan time — no data scan), so a stream
+    and its batch twin always agree on arrival types. The file source
+    derives basePath from the path and requires a directory; the store
+    lays tables out as single files, so glob the table file (a glob
+    makes the source anchor basePath at ``sf_dir``).
     """
-    # The file source derives basePath from the path and requires a
-    # directory; the store lays tables out as single files, so glob the
-    # events file (a glob makes the source anchor basePath at sf_dir).
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
+    batch_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    return (
         spark.readStream.schema(batch_schema)
-        .parquet(f"{sf_dir}/events.parquet*")
+        .parquet(f"{sf_dir}/{table}.parquet*")
     )
-    if isinstance(batch_schema["ts"].dataType, LongType):
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet, ts as a true timestamp
+    (the nanos→timestamp repair applies only when the footer says long).
+    """
+    raw = stream_table(spark, sf_dir, "events")
+    if isinstance(raw.schema["ts"].dataType, LongType):
         micros = F.expr("if(ts >= 0, ts div 1000, (ts - 999) div 1000)")
         raw = raw.withColumn("ts", F.timestamp_micros(micros))
     else:
@@ -492,13 +498,8 @@ def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixture means the streamed result must equal it exactly.
 @query("streaming_pii_scrub", oracle=PII_CENSUS_ORACLE)
 def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    docs = (
-        spark.readStream.schema(batch_schema)
-        .parquet(f"{sf_dir}/documents.parquet*")
-    )
     return run_available_now(
-        scrub_census(docs),
+        scrub_census(stream_table(spark, sf_dir, "documents")),
         output_mode="complete",
         name_prefix="stream_pii",
         state_partitions=8,
