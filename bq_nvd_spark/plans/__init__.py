@@ -31,6 +31,7 @@ _DRIVER_PRIORITY = [
     # rrf_fusion_topk (RRF hybrid retrieval over BM25+VSM rankings),
     # nb_lang_confusion + nb_confidence_filter (Naive Bayes learned-
     # filter classifier: confusion matrix + margin-gated filter, E11),
+    # nb_kfold_accuracy (one-pass complement-count k-fold CV, E11),
     # pii_redaction_census + streaming_pii_scrub (PII scrub census
     # and its scrub-on-ingest streaming twin, E12),
     # cms_user_freq_accuracy (Count-Min point-frequency sketch under

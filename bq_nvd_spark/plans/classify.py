@@ -319,3 +319,288 @@ def nb_confidence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(keep.cast("long")).cast("long").alias("n_kept"),
         F.sum((~keep).cast("long")).cast("long").alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# E11c: one-pass k-fold cross-validation. The honest way to report a
+# learned filter's quality is CV, and the naive form re-trains k times
+# — k full corpus scans. The complement identity removes them: train
+# counts for fold f are (global counts) − (fold f's counts), so ONE
+# per-(doc, fold, class, term) tokenize feeds every fold's model, and
+# the fold dimension rides along as a 5-row broadcast. Per-fold vocab,
+# totals, and priors all derive from the same relation; classes with
+# zero training docs for a fold are excluded (ln(0) guard — DuckDB
+# errors on it, Spark yields null; neither is a model).
+NB_FOLDS = 5
+
+
+@query(
+    "nb_kfold_accuracy",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text,
+             ({_DUCK_BUCKET}) % {NB_FOLDS} AS fold
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, fold, lang AS actual_lang, term,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, fold, lang,
+               UNNEST(string_split(text, ' ')) AS term
+        FROM docs
+      )
+      GROUP BY doc_id, fold, actual_lang, term
+    ),
+    cnt_ft AS (
+      SELECT fold, actual_lang AS lang, term,
+             CAST(SUM(tf) AS BIGINT) AS c_ft
+      FROM tf GROUP BY fold, lang, term
+    ),
+    cnt_t AS (
+      SELECT lang, term, CAST(SUM(c_ft) AS BIGINT) AS c_all
+      FROM cnt_ft GROUP BY lang, term
+    ),
+    folds AS (SELECT UNNEST(range({NB_FOLDS})) AS fold),
+    langs AS (SELECT DISTINCT lang FROM cnt_t),
+    terms AS (SELECT DISTINCT term FROM cnt_t),
+    grid0 AS (
+      -- FULL terms x langs x folds spine: a class that never saw a
+      -- term must PAY the Laplace zero-count penalty, not skip it —
+      -- building the grid from observed (lang, term) pairs makes
+      -- ignorant classes outscore informed ones (all log-probs are
+      -- negative; fewer joined rows = higher score)
+      SELECT f.fold, lg.lang, tm.term,
+             COALESCE(t.c_all, 0) - COALESCE(c.c_ft, 0) AS c_tr
+      FROM terms tm
+      CROSS JOIN langs lg
+      CROSS JOIN folds f
+      LEFT JOIN cnt_t t ON t.lang = lg.lang AND t.term = tm.term
+      LEFT JOIN cnt_ft c
+        ON c.fold = f.fold AND c.lang = lg.lang AND c.term = tm.term
+    ),
+    vocab_f AS (
+      SELECT fold, term FROM grid0
+      GROUP BY fold, term HAVING SUM(c_tr) > 0
+    ),
+    vs_f AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS v
+      FROM vocab_f GROUP BY fold
+    ),
+    tot_f AS (
+      SELECT fold, lang, CAST(SUM(c_tr) AS BIGINT) AS tot
+      FROM grid0 GROUP BY fold, lang
+    ),
+    ll AS (
+      SELECT g.fold, g.lang, g.term,
+             CAST(FLOOR(LN(
+               CAST(g.c_tr + 1 AS DOUBLE)
+                 / CAST(t.tot + v.v AS DOUBLE)
+             ) * {NB_MICRO} + 0.5) AS BIGINT) AS ll_micro
+      FROM grid0 g
+      JOIN vocab_f vb ON vb.fold = g.fold AND vb.term = g.term
+      JOIN tot_f t ON t.fold = g.fold AND t.lang = g.lang
+      JOIN vs_f v ON v.fold = g.fold
+    ),
+    nd_f0 AS (
+      SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_fl
+      FROM docs GROUP BY fold, lang
+    ),
+    nd_all AS (
+      SELECT lang, CAST(SUM(n_fl) AS BIGINT) AS n_l
+      FROM nd_f0 GROUP BY lang
+    ),
+    nd AS (
+      SELECT f.fold, a.lang, a.n_l - COALESCE(d.n_fl, 0) AS nd
+      FROM nd_all a
+      CROSS JOIN folds f
+      LEFT JOIN nd_f0 d ON d.fold = f.fold AND d.lang = a.lang
+    ),
+    nd_pos AS (SELECT * FROM nd WHERE nd > 0),
+    ntr AS (
+      SELECT fold, CAST(SUM(nd) AS BIGINT) AS n FROM nd_pos GROUP BY fold
+    ),
+    prior AS (
+      SELECT p.fold, p.lang,
+             CAST(FLOOR(LN(
+               CAST(p.nd AS DOUBLE) / CAST(t.n AS DOUBLE)
+             ) * {NB_MICRO} + 0.5) AS BIGINT) AS prior_micro
+      FROM nd_pos p JOIN ntr t ON t.fold = p.fold
+    ),
+    scores AS (
+      SELECT f.doc_id, f.fold, f.actual_lang, l.lang AS pred_lang,
+             CAST(SUM(f.tf * l.ll_micro) AS BIGINT)
+               + ANY_VALUE(p.prior_micro) AS score_micro
+      FROM tf f
+      JOIN ll l ON l.fold = f.fold AND l.term = f.term
+      JOIN prior p ON p.fold = f.fold AND p.lang = l.lang
+      GROUP BY f.doc_id, f.fold, f.actual_lang, l.lang
+    ),
+    pred AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_micro DESC, pred_lang) AS rn
+      FROM scores
+    )
+    SELECT fold,
+           CAST(SUM(CASE WHEN actual_lang = pred_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(COUNT(*) AS BIGINT) AS n_scored
+    FROM pred WHERE rn = 1
+    GROUP BY fold
+    """,
+)
+def nb_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-fold-out cross-validation in ONE corpus pass.
+
+    Complement identity: fold f's training counts = global − fold f's
+    own, so the per-(doc, fold, class, term) tf relation (checkpointed
+    — the single corpus-sized tokenize) feeds all {NB_FOLDS} models;
+    the fold dimension is a 5-row broadcast on a vocab-bounded grid,
+    never a corpus re-scan. Each document scores against its OWN
+    fold's model (join on (fold, term) against the broadcast
+    likelihood grid), priors exclude zero-doc (fold, class) cells, and
+    the output is the per-fold (n_correct, n_scored) census — the CV
+    table a curation engineer quotes.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (_spark_bucket() % NB_FOLDS).alias("fold"),
+    )
+    tf = stage_checkpoint(
+        docs.select(
+            "doc_id",
+            "fold",
+            F.col("lang").alias("actual_lang"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .groupBy("doc_id", "fold", "actual_lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cnt_ft = tf.groupBy(
+        "fold", F.col("actual_lang").alias("lang"), "term"
+    ).agg(F.sum("tf").cast("long").alias("c_ft"))
+    cnt_t = cnt_ft.groupBy("lang", "term").agg(
+        F.sum("c_ft").cast("long").alias("c_all")
+    )
+    folds = spark.range(NB_FOLDS).select(F.col("id").cast("int").alias("fold"))
+    # FULL terms x langs x folds spine: a class that never saw a term
+    # must PAY the Laplace zero-count penalty, not skip it — building
+    # the grid from observed (lang, term) pairs makes ignorant classes
+    # outscore informed ones (all log-probs are negative; fewer joined
+    # rows = higher score). Caught by the separable-corpus test; the
+    # oracle mirrored the same algebra, so parity alone never would.
+    grid0 = (
+        cnt_t.select("term")
+        .distinct()
+        .crossJoin(F.broadcast(cnt_t.select("lang").distinct()))
+        .crossJoin(F.broadcast(folds))
+        .join(cnt_t, ["lang", "term"], "left")
+        .join(cnt_ft, ["fold", "lang", "term"], "left")
+        .select(
+            "fold",
+            "lang",
+            "term",
+            (
+                F.coalesce(F.col("c_all"), F.lit(0))
+                - F.coalesce(F.col("c_ft"), F.lit(0))
+            ).alias("c_tr"),
+        )
+    )
+    vocab_f = (
+        grid0.groupBy("fold", "term")
+        .agg(F.sum("c_tr").alias("s"))
+        .filter(F.col("s") > 0)
+        .select("fold", "term")
+    )
+    vs_f = vocab_f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    tot_f = grid0.groupBy("fold", "lang").agg(
+        F.sum("c_tr").cast("long").alias("tot")
+    )
+    ll = (
+        grid0.join(vocab_f, ["fold", "term"])
+        .join(F.broadcast(tot_f), ["fold", "lang"])
+        .join(F.broadcast(vs_f), ["fold"])
+        .select(
+            "fold",
+            "lang",
+            "term",
+            F.floor(
+                F.log(
+                    (F.col("c_tr") + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                )
+                * NB_MICRO
+                + 0.5
+            )
+            .cast("long")
+            .alias("ll_micro"),
+        )
+    )
+    nd_f0 = docs.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fl")
+    )
+    nd_all = nd_f0.groupBy("lang").agg(
+        F.sum("n_fl").cast("long").alias("n_l")
+    )
+    nd = (
+        nd_all.crossJoin(F.broadcast(folds))
+        .join(nd_f0, ["fold", "lang"], "left")
+        .select(
+            "fold",
+            "lang",
+            (F.col("n_l") - F.coalesce(F.col("n_fl"), F.lit(0))).alias("nd"),
+        )
+        .filter(F.col("nd") > 0)
+    )
+    ntr = nd.groupBy("fold").agg(F.sum("nd").cast("long").alias("n"))
+    prior = nd.join(F.broadcast(ntr), "fold").select(
+        "fold",
+        "lang",
+        F.floor(
+            F.log(F.col("nd").cast("double") / F.col("n").cast("double"))
+            * NB_MICRO
+            + 0.5
+        )
+        .cast("long")
+        .alias("prior_micro"),
+    )
+    scores = (
+        tf.join(
+            F.broadcast(ll.withColumnRenamed("lang", "pred_lang")),
+            ["fold", "term"],
+        )
+        .groupBy("doc_id", "fold", "actual_lang", "pred_lang")
+        .agg(F.sum(F.col("tf") * F.col("ll_micro")).cast("long").alias("s"))
+        .join(
+            F.broadcast(prior.withColumnRenamed("lang", "pred_lang")),
+            ["fold", "pred_lang"],
+        )
+        .select(
+            "doc_id",
+            "fold",
+            "actual_lang",
+            "pred_lang",
+            (F.col("s") + F.col("prior_micro")).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("pred_lang")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("fold")
+        .agg(
+            F.sum(
+                (F.col("actual_lang") == F.col("pred_lang")).cast("long")
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+        )
+    )

@@ -41,21 +41,34 @@ def test_nb_confusion_accounts_for_every_classifiable_doc(spark, sf_dir):
     assert {r.pred_lang for r in rows} <= train_langs
 
 
-def test_nb_beats_majority_baseline_on_synthetic_langs(spark, sf_dir):
-    # The synthetic generator gives each lang a distinct token mix, so
-    # a working NB must beat the MAJORITY-CLASS baseline, not just 1/5
-    # chance — a prior-collapsed scorer (constant likelihoods) predicts
-    # the majority class everywhere and sits exactly at that baseline,
-    # so this catches a broken Laplace grid, not only argmax garbage.
-    # Data-deterministic: sf0.001 is 38 vs 36 (thin but fixed); larger
-    # SFs separate widely (near-diagonal confusion at sf0.1).
-    rows = QUERIES["nb_lang_confusion"](spark, sf_dir).collect()
-    diag = sum(r.n_docs for r in rows if r.actual_lang == r.pred_lang)
-    by_actual: dict[str, int] = {}
-    for r in rows:
-        by_actual[r.actual_lang] = by_actual.get(r.actual_lang, 0) + r.n_docs
-    majority = max(by_actual.values())
-    assert diag > majority, f"diag {diag} <= majority baseline {majority}"
+def test_nb_learns_a_separable_corpus_perfectly(spark, tmp_path):
+    # The driver fixture's lang label is INDEPENDENT of its text (the
+    # per-lang token frequencies are proportional to class size), so on
+    # that data the Bayes-correct behavior is majority-class collapse —
+    # which the oracle hash-checks, but which cannot distinguish a
+    # working model from a prior-collapsed one. This fixture CAN: each
+    # lang gets a disjoint signature token, so a working NB must put
+    # every held-out doc on the diagonal, while a broken Laplace grid
+    # (constant likelihoods) collapses to one predicted class.
+    langs = ["de", "en", "es", "fr", "zh"]
+    rows = []
+    for i in range(200):
+        lang = langs[i % len(langs)]
+        text = f"sig_{lang} sig_{lang} common filler"
+        rows.append((i, text, lang, f"src{i % 3}", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    conf = QUERIES["nb_lang_confusion"](spark, str(tmp_path)).collect()
+    total = sum(r.n_docs for r in conf)
+    assert total > 0  # the md5 split leaves held-out docs of every lang
+    assert all(r.actual_lang == r.pred_lang for r in conf), conf
+    # and the decision margins are wide: the confidence filter keeps all
+    filt = QUERIES["nb_confidence_filter"](spark, str(tmp_path)).collect()
+    assert sum(r.n_dropped for r in filt) == 0, filt
 
 
 def test_pii_census_counts_match_injection_arithmetic(spark, sf_dir):
@@ -117,3 +130,33 @@ def test_nb_filter_accounts_and_agrees_with_confusion(spark, sf_dir):
     # the gate is non-trivial at every SF: both sides non-empty
     assert sum(r.n_kept for r in filt) > 0
     assert sum(r.n_dropped for r in filt) > 0
+
+
+def test_nb_kfold_accounts_all_docs_and_aces_separable_corpus(
+    spark, sf_dir, tmp_path
+):
+    from bq_nvd_spark.plans.classify import NB_FOLDS
+
+    # driver fixture: every doc is classifiable (shared lexicon), so
+    # the per-fold scored counts must sum to the corpus size
+    cv = QUERIES["nb_kfold_accuracy"](spark, sf_dir).collect()
+    assert len(cv) == NB_FOLDS
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_scored for r in cv) == n_docs
+    assert all(0 < r.n_correct <= r.n_scored for r in cv)
+
+    # separable corpus: every fold's model must classify perfectly
+    langs = ["de", "en", "es", "fr", "zh"]
+    rows = [
+        (i, f"sig_{langs[i % 5]} sig_{langs[i % 5]} shared", langs[i % 5],
+         f"src{i % 3}", 20)
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    cv2 = QUERIES["nb_kfold_accuracy"](spark, str(tmp_path)).collect()
+    assert len(cv2) == NB_FOLDS
+    assert all(r.n_correct == r.n_scored for r in cv2), cv2
