@@ -54,6 +54,20 @@ NB_MICRO = 1_000_000
 #: (0.75 nats between the top-1 and top-2 posterior).
 NB_MARGIN_MICRO = 750_000
 
+
+def _micro_ln(x: "F.Column") -> "F.Column":
+    """``floor(ln(x) * 1e6 + 0.5)`` as long — THE quantization every NB
+    log-prob uses (likelihoods and priors, split and CV kernels). One
+    definition per engine so a smoothing/quantization change cannot
+    desynchronize the models whose quality is being compared."""
+    return F.floor(F.log(x) * NB_MICRO + 0.5).cast("long")
+
+
+def _sql_micro_ln(arg: str) -> str:
+    """The SQL twin of ``_micro_ln``."""
+    return f"CAST(FLOOR(LN({arg}) * {NB_MICRO} + 0.5) AS BIGINT)"
+
+
 # Shared oracle prefix: everything through the ranked per-(doc, class)
 # scores. The SQL twin of ``_nb_scores`` — keeping both engines' kernel
 # in one template each means a model change cannot desynchronize the
@@ -78,10 +92,10 @@ _NB_ORACLE_PREFIX = f"""
     vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
     ll AS (
       SELECT t.lang, vb.term,
-             CAST(FLOOR(LN(
-               CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
-                 / CAST(t.tot + vs.v AS DOUBLE)
-             ) * {NB_MICRO} + 0.5) AS BIGINT) AS ll_micro
+             {_sql_micro_ln(
+               "CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)"
+               " / CAST(t.tot + vs.v AS DOUBLE)"
+             )} AS ll_micro
       FROM vocab vb
       CROSS JOIN tot t
       CROSS JOIN vs
@@ -93,9 +107,9 @@ _NB_ORACLE_PREFIX = f"""
     ntr AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM nd),
     prior AS (
       SELECT lang,
-             CAST(FLOOR(LN(
-               CAST(nd AS DOUBLE) / CAST(ntr.n AS DOUBLE)
-             ) * {NB_MICRO} + 0.5) AS BIGINT) AS prior_micro
+             {_sql_micro_ln(
+               "CAST(nd AS DOUBLE) / CAST(ntr.n AS DOUBLE)"
+             )} AS prior_micro
       FROM nd CROSS JOIN ntr
     ),
     tte AS (
@@ -193,16 +207,10 @@ def _build_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "term",
-            F.floor(
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot") + F.col("v")).cast("double")
-                )
-                * NB_MICRO
-                + 0.5
-            )
-            .cast("long")
-            .alias("ll_micro"),
+            _micro_ln(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("ll_micro"),
         )
     )
 
@@ -210,13 +218,9 @@ def _build_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntr = nd.agg(F.sum("nd").cast("long").alias("n"))
     prior = nd.crossJoin(F.broadcast(ntr)).select(
         F.col("lang").alias("pred_lang"),
-        F.floor(
-            F.log(F.col("nd").cast("double") / F.col("n").cast("double"))
-            * NB_MICRO
-            + 0.5
-        )
-        .cast("long")
-        .alias("prior_micro"),
+        _micro_ln(
+            F.col("nd").cast("double") / F.col("n").cast("double")
+        ).alias("prior_micro"),
     )
 
     tf = (
@@ -393,10 +397,10 @@ NB_FOLDS = 5
     ),
     ll AS (
       SELECT g.fold, g.lang, g.term,
-             CAST(FLOOR(LN(
-               CAST(g.c_tr + 1 AS DOUBLE)
-                 / CAST(t.tot + v.v AS DOUBLE)
-             ) * {NB_MICRO} + 0.5) AS BIGINT) AS ll_micro
+             {_sql_micro_ln(
+               "CAST(g.c_tr + 1 AS DOUBLE)"
+               " / CAST(t.tot + v.v AS DOUBLE)"
+             )} AS ll_micro
       FROM grid0 g
       JOIN vocab_f vb ON vb.fold = g.fold AND vb.term = g.term
       JOIN tot_f t ON t.fold = g.fold AND t.lang = g.lang
@@ -422,9 +426,9 @@ NB_FOLDS = 5
     ),
     prior AS (
       SELECT p.fold, p.lang,
-             CAST(FLOOR(LN(
-               CAST(p.nd AS DOUBLE) / CAST(t.n AS DOUBLE)
-             ) * {NB_MICRO} + 0.5) AS BIGINT) AS prior_micro
+             {_sql_micro_ln(
+               "CAST(p.nd AS DOUBLE) / CAST(t.n AS DOUBLE)"
+             )} AS prior_micro
       FROM nd_pos p JOIN ntr t ON t.fold = p.fold
     ),
     scores AS (
@@ -455,7 +459,7 @@ def nb_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complement identity: fold f's training counts = global − fold f's
     own, so the per-(doc, fold, class, term) tf relation (checkpointed
-    — the single corpus-sized tokenize) feeds all {NB_FOLDS} models;
+    — the single corpus-sized tokenize) feeds every fold's model;
     the fold dimension is a 5-row broadcast on a vocab-bounded grid,
     never a corpus re-scan. Each document scores against its OWN
     fold's model (join on (fold, term) against the broadcast
@@ -479,9 +483,15 @@ def nb_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "fold", "actual_lang", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    cnt_ft = tf.groupBy(
-        "fold", F.col("actual_lang").alias("lang"), "term"
-    ).agg(F.sum("tf").cast("long").alias("c_ft"))
+    # cnt_ft is consumed by cnt_t, the grid spine's two distincts, and
+    # the grid left join — checkpoint the folds x classes x vocab
+    # relation (tiny) so the corpus-sized aggregation of tf runs once;
+    # tf itself is then scanned only here and in the scores join.
+    cnt_ft = stage_checkpoint(
+        tf.groupBy("fold", F.col("actual_lang").alias("lang"), "term").agg(
+            F.sum("tf").cast("long").alias("c_ft")
+        )
+    )
     cnt_t = cnt_ft.groupBy("lang", "term").agg(
         F.sum("c_ft").cast("long").alias("c_all")
     )
@@ -529,16 +539,10 @@ def nb_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fold",
             "lang",
             "term",
-            F.floor(
-                F.log(
-                    (F.col("c_tr") + 1).cast("double")
-                    / (F.col("tot") + F.col("v")).cast("double")
-                )
-                * NB_MICRO
-                + 0.5
-            )
-            .cast("long")
-            .alias("ll_micro"),
+            _micro_ln(
+                (F.col("c_tr") + 1).cast("double")
+                / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("ll_micro"),
         )
     )
     nd_f0 = docs.groupBy("fold", "lang").agg(
@@ -561,13 +565,9 @@ def nb_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = nd.join(F.broadcast(ntr), "fold").select(
         "fold",
         "lang",
-        F.floor(
-            F.log(F.col("nd").cast("double") / F.col("n").cast("double"))
-            * NB_MICRO
-            + 0.5
-        )
-        .cast("long")
-        .alias("prior_micro"),
+        _micro_ln(
+            F.col("nd").cast("double") / F.col("n").cast("double")
+        ).alias("prior_micro"),
     )
     scores = (
         tf.join(
