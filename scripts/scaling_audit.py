@@ -36,8 +36,8 @@ MIN_BIG_SEC = 1.0
 # blind to a regression that is uniform at every SF. This gate closes
 # that class: each sf0.1 cold sample is compared against the previous
 # round's committed record (bench_history/rNN.json, the durable
-# per-round evidence) and flagged when it grew past DRIFT_RATIO with
-# an absolute size worth flagging. Calibration (round 13, first real
+# per-round evidence) and flagged on growth past the two-tier
+# thresholds below, with an absolute size worth flagging. Calibration (round 13, first real
 # firing): a 1.68× cold move on code PROVEN identical (the r12-close
 # tree re-measured 3.5-3.6s beside HEAD's 3.5-3.7s in a probe
 # worktree) showed that cross-DAY environment drift on single cold

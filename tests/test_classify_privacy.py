@@ -44,18 +44,27 @@ def test_nb_confusion_accounts_for_every_classifiable_doc(spark, sf_dir):
 def test_nb_real_fixture_edge_is_stable(spark, sf_dir):
     # The driver fixture's lang label is approximately independent of
     # its text (per-lang token frequencies track class size), so large
-    # diagonal accuracy is NOT expected here; what IS deterministic for
-    # this fixed fixture + fixed model is a small above-majority edge
-    # from finite-sample correlations (38 vs 36 at sf0.001). Pinned as
-    # a regression canary — a silent model change that erases the edge
-    # (e.g. collapsing to priors) fails here even while oracle parity
-    # stays green (both engines would mirror the same collapse).
+    # diagonal accuracy is NOT expected here. Two canaries against a
+    # silent model collapse — which mirrored oracles cannot catch
+    # (both engines would mirror the same collapse):
+    # 1. At EVERY SF: a prior-collapsed model (constant likelihoods)
+    #    predicts exactly one class everywhere; the real model's
+    #    finite-sample correlations always split the predictions.
+    # 2. At the default sf0.001 fixture only: the deterministic
+    #    above-majority edge (diag 38 > majority 36). This edge is
+    #    SF-specific — at sf0.1 it inverts (438 vs 439), which is the
+    #    expected large-sample behavior under label independence, so
+    #    it must not be asserted there.
     rows = QUERIES["nb_lang_confusion"](spark, sf_dir).collect()
-    diag = sum(r.n_docs for r in rows if r.actual_lang == r.pred_lang)
-    by_actual: dict[str, int] = {}
-    for r in rows:
-        by_actual[r.actual_lang] = by_actual.get(r.actual_lang, 0) + r.n_docs
-    assert diag > max(by_actual.values())
+    assert len({r.pred_lang for r in rows}) > 1
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        diag = sum(r.n_docs for r in rows if r.actual_lang == r.pred_lang)
+        by_actual: dict[str, int] = {}
+        for r in rows:
+            by_actual[r.actual_lang] = (
+                by_actual.get(r.actual_lang, 0) + r.n_docs
+            )
+        assert diag > max(by_actual.values())
 
 
 def test_nb_learns_a_separable_corpus_perfectly(spark, tmp_path):
