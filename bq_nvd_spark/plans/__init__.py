@@ -36,6 +36,14 @@ _DRIVER_PRIORITY = [
     # and its scrub-on-ingest streaming twin, E12),
     # cms_user_freq_accuracy (Count-Min point-frequency sketch under
     # the accuracy-bound oracle contract).
+    # r14 rotation plan (computed at r13 close from CORRECTNESS_r01-r12
+    # + this window): post-r13 evidence distribution is 7 never-checked
+    # (the additions above) + 44 @r10 + 38 @r11 + 50 @r12 + 50 @r13.
+    # 7 never + 43 of the 44 r10-era names = 50 exactly; the one
+    # deferred r10-era name (builder's choice, prefer one unchanged
+    # since r10) must be logged here with its evidence round, and any
+    # query whose CODE changes in r14 outranks backlog per the standing
+    # rule.
     # Also changed in r13 but NOT in the window (no slot): hll_daily_rollup
     # — accuracy gate tightened 7%→5.6% (3.5σ at lgK=12, ADVICE r12);
     # expected-result-identical (all rows TRUE before and after),
