@@ -13,94 +13,76 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # never-checked and re-oracled names, then the stalest backlog; only
 # truly-unchanged names may defer to the next round.
 _DRIVER_PRIORITY = [
-    # -- round 13 window (VERDICT r12 task 1): the 6 owed names + the
-    # whole r9-era backlog in one rotation. 2 never-driver-checked
-    # (bm25_topk_docs, added late in r12, mirror-green ×3 SFs; and
-    # bm25_multi_query_topk, the r13 parameterized-retrieval add) +
-    # 5 changed-execution-path (the chain consumers whose r11 rows
-    # predate the r12 shared-stage rework: result-identical
-    # projections/joins over memoized relations, each mirror-green
-    # post-rework) + 43 r9-era backlog names = 50 exactly. After this
-    # window, no name's latest driver evidence is older than r10.
-    # Deferral note: NOTHING defers this round — the 44 r10-era, 43
-    # r11-era and 50 r12-era names are all unchanged and inside the
-    # age bar. (r12 header slip fixed per VERDICT: customer_rfm_segments
-    # carries r10 evidence — CORRECTNESS_r10.json — not r9.)
-    # Added in round 13 BEYOND the full window, owed to the r14 window
-    # as never-driver-checked (each mirror-green ×3 SFs on add):
-    # rrf_fusion_topk (RRF hybrid retrieval over BM25+VSM rankings),
-    # nb_lang_confusion + nb_confidence_filter (Naive Bayes learned-
-    # filter classifier: confusion matrix + margin-gated filter, E11),
-    # nb_kfold_accuracy (one-pass complement-count k-fold CV, E11),
-    # pii_redaction_census + streaming_pii_scrub (PII scrub census
-    # and its scrub-on-ingest streaming twin, E12),
-    # cms_user_freq_accuracy (Count-Min point-frequency sketch under
-    # the accuracy-bound oracle contract).
-    # r14 rotation plan (computed at r13 close from CORRECTNESS_r01-r12
-    # + this window): post-r13 evidence distribution is 7 never-checked
-    # (the additions above) + 44 @r10 + 38 @r11 + 50 @r12 + 50 @r13.
-    # 7 never + 43 of the 44 r10-era names = 50 exactly; the one
-    # deferred r10-era name (builder's choice, prefer one unchanged
-    # since r10) must be logged here with its evidence round, and any
-    # query whose CODE changes in r14 outranks backlog per the standing
-    # rule.
-    # Also changed in r13 but NOT in the window (no slot): hll_daily_rollup
-    # — accuracy gate tightened 7%→5.6% (3.5σ at lgK=12, ADVICE r12);
-    # expected-result-identical (all rows TRUE before and after),
-    # mirror-green ×3 SFs post-change, carries r12 driver evidence.
-    # -- never driver-checked --
-    "bm25_topk_docs",
-    "bm25_multi_query_topk",
-    # -- execution path changed in round 12 (shared-stage consumers) --
-    "edit_distance_verified_pairs",
-    "dedup_survivors",
-    "dedup_survivors_by_quality",
-    "dedup_cluster_size_histogram",
-    "semantic_dedup_survivors",
-    # -- last driver row r9 (stalest evidence in the registry) --
-    "asof_last_error_per_click",
-    "bag_intersect_order_dates",
-    "bpe_token_stats",
-    "collocation_pmi_top",
-    "cross_source_contamination_matrix",
-    "deterministic_sample_docs",
-    "doc_length_percentiles_by_lang",
-    "doc_rolling_fingerprint",
-    "json_extract_props",
-    "lang_group_profile",
-    "langid_ngram_pred",
-    "multimodal_binary_meta",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_thumb",
-    "ngram_jaccard_adjacent",
-    "nvd_assigner_stats",
-    "nvd_av_severity_matrix",
-    "nvd_cwe_counts",
-    "nvd_modification_lag",
-    "nvd_reference_tag_counts",
-    "nvd_v2_v3_score_gap",
-    "nvd_version_bounds",
-    "order_price_percentiles_exact",
-    "order_price_quantiles",
-    "orders_above_customer_avg",
-    "orders_mom_growth",
-    "range_join_clicks_after_error",
-    "regex_normalize_parts",
-    "rollup_orders_by_month",
-    "salted_distinct_users_per_type",
-    "ship_delay_by_month",
-    "simhash_signatures",
-    "sliding_window_hourly_30m",
-    "streaming_click_error_join",
-    "streaming_dedup_keys",
-    "streaming_session_counts",
-    "streaming_sliding_counts",
-    "streaming_tumbling_counts",
-    "text_quality_stats",
-    "train_val_test_split",
-    "tumbling_window_hourly",
-    "unpivot_lineitem_measures",
+    # -- round 14 window (VERDICT r13 task 1, exactly the rotation
+    # pre-computed at r13 close): the 7 never-driver-checked r13
+    # additions + 43 of the 44 r10-era backlog names = 50 exactly.
+    # Post-r13 evidence distribution (from CORRECTNESS_r01-r13):
+    # 7 never-checked + 44 @r10 + 38 @r11 + 50 @r12 + 50 @r13.
+    # Deferral note (the one r10-era name without a slot):
+    # orders_per_region — plain groupBy/agg, code unchanged since its
+    # r10 driver row (CORRECTNESS_r10.json, green); carries r10
+    # evidence into r15, where it leads the backlog tier.
+    # Code changed in r14, already inside the window (per the standing
+    # code-change-outranks-backlog rule): the NB trio
+    # (nb_lang_confusion, nb_confidence_filter, nb_kfold_accuracy) —
+    # vocabulary capped at top-V by document frequency so the
+    # vocab×classes likelihood broadcast is limit-bounded (VERDICT r13
+    # task 2), identical cap in the oracles; each mirror-green ×3 SFs
+    # post-change.
+    # After this window, no name's evidence is older than r11 except
+    # the logged deferral above.
+    # -- never driver-checked (r13 additions, each mirror-green ×3 SFs) --
+    "nb_lang_confusion",
+    "nb_confidence_filter",
+    "nb_kfold_accuracy",
+    "pii_redaction_census",
+    "streaming_pii_scrub",
+    "rrf_fusion_topk",
+    "cms_user_freq_accuracy",
+    # -- last driver row r10 (stalest evidence in the registry) --
+    "argmax_latest_event_per_user",
+    "arrow_byte_stats",
+    "arrow_group_quality",
+    "bag_except_order_dates",
+    "bpe_merge_census",
+    "customer_rfm_segments",
+    "duplicate_span_docs",
+    "embedding_int8_census",
+    "first_event_per_user_type",
+    "full_outer_daily_activity",
+    "funnel_conversion",
+    "grouping_sets_status_priority",
+    "kll_rank_accuracy",
+    "lang_distribution",
+    "lateral_top2_orders",
+    "moment_stats_by_type",
+    "monthly_urgent_gapfill",
+    "nvd_first_write_wins",
+    "orders_trailing_90d_revenue",
+    "pivot_priority_by_segment",
+    "profile_orders_columns",
+    "q10_returned_item_revenue",
+    "q11_important_parts",
+    "q13_customer_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_census",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_banded_brand_revenue",
+    "q20_excess_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_late_order_priorities",
+    "q5_revenue_by_nation",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "recursive_month_spine",
+    "streaming_static_enrich",
+    "token_counts_top20",
+    "value_mad_outliers",
 ]
 
 def _reorder(registry: dict) -> None:
