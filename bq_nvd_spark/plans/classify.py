@@ -27,11 +27,19 @@ which is ~1e-10 of a micro-unit after scaling — far below the floor
 boundary.
 
 Scale shape (100 TB): training is ONE corpus tokenize + (class, term)
-aggregate (checkpointed — see ``_nb_scores``); the vocab x classes
-likelihood grid is BROADCAST to the scorer, so scoring is one held-out
-token explode + a broadcast join + one (doc, class) aggregate. The
-argmax/margin window partitions by doc_id — maximal key cardinality,
-never a global sort.
+aggregate (checkpointed — see ``_nb_scores``); the model vocabulary is
+CAPPED at the top ``NB_VOCAB_K`` terms by document frequency (ties
+broken by term name — deterministic in both engines), so the
+vocab x classes likelihood grid is LIMIT-BOUNDED by construction and
+its broadcast to the scorer can never grow with the corpus — raw
+vocabulary is data-proportional under Heaps' law, and an uncapped grid
+broadcast would be a driver OOM at real corpus scale. (fastText-style
+curation filters all train on a frequency-capped vocabulary; the
+uncapped tail carries near-zero class evidence anyway.) Scoring is one
+held-out token explode + a broadcast join + one (doc, class)
+aggregate; held-out terms outside the capped vocabulary are OOV and
+carry no evidence. The argmax/margin window partitions by doc_id —
+maximal key cardinality, never a global sort.
 
 Reference scope: the reference engine (redteam-project/bq-nvd) has no
 learned-classifier surface; this is part of the driver-mandated
@@ -53,6 +61,14 @@ NB_MICRO = 1_000_000
 #: decision-margin gate for the confidence filter, in micro-units
 #: (0.75 nats between the top-1 and top-2 posterior).
 NB_MARGIN_MICRO = 750_000
+#: model-vocabulary budget: top-K terms by document frequency (ties by
+#: term name). Makes the vocab x classes likelihood broadcast
+#: LIMIT-BOUNDED regardless of corpus size — raw vocabulary grows with
+#: the data (Heaps' law), a fixed budget does not. The driver fixture's
+#: 31-term lexicon sits far below the cap, so fixture results are
+#: unchanged; the binding-cap path is pinned by
+#: tests/test_classify_privacy.py::test_nb_vocab_cap_drops_rare_terms.
+NB_VOCAB_K = 4096
 
 
 def _micro_ln(x: "F.Column") -> "F.Column":
@@ -79,16 +95,26 @@ _NB_ORACLE_PREFIX = f"""
     train AS (SELECT * FROM docs WHERE bucket < {TRAIN_END}),
     held AS (SELECT * FROM docs WHERE bucket >= {TRAIN_END}),
     ttr AS (
-      SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM train
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term
+      FROM train
     ),
     cnt AS (
-      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_part
       FROM ttr GROUP BY lang, term
     ),
-    tot AS (
-      SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY lang
+    -- vocab cap: top NB_VOCAB_K terms by train document frequency
+    -- (each doc has one lang, so per-class distinct-doc counts sum to
+    -- the term's df), ties by term name — limit-bounded grid spine
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, SUM(df_part) AS df FROM cnt GROUP BY term
+      ) ORDER BY df DESC, term LIMIT {NB_VOCAB_K}
     ),
-    vocab AS (SELECT DISTINCT term FROM cnt),
+    cntv AS (SELECT c.* FROM cnt c JOIN vocab v ON v.term = c.term),
+    tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cntv GROUP BY lang
+    ),
     vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
     ll AS (
       SELECT t.lang, vb.term,
@@ -99,7 +125,7 @@ _NB_ORACLE_PREFIX = f"""
       FROM vocab vb
       CROSS JOIN tot t
       CROSS JOIN vs
-      LEFT JOIN cnt c ON c.lang = t.lang AND c.term = vb.term
+      LEFT JOIN cntv c ON c.lang = t.lang AND c.term = vb.term
     ),
     nd AS (
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY lang
@@ -166,11 +192,12 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _build_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kernel's build pipeline (see ``_nb_scores`` for the memo).
 
-    Laplace +1 smoothing over the full train vocabulary; held-out terms
+    Laplace +1 smoothing over the top-``NB_VOCAB_K``-by-document-
+    frequency train vocabulary (ties by term name); held-out terms
     outside that vocabulary are dropped (standard multinomial NB — an
-    unseen term carries no class evidence), and a held-out document
-    with NO in-vocab terms is unclassifiable and excluded — identically
-    in both engines, so the exclusion is oracle-checked too.
+    OOV term carries no class evidence), and a held-out document with
+    NO in-vocab terms is unclassifiable and excluded — identically in
+    both engines, so the exclusion is oracle-checked too.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", _spark_bucket().alias("bucket")
@@ -179,30 +206,45 @@ def _build_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = docs.filter(F.col("bucket") >= TRAIN_END)
 
     ttr = train.select(
-        "lang", F.explode(F.split("text", " ")).alias("term")
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
     )
     # tot / vocab / vsize derive from the (class, term) counts — ONE
-    # corpus-sized tokenize+aggregate feeds the whole model. The
+    # corpus-sized tokenize+aggregate feeds the whole model (df_part
+    # rides along in the same shuffle: each doc has one lang, so
+    # per-class distinct-doc counts sum to the term's train df). The
     # checkpoint makes that literal: cnt is consumed by four branches
-    # (grid spine, left join, class totals, vocab) and Spark's exchange
-    # reuse only collapses some of them, so without it the corpus
-    # explode re-executes per branch; materializing the vocab×classes
-    # relation (tiny by construction) caps the 100 TB scan at one.
+    # (vocab cap, grid left join, class totals, cap membership) and
+    # Spark's exchange reuse only collapses some of them, so without it
+    # the corpus explode re-executes per branch; materializing the
+    # vocab×classes relation caps the 100 TB scan at one.
     cnt = stage_checkpoint(
         ttr.groupBy("lang", "term").agg(
-            F.count(F.lit(1)).cast("long").alias("c")
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.countDistinct("doc_id").cast("long").alias("df_part"),
         )
     )
-    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
-    vocab = cnt.select("term").distinct()
+    # Vocab cap: top NB_VOCAB_K by document frequency, ties by term —
+    # an aggregate-side orderBy().limit() over the vocabulary relation
+    # (TakeOrdered, never a corpus sort); the grid spine is now
+    # LIMIT-BOUNDED, so every broadcast below has a fixed ceiling.
+    vocab = (
+        cnt.groupBy("term")
+        .agg(F.sum("df_part").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(NB_VOCAB_K)
+        .select("term")
+    )
+    cntv = cnt.join(F.broadcast(vocab), "term")
+    tot = cntv.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
     vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
 
-    # Laplace grid: every (class, vocab term) pair gets a likelihood,
-    # zero-count pairs included. vocab x classes — bounded, broadcast
-    # the class-level relations onto the vocab side.
+    # Laplace grid: every (class, capped-vocab term) pair gets a
+    # likelihood, zero-count pairs included. <=NB_VOCAB_K x classes —
+    # limit-bounded, broadcast the class-level relations onto the
+    # vocab side.
     ll = (
         vocab.crossJoin(F.broadcast(tot))
-        .join(cnt, ["lang", "term"], "left")
+        .join(cntv.select("lang", "term", "c"), ["lang", "term"], "left")
         .crossJoin(F.broadcast(vsize))
         .select(
             "lang",
@@ -232,7 +274,8 @@ def _build_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "actual_lang", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    # Broadcast the vocab x classes likelihood table onto the held-out
+    # Broadcast the capped-vocab x classes likelihood table (limit-
+    # bounded) onto the held-out
     # term frequencies: the scorer's only join, corpus never re-shuffled
     # beyond the (doc, class) aggregate.
     scores = (
@@ -367,11 +410,19 @@ NB_FOLDS = 5
     ),
     folds AS (SELECT UNNEST(range({NB_FOLDS})) AS fold),
     langs AS (SELECT DISTINCT lang FROM cnt_t),
-    terms AS (SELECT DISTINCT term FROM cnt_t),
+    -- vocab cap: top NB_VOCAB_K terms by GLOBAL document frequency
+    -- (tf is unique per (doc, term), so COUNT(*) is the doc count),
+    -- ties by term name — the grid spine is limit-bounded
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    terms AS (
+      SELECT term FROM dfreq ORDER BY df DESC, term LIMIT {NB_VOCAB_K}
+    ),
     grid0 AS (
-      -- FULL terms x langs x folds spine: a class that never saw a
-      -- term must PAY the Laplace zero-count penalty, not skip it —
-      -- building the grid from observed (lang, term) pairs makes
+      -- FULL capped-terms x langs x folds spine: a class that never
+      -- saw a term must PAY the Laplace zero-count penalty, not skip
+      -- it — building the grid from observed (lang, term) pairs makes
       -- ignorant classes outscore informed ones (all log-probs are
       -- negative; fewer joined rows = higher score)
       SELECT f.fold, lg.lang, tm.term,
@@ -460,7 +511,8 @@ def nb_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complement identity: fold f's training counts = global − fold f's
     own, so the per-(doc, fold, class, term) tf relation (checkpointed
     — the single corpus-sized tokenize) feeds every fold's model;
-    the fold dimension is a 5-row broadcast on a vocab-bounded grid,
+    the fold dimension is a 5-row broadcast on a limit-bounded grid
+    (top-``NB_VOCAB_K``-by-df capped vocabulary),
     never a corpus re-scan. Each document scores against its OWN
     fold's model (join on (fold, term) against the broadcast
     likelihood grid), priors exclude zero-doc (fold, class) cells, and
@@ -496,15 +548,27 @@ def nb_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_ft").cast("long").alias("c_all")
     )
     folds = spark.range(NB_FOLDS).select(F.col("id").cast("int").alias("fold"))
-    # FULL terms x langs x folds spine: a class that never saw a term
-    # must PAY the Laplace zero-count penalty, not skip it — building
-    # the grid from observed (lang, term) pairs makes ignorant classes
-    # outscore informed ones (all log-probs are negative; fewer joined
-    # rows = higher score). Caught by the separable-corpus test; the
-    # oracle mirrored the same algebra, so parity alone never would.
+    # Vocab cap: top NB_VOCAB_K by GLOBAL document frequency (tf is
+    # unique per (doc, term), so count(*) is the doc count), ties by
+    # term — the grid spine, and with it every broadcast below, is
+    # limit-bounded. Raw vocabulary is data-proportional (Heaps' law);
+    # an uncapped fold x vocab x classes broadcast would OOM the driver
+    # at real corpus scale.
+    terms = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(NB_VOCAB_K)
+        .select("term")
+    )
+    # FULL capped-terms x langs x folds spine: a class that never saw
+    # a term must PAY the Laplace zero-count penalty, not skip it —
+    # building the grid from observed (lang, term) pairs makes ignorant
+    # classes outscore informed ones (all log-probs are negative; fewer
+    # joined rows = higher score). Caught by the separable-corpus test;
+    # the oracle mirrored the same algebra, so parity alone never would.
     grid0 = (
-        cnt_t.select("term")
-        .distinct()
+        terms
         .crossJoin(F.broadcast(cnt_t.select("lang").distinct()))
         .crossJoin(F.broadcast(folds))
         .join(cnt_t, ["lang", "term"], "left")

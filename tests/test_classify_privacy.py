@@ -94,6 +94,56 @@ def test_nb_learns_a_separable_corpus_perfectly(spark, tmp_path):
     assert sum(r.n_dropped for r in filt) == 0, filt
 
 
+def test_nb_vocab_cap_drops_rare_terms(spark, tmp_path):
+    # The driver fixture's 31-term lexicon never reaches NB_VOCAB_K, so
+    # oracle parity can't exercise the cap. This corpus CAN: NB_VOCAB_K
+    # + 100 high-df terms crowd the budget, so the rare 'zzz_rare'
+    # (train df=1) is observed in training yet EXCLUDED by the cap —
+    # the held-out doc made of only that term becomes unclassifiable
+    # and must vanish from the confusion census. Without the cap it
+    # would be classified (zzz_rare was trained on), so this pins that
+    # the cap actually binds, in both kernels.
+    import hashlib
+
+    from bq_nvd_spark.plans.classify import NB_VOCAB_K
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    ids = list(range(400))
+    train_ids = [i for i in ids if bucket(i) < TRAIN_END]
+    held_ids = [i for i in ids if bucket(i) >= TRAIN_END]
+    assert len(train_ids) >= 3 and len(held_ids) >= 5
+    crowd = " ".join(f"aaa_{k:05d}" for k in range(NB_VOCAB_K + 100))
+    rows = [
+        # two train docs give every aaa_* term df=2 (beats df=1, and
+        # the aaa_* names win the tie at any equal df)
+        (train_ids[0], crowd, "en", "src0", 1),
+        (train_ids[1], crowd, "en", "src0", 1),
+        # zzz_rare IS trained on (df=1) but loses the vocab budget
+        (train_ids[2], "zzz_rare", "en", "src0", 1),
+        # held doc of ONLY the capped-out term: unclassifiable
+        (held_ids[0], "zzz_rare zzz_rare", "en", "src0", 1),
+    ]
+    classifiable = held_ids[1:5]
+    rows += [
+        (h, "aaa_00000 aaa_00001", "en", "src0", 1) for h in classifiable
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    conf = QUERIES["nb_lang_confusion"](spark, str(tmp_path)).collect()
+    # the zzz-only held doc is excluded; the in-vocab ones all classify
+    assert sum(r.n_docs for r in conf) == len(classifiable), conf
+    # CV kernel: global df ranks zzz_rare (df=2, name 'zzz_*') below
+    # every aaa_* term, so BOTH zzz-only docs are unscorable there
+    cv = QUERIES["nb_kfold_accuracy"](spark, str(tmp_path)).collect()
+    assert sum(r.n_scored for r in cv) == len(rows) - 2, cv
+
+
 def test_pii_census_counts_match_injection_arithmetic(spark, sf_dir):
     census = {r.source: r for r in QUERIES["pii_redaction_census"](spark, sf_dir).collect()}
     docs = (
