@@ -73,10 +73,13 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (C, "query set: vec_id < 5 by construction"),
     ("plans/llm.py", "tfidf_top_terms", "n_docs"):
         (A, "one-row corpus count"),
-    ("plans/llm.py", "bm25_topk_docs", "df_rel"):
-        (C, "per-query-term doc frequencies: ≤len(BM25_TERMS)=4 rows"),
-    ("plans/llm.py", "bm25_topk_docs", "stats"):
+    ("plans/llm.py", "_bm25_contrib", "df_rel"):
+        (C, "per-query-term doc frequencies: ≤|union query term set| "
+            "rows; the term sets are literal constants"),
+    ("plans/llm.py", "_bm25_contrib", "stats"):
         (A, "one-row corpus count/total-length aggregate"),
+    ("plans/llm.py", "_bm25_mq_scored", "qrel"):
+        (C, "literal (query_id, term) relation: |BM25_QUERY_SET| rows"),
     ("plans/llm.py", "simhash_near_dup_pairs", "sized"):
         (A, "(band_idx, byte) bucket ids: domain ≤ 4×256 rows"),
     ("plans/llm.py", "source_mixture_weights", "tot"):
@@ -160,6 +163,42 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (A, "one-row total"),
     ("plans/sketches.py", "heavy_hitter_tokens", "sketch"):
         (A, "freqItems sketch: one row"),
+    ("plans/sketches.py", "cms_user_freq_accuracy", "cells"):
+        (A, "CMS grid: CMS_D×CMS_W = 2,048 cells regardless of input"),
+    ("plans/sketches.py", "cms_user_freq_accuracy", "n_tot"):
+        (A, "one-row stream total"),
+    ("plans/classify.py", "_build_nb_scores", "vocab"):
+        (L, "top-NB_VOCAB_K vocabulary via orderBy().limit()"),
+    ("plans/classify.py", "_build_nb_scores", "tot"):
+        (A, "per-class in-vocab token totals; classes are a low-card "
+            "domain"),
+    ("plans/classify.py", "_build_nb_scores", "vsize"):
+        (A, "one-row capped-vocab count"),
+    ("plans/classify.py", "_build_nb_scores", "ntr"):
+        (A, "one-row train doc count"),
+    ("plans/classify.py", "_build_nb_scores",
+     "ll.withColumnRenamed('lang', 'pred_lang')"):
+        (L, "likelihood grid: ≤NB_VOCAB_K×classes rows by the vocab cap"),
+    ("plans/classify.py", "_build_nb_scores", "prior"):
+        (A, "per-class priors; classes are a low-card domain"),
+    ("plans/classify.py", "nb_kfold_accuracy",
+     "cnt_t.select('lang').distinct()"):
+        (A, "distinct classes: low-card domain"),
+    ("plans/classify.py", "nb_kfold_accuracy", "folds"):
+        (C, "fold spine: NB_FOLDS=5 rows"),
+    ("plans/classify.py", "nb_kfold_accuracy", "tot_f"):
+        (A, "folds×classes token totals"),
+    ("plans/classify.py", "nb_kfold_accuracy", "vs_f"):
+        (A, "per-fold vocab sizes: NB_FOLDS rows"),
+    ("plans/classify.py", "nb_kfold_accuracy", "ntr"):
+        (A, "per-fold train totals: NB_FOLDS rows"),
+    ("plans/classify.py", "nb_kfold_accuracy",
+     "ll.withColumnRenamed('lang', 'pred_lang')"):
+        (L, "CV likelihood grid: ≤NB_VOCAB_K×classes×folds rows by the "
+            "vocab cap"),
+    ("plans/classify.py", "nb_kfold_accuracy",
+     "prior.withColumnRenamed('lang', 'pred_lang')"):
+        (A, "folds×classes priors"),
 }
 
 
