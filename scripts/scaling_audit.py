@@ -49,6 +49,12 @@ MIN_BIG_SEC = 1.0
 DRIFT_FAIL_RATIO = 2.0
 DRIFT_WATCH_RATIO = 1.5
 DRIFT_MIN_SEC = 1.0
+# Watch rows are non-failing by calibration, but the prescribed
+# isolated-re-measure adjudication must be machine-enforced or
+# watch-zone drift silently carries across rounds (ADVICE r13): every
+# watch row needs a committed acknowledgment in SCALING_ACK.md, scoped
+# to the baseline record it adjudicated, or the audit exits 1.
+ACK_FILE = "SCALING_ACK.md"
 
 
 def _is_num(v) -> bool:
@@ -93,6 +99,71 @@ def cold_drift_flags(
             )
         )
     return rows
+
+
+def parse_acks(path: str) -> "set[tuple[str, str]]":
+    """(query, prior_record) pairs acknowledged in SCALING_ACK.md.
+
+    Entry format: ``- <query> @<prior_record>: <note>`` — the note is
+    the isolated re-measure result (SCALE.md round-9 rule) or the
+    bisected cause. Scoping an ack to the baseline record it
+    adjudicated means acks EXPIRE when the baseline advances: a future
+    watch-zone move of the same query against a newer record needs its
+    own adjudication, so watch-zone drift can never be silently
+    carried across rounds.
+    """
+    import re
+
+    acks = set()
+    try:
+        for line in open(path):
+            m = re.match(r"^- (\S+) @(\S+): \S", line)
+            if m:
+                acks.add((m.group(1), m.group(2)))
+    except OSError:
+        pass
+    return acks
+
+
+def unacked_watch_rows(
+    drift_rows: "list[tuple]", prior_label: str, acks: "set[tuple[str, str]]"
+) -> "list[str]":
+    """Watch-zone names with no acknowledgment against this baseline."""
+    return [
+        r[0] for r in drift_rows if r[5] and (r[0], prior_label) not in acks
+    ]
+
+
+def check_acks() -> int:
+    """Re-check watch-row acknowledgment against the EXISTING SCALING.md
+    without re-benching (seconds, not 40 minutes): after adjudicating a
+    watch row and recording it in SCALING_ACK.md, run
+    ``python scripts/scaling_audit.py --check-acks`` to confirm green.
+    """
+    import re
+
+    try:
+        text = open(os.path.join(REPO, "SCALING.md")).read()
+    except OSError:
+        print("no SCALING.md; run the full audit first", file=sys.stderr)
+        return 1
+    m = re.search(r"### Cold-build drift vs prior round \(([^)\s]+)", text)
+    prior_label = m.group(1) if m else "none"
+    watch = re.findall(
+        r"^\| (\S+) \| [\d.]+ \| [\d.]+ \| [\d.]+ \| watch", text, re.M
+    )
+    acks = parse_acks(os.path.join(REPO, ACK_FILE))
+    missing = [n for n in watch if (n, prior_label) not in acks]
+    if missing:
+        print(
+            f"UNACKED watch rows vs {prior_label}: {missing} — adjudicate "
+            f"with an isolated re-measure and record "
+            f"'- <query> @{prior_label}: <result>' in {ACK_FILE}",
+            file=sys.stderr,
+        )
+        return 1
+    print(f"watch-row acks OK ({len(watch)} watch rows vs {prior_label})")
+    return 0
 
 
 def latest_history_record(history_dir: str) -> "tuple[str, dict] | None":
@@ -233,8 +304,10 @@ def main() -> int:
         f"Same-SF (sf0.1) cold-build samples vs the previous round's "
         f"committed `bench_history` record. FAIL: grew > "
         f"{DRIFT_FAIL_RATIO}× AND current sample > {DRIFT_MIN_SEC}s; "
-        f"WATCH (non-failing, adjudicate with an isolated re-measure): "
-        f"ratio in ({DRIFT_WATCH_RATIO}, {DRIFT_FAIL_RATIO}] — the "
+        f"WATCH (adjudicate with an isolated re-measure, then record "
+        f"'- <query> @<record>: <result>' in {ACK_FILE} — an UNACKED "
+        f"watch row fails the audit until then): ratio in "
+        f"({DRIFT_WATCH_RATIO}, {DRIFT_FAIL_RATIO}] — the "
         "cross-SF superlinear rule is blind to build regressions that "
         "are uniform at every SF; this gate is not. Names with a null "
         "sentinel (flaked cold run) or no prior sample are skipped.",
@@ -242,10 +315,18 @@ def main() -> int:
         "| query | prior s | now s | ratio | flag |",
         "|---|---|---|---|---|",
     ]
+    acks = parse_acks(os.path.join(REPO, ACK_FILE))
+    watch_unacked = unacked_watch_rows(drift_rows, prior_label, acks)
     for name, t_prior, t_cur, r, bad, watch in sorted(
         drift_rows, key=lambda r: -r[3]
     ):
-        mark = "**DRIFT**" if bad else ("watch" if watch else "")
+        if bad:
+            mark = "**DRIFT**"
+        elif watch:
+            acked = (name, prior_label) in acks
+            mark = "watch (acked)" if acked else "watch (**UNACKED**)"
+        else:
+            mark = ""
         lines.append(
             f"| {name} | {t_prior:.3f} | {t_cur:.3f} | {r:.2f} | {mark} |"
         )
@@ -284,9 +365,22 @@ def main() -> int:
         )
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n" + trailer)
-    print(f"wrote SCALING.md; flagged={flagged}; drift_flagged={drift_flagged}")
-    return 1 if flagged or drift_flagged else 0
+    print(
+        f"wrote SCALING.md; flagged={flagged}; "
+        f"drift_flagged={drift_flagged}; watch_unacked={watch_unacked}"
+    )
+    if watch_unacked:
+        print(
+            f"UNACKED watch rows vs {prior_label}: {watch_unacked} — "
+            f"adjudicate with an isolated re-measure, record "
+            f"'- <query> @{prior_label}: <result>' in {ACK_FILE}, then "
+            f"re-check with --check-acks (no re-bench needed)",
+            file=sys.stderr,
+        )
+    return 1 if flagged or drift_flagged or watch_unacked else 0
 
 
 if __name__ == "__main__":
+    if "--check-acks" in sys.argv[1:]:
+        raise SystemExit(check_acks())
     raise SystemExit(main())

@@ -149,6 +149,35 @@ def test_drift_gate_skips_incomparable_samples():
     assert rows == []
 
 
+def test_watch_row_ack_gate_scoped_to_baseline(tmp_path):
+    # ADVICE r13: a watch row must not carry silently across rounds —
+    # it fails the audit unless acknowledged against the SAME baseline
+    # record; an ack against an older record has expired.
+    sa = _load_scaling_audit()
+    ack = tmp_path / "SCALING_ACK.md"
+    ack.write_text(
+        "# acks\n"
+        "- q_noise @r12.json: re-measured 2.1s, VM noise\n"
+        "- malformed line without the at-marker\n"
+        "- q_empty @r12.json:   \n"  # no note text: not an ack
+    )
+    acks = sa.parse_acks(str(ack))
+    assert acks == {("q_noise", "r12.json")}
+    # rows: (name, prior, cur, ratio, flagged, watch)
+    rows = [
+        ("q_noise", 3.0, 5.0, 1.67, False, True),
+        ("q_new", 3.0, 5.2, 1.73, False, True),
+        ("q_fine", 3.0, 3.1, 1.03, False, False),
+    ]
+    assert sa.unacked_watch_rows(rows, "r12.json", acks) == ["q_new"]
+    # baseline advanced: the old ack no longer covers q_noise
+    assert sa.unacked_watch_rows(rows, "r13.json", acks) == [
+        "q_noise",
+        "q_new",
+    ]
+    assert sa.parse_acks(str(tmp_path / "absent.md")) == set()
+
+
 def test_latest_history_record_picks_highest_round(tmp_path):
     sa = _load_scaling_audit()
     for name, payload in [
