@@ -31,6 +31,11 @@ _DRIVER_PRIORITY = [
     # post-change.
     # After this window, no name's evidence is older than r11 except
     # the logged deferral above.
+    # Added in round 14 BEYOND the window, owed to the r15 window as
+    # never-driver-checked (each mirror-green ×3 SFs on add):
+    # doc_repetition_profile + repetition_filter_census (Gopher-family
+    # duplicate-bigram fraction diagnostic and its exact-rational
+    # kept/dropped gate, plans/curation.py).
     # -- never driver-checked (r13 additions, each mirror-green ×3 SFs) --
     "nb_lang_confusion",
     "nb_confidence_filter",

@@ -473,3 +473,176 @@ def cross_source_contamination_matrix(
             ).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E4/E6 widening (round 14): intra-document repetition filter — the
+# Gopher/C4 duplicate-n-gram rule family (Rae et al. 2021 §A1.1: drop
+# documents whose duplicate-n-gram fraction exceeds a threshold), the
+# one standard curation gate the quality-scoring surface did not yet
+# express. Two artifacts over one shared per-document kernel:
+#
+# - ``doc_repetition_profile`` — the per-document diagnostic: total
+#   word-bigram occurrences, occurrences belonging to REPEATED bigrams
+#   (count >= 2 within the doc), and the duplicate fraction a
+#   threshold would gate on. Complements ``repetition_ngram_profile``
+#   (plans/llm.py), which reports the TOP-bigram occupancy rule —
+#   Gopher gates on both families; the duplicate-fraction one was
+#   missing.
+# - ``repetition_filter_census`` — the filter act: kept/dropped per
+#   source under the exact-rational gate dup_occ/n_grams > 1/10
+#   (integer cross-multiplication — no float enters the decision, so
+#   the gate is hash-exact cross-engine by construction).
+#
+# n = 2 (word bigrams): the gate must fire on the fixture's 10-99-token
+# synthetic docs to be testable; at those lengths 3-gram repeats are
+# near-absent (p95 ~ 0.02) while bigram repeats split the corpus ~20/80
+# at every SF. The kernel is n-generic in shape — the production
+# 3-gram/line variants change only the transform width.
+#
+# Scale shape (100 TB): one tokenize + explode (gram rows ~ token
+# rows), a map-side-combined (doc_id, gram) census, then a per-doc
+# rollup on doc_id — maximal-cardinality grouping keys end to end, no
+# window, no broadcast, no pair blowup. The census joins the doc spine
+# (doc_id, source — column-pruned scan) left onto the metrics so a
+# gram-less doc (< 2 tokens) is kept vacuously, identically in both
+# engines.
+REP_DUP_NUM = 1  # gate: drop when dup_occ / n_grams > NUM / DEN ...
+REP_DUP_DEN = 10  # ... compared as dup_occ * DEN > n_grams * NUM (exact)
+
+_REP_ORACLE_PREFIX = """
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             UNNEST(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    c AS (
+      SELECT doc_id, source, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY doc_id, source, gram
+    ),
+    m AS (
+      SELECT doc_id, source,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+               AS dup_occ
+      FROM c GROUP BY doc_id, source
+    )"""
+
+
+def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-bigram repetition census: ``(doc_id, source,
+    n_grams, dup_occ)`` for every doc with >= 2 tokens.
+
+    The >= 2-token filter is load-bearing: Spark's ``sequence(0, -1)``
+    is a DESCENDING sequence (DuckDB's ``range(1, 0)`` is empty), so an
+    unguarded transform would desynchronize the engines on 1-token
+    docs. Gram-less docs re-enter via the census's left-join spine.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    grams = docs.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(element_at(toks, i + 1), ' ',"
+                " element_at(toks, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("doc_id", "source", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("dup_occ"),
+        )
+    )
+
+
+@query(
+    "doc_repetition_profile",
+    oracle=_REP_ORACLE_PREFIX
+    + """
+    SELECT doc_id, n_grams, dup_occ,
+           FLOOR(CAST(dup_occ AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS dup_frac
+    FROM m
+    """,
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-bigram diagnostic (see the section note).
+
+    ``dup_frac`` is display-quantized half-up to 4 decimals (the
+    repo-wide float discipline); the filter census gates on the exact
+    integer rational instead, never on this rounded value.
+    """
+    m = _repetition_metrics(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "n_grams",
+        "dup_occ",
+        (
+            F.floor(
+                F.col("dup_occ").cast("double")
+                / F.col("n_grams").cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("dup_frac"),
+    )
+
+
+@query(
+    "repetition_filter_census",
+    oracle=_REP_ORACLE_PREFIX
+    + f""",
+    k AS (
+      SELECT t.source,
+             CASE WHEN COALESCE(m.dup_occ, 0) * {REP_DUP_DEN}
+                       > COALESCE(m.n_grams, 0) * {REP_DUP_NUM}
+                  THEN 0 ELSE 1 END AS keep
+      FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+    FROM k GROUP BY source
+    """,
+)
+def repetition_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-style repetition gate: kept/dropped per source under
+    dup_occ/n_grams > REP_DUP_NUM/REP_DUP_DEN, compared by integer
+    cross-multiplication so no float enters the decision. Docs without
+    bigrams (< 2 tokens) have no repetition evidence and are kept."""
+    spine = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    m = _repetition_metrics(spark, sf_dir).select(
+        "doc_id", "n_grams", "dup_occ"
+    )
+    dropped = (
+        F.coalesce(F.col("dup_occ"), F.lit(0)) * REP_DUP_DEN
+        > F.coalesce(F.col("n_grams"), F.lit(0)) * REP_DUP_NUM
+    )
+    return (
+        spine.join(m, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum((~dropped).cast("long")).cast("long").alias("n_kept"),
+            F.sum(dropped.cast("long")).cast("long").alias("n_dropped"),
+        )
+    )

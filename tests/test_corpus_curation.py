@@ -146,3 +146,64 @@ def test_incremental_dedup_agrees_with_snapshot_buckets(spark, sf_dir):
     for doc_id, flag in got.items():
         assert doc_id % INC_MOD == 0
         assert flag == (doc_id in expect_flagged)
+
+
+def test_repetition_filter_gate_and_accounting(spark, sf_dir, tmp_path):
+    # 1. Driver fixture: kept+dropped accounts for every doc per
+    #    source, and the gate agrees with the profile's exact rational
+    #    (dup_occ * 10 > n_grams) recomputed from the profile query.
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.curation import REP_DUP_DEN, REP_DUP_NUM
+
+    census = {
+        r.source: r
+        for r in QUERIES["repetition_filter_census"](spark, sf_dir).collect()
+    }
+    per_src = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {s: c.n_kept + c.n_dropped for s, c in census.items()} == per_src
+    prof = QUERIES["doc_repetition_profile"](spark, sf_dir).collect()
+    n_dropped = sum(
+        1 for r in prof if r.dup_occ * REP_DUP_DEN > r.n_grams * REP_DUP_NUM
+    )
+    assert sum(c.n_dropped for c in census.values()) == n_dropped > 0
+    assert sum(c.n_kept for c in census.values()) > 0  # non-degenerate
+
+    # 2. Adversarial corpus: a pathologically repetitive doc (one
+    #    bigram repeated throughout) must be dropped, an all-unique-
+    #    bigram doc kept, and a 1-token doc (no bigrams — Spark's
+    #    sequence(0,-1) descending-sequence trap) kept vacuously.
+    rows = [
+        (0, " ".join(["spam"] * 40), "en", "srcA", 1),
+        (1, " ".join(f"u{i}" for i in range(40)), "en", "srcA", 1),
+        (2, "solo", "en", "srcB", 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in QUERIES["repetition_filter_census"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got["srcA"].n_kept, got["srcA"].n_dropped) == (1, 1)
+    assert (got["srcB"].n_kept, got["srcB"].n_dropped) == (1, 0)
+    prof2 = {
+        r.doc_id: r
+        for r in QUERIES["doc_repetition_profile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert prof2[0].dup_occ == prof2[0].n_grams == 39  # all duplicate
+    assert prof2[0].dup_frac == 1.0
+    assert prof2[1].dup_occ == 0
+    assert 2 not in prof2  # no bigrams: excluded from the profile
