@@ -392,6 +392,19 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Determinism: xxhash64 with fixed per-row salts — for a fixed dataset
 # the sketch, the estimates, and both gate columns are exactly
 # reproducible (no RNG), so driver evidence is stable.
+#
+# Bound margin (ADVICE r13, adjudicated r14): the ⌈e·N/w⌉ bound is
+# probabilistic per the Markov argument (~e^-CMS_DEPTH ≈ 1.8% per
+# point at depth 4), so a fixture REGENERATION could in principle land
+# a point past it with a correct sketch. Depth stays at 4: the
+# fixtures are deterministic (no regeneration path exists in this
+# repo), the measured worst case at sf0.1 is 181 against a 531 bound
+# (~3× margin at the largest SF, re-checked by every mirror run), and
+# the failure mode, were fixtures ever regenerated, is a loud driver
+# hash mismatch on a gate column — the contract working as designed,
+# not silent corruption. Deepening to 5 would cost every reader 25%
+# more grid rows to buy headroom against an event that cannot
+# currently occur.
 CMS_DEPTH = 4
 CMS_WIDTH = 512
 CMS_TOPK = 20
