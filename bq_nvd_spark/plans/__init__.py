@@ -35,7 +35,10 @@ _DRIVER_PRIORITY = [
     # never-driver-checked (each mirror-green ×3 SFs on add):
     # doc_repetition_profile + repetition_filter_census (Gopher-family
     # duplicate-bigram fraction diagnostic and its exact-rational
-    # kept/dropped gate, plans/curation.py).
+    # kept/dropped gate, plans/curation.py);
+    # lm_doc_perplexity + lm_ppl_bucket_census (CCNet-style bigram-LM
+    # perplexity scoring and head/middle/tail census, E11d in
+    # plans/classify.py).
     # -- never driver-checked (r13 additions, each mirror-green ×3 SFs) --
     "nb_lang_confusion",
     "nb_confidence_filter",

@@ -668,3 +668,224 @@ def nb_kfold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_scored"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E11d (round 14): bigram-LM perplexity scoring — the OTHER classic
+# learned curation gate. CCNet (Wenzek et al. 2019) buckets a crawled
+# corpus into head/middle/tail by the perplexity of a language model
+# trained on a trusted split, and downstream pipelines keep the
+# low-perplexity buckets; this is that component's engine-native shape:
+# an add-one-smoothed bigram LM trained on the md5-bucket train split,
+# scoring every held-out document.
+#
+# - ``lm_doc_perplexity`` — the per-document score artifact: bigram
+#   count, total negative log-likelihood (exact integer micro-nats),
+#   and the average NLL a threshold gates on.
+# - ``lm_ppl_bucket_census`` — the CCNet bucket census: head/middle/
+#   tail per language, assigned by EXACT integer cross-multiplication
+#   (nll_micro <= n_bigrams * threshold) so no float enters the
+#   decision. Production sets the thresholds from corpus terciles; the
+#   constants here split the fixture non-degenerately at every SF.
+#
+# Scale shape (100 TB): the trained model IS the (w1, w2) count
+# relation — bigram and unigram types are data-proportional (the same
+# Heaps'-law growth the NB vocab cap guards against), so the model is
+# NEVER broadcast: held-out bigrams reach it through plain shuffle
+# equi-joins on (w1, w2) and (w1) — the distributed KenLM shape, counts
+# stay sharded. Only the one-row vocabulary size rides a broadcast.
+# The train bigram census is stage-checkpointed: the unigram relation,
+# the vocab size, and the score join all derive from it, so the
+# corpus-sized train explode runs once.
+LM_PPL_HEAD_MICRO = 3_400_000  # avg NLL <= 3.40 nats -> head
+LM_PPL_TAIL_MICRO = 3_430_000  # avg NLL  > 3.43 nats -> tail
+
+_LM_ORACLE_PREFIX = f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text, {_DUCK_BUCKET} AS bucket FROM documents
+    ),
+    train AS (SELECT * FROM docs WHERE bucket < {TRAIN_END}),
+    held AS (SELECT * FROM docs WHERE bucket >= {TRAIN_END}),
+    tb AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT string_split(text, ' ') AS toks FROM train),
+           UNNEST(range(1, len(toks))) AS t(i)
+    ),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM tb GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY w1
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    hb AS (
+      SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM held),
+           UNNEST(range(1, len(toks))) AS t(i)
+    ),
+    sc AS (
+      SELECT h.doc_id, h.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(-{_sql_micro_ln(
+               "CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE)"
+               " / CAST(COALESCE(u.c1, 0) + v.v AS DOUBLE)"
+             )}) AS BIGINT) AS nll_micro
+      FROM hb h
+      LEFT JOIN big b ON b.w1 = h.w1 AND b.w2 = h.w2
+      LEFT JOIN uni u ON u.w1 = h.w1
+      CROSS JOIN v
+      GROUP BY h.doc_id, h.lang
+    )"""
+
+
+def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared bigram-LM kernel: per-held-doc ``(doc_id, lang,
+    n_bigrams, nll_micro)``. Memoized via ``shared_stage`` — both E11d
+    consumers score the corpus once (same discipline as ``_nb_scores``).
+    """
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("lm_scores", sf_dir),
+        lambda: _build_lm_scores(spark, sf_dir),
+    )
+
+
+def _build_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kernel's build pipeline (see ``_lm_scores`` for the memo).
+
+    Add-one smoothing over the train bigram table: an unseen
+    continuation scores ln(1 / (c(w1) + V)), an unseen HISTORY
+    ln(1 / V) — every held-out bigram gets a defined probability, so
+    no document is excluded (unlike the NB kernels, where an
+    all-OOV doc has no evidence at all). A held doc with < 2 tokens
+    has no bigrams and is absent, identically in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _spark_bucket().alias("bucket")
+    )
+    bigrams = F.explode(
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> struct(element_at(toks, i + 1) AS w1,"
+            " element_at(toks, i + 2) AS w2))"
+        )
+    )
+
+    def _pairs(side: DataFrame, *keep: str) -> DataFrame:
+        toks = side.select(
+            *keep, F.split("text", " ").alias("toks")
+        ).filter(F.size("toks") >= 2)
+        return toks.select(*keep, bigrams.alias("bg")).select(
+            *keep, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+
+    tb = _pairs(docs.filter(F.col("bucket") < TRAIN_END))
+    big = stage_checkpoint(
+        tb.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("c2")
+        )
+    )
+    uni = big.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    v = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+
+    hb = _pairs(
+        docs.filter(F.col("bucket") >= TRAIN_END), "doc_id", "lang"
+    )
+    return (
+        hb.join(big, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                -_micro_ln(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
+                        "double"
+                    )
+                )
+            ).alias("neg_ll"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("neg_ll").cast("long").alias("nll_micro"),
+        )
+    )
+
+
+@query(
+    "lm_doc_perplexity",
+    oracle=_LM_ORACLE_PREFIX
+    + """
+    SELECT doc_id, lang, n_bigrams, nll_micro,
+           CAST(FLOOR(CAST(nll_micro AS DOUBLE)
+                      / CAST(n_bigrams AS DOUBLE) + 0.5) AS BIGINT)
+             AS avg_nll_micro
+    FROM sc
+    """,
+)
+def lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-held-document bigram-LM negative log-likelihood (exact
+    integer micro-nats) and its half-up-rounded per-bigram average —
+    the score a CCNet-style perplexity gate thresholds on. The average
+    divides two exact integers far below 2^53, so the double division
+    and FLOOR agree cross-engine bit-for-bit."""
+    sc = _lm_scores(spark, sf_dir)
+    return sc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "nll_micro",
+        F.floor(
+            F.col("nll_micro").cast("double")
+            / F.col("n_bigrams").cast("double")
+            + 0.5
+        )
+        .cast("long")
+        .alias("avg_nll_micro"),
+    )
+
+
+@query(
+    "lm_ppl_bucket_census",
+    oracle=_LM_ORACLE_PREFIX
+    + f"""
+    SELECT lang,
+           CASE WHEN nll_micro <= n_bigrams * {LM_PPL_HEAD_MICRO}
+                THEN 'head'
+                WHEN nll_micro <= n_bigrams * {LM_PPL_TAIL_MICRO}
+                THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sc
+    GROUP BY lang, ppl_bucket
+    """,
+)
+def lm_ppl_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail census per language: bucket
+    membership by exact integer cross-multiplication against the two
+    avg-NLL thresholds — no float in the decision — over the shared
+    scored relation (no new corpus-sized work beyond ``_lm_scores``)."""
+    sc = _lm_scores(spark, sf_dir)
+    bucket = (
+        F.when(
+            F.col("nll_micro")
+            <= F.col("n_bigrams") * LM_PPL_HEAD_MICRO,
+            "head",
+        )
+        .when(
+            F.col("nll_micro")
+            <= F.col("n_bigrams") * LM_PPL_TAIL_MICRO,
+            "middle",
+        )
+        .otherwise("tail")
+    )
+    return (
+        sc.select("lang", bucket.alias("ppl_bucket"))
+        .groupBy("lang", "ppl_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

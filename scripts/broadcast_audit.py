@@ -199,6 +199,10 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
     ("plans/classify.py", "nb_kfold_accuracy",
      "prior.withColumnRenamed('lang', 'pred_lang')"):
         (A, "folds×classes priors"),
+    ("plans/classify.py", "_build_lm_scores", "v"):
+        (A, "one-row vocabulary-size count (the LM count relations "
+            "themselves are data-proportional and are shuffle-joined, "
+            "never hinted)"),
 }
 
 

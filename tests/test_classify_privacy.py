@@ -233,3 +233,60 @@ def test_nb_kfold_accounts_all_docs_and_aces_separable_corpus(
     cv2 = QUERIES["nb_kfold_accuracy"](spark, str(tmp_path)).collect()
     assert len(cv2) == NB_FOLDS
     assert all(r.n_correct == r.n_scored for r in cv2), cv2
+
+
+def test_lm_perplexity_ranks_fluency_and_accounts_all_held_docs(
+    spark, sf_dir, tmp_path
+):
+    # Driver fixture: every held doc (all have >= 2 tokens) is scored
+    # exactly once, the census partitions the scored set, and all
+    # three CCNet buckets are inhabited (measured non-degenerate at
+    # every SF when the thresholds were calibrated).
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.sampling import TRAIN_END, _spark_bucket
+
+    prof = QUERIES["lm_doc_perplexity"](spark, sf_dir).collect()
+    held = (
+        load_table(spark, sf_dir, "documents")
+        .filter(_spark_bucket() >= TRAIN_END)
+        .count()
+    )
+    assert len(prof) == held
+    assert len({r.doc_id for r in prof}) == held
+    census = QUERIES["lm_ppl_bucket_census"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in census) == held
+    by_bucket: dict[str, int] = {}
+    for r in census:
+        by_bucket[r.ppl_bucket] = by_bucket.get(r.ppl_bucket, 0) + r.n_docs
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert all(n > 0 for n in by_bucket.values())
+
+    # Synthetic corpus: a held doc made of train-frequent bigrams must
+    # score strictly lower avg NLL than a gibberish doc of unseen
+    # tokens — the fluency ordering a broken model (constant
+    # probabilities) cannot produce, and mirrored oracles cannot catch.
+    import hashlib
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    ids = list(range(400))
+    train_ids = [i for i in ids if bucket(i) < TRAIN_END]
+    held_ids = [i for i in ids if bucket(i) >= TRAIN_END]
+    fluent = "alpha beta " * 10
+    rows = [(t, fluent.strip(), "en", "src0", 1) for t in train_ids[:5]]
+    rows.append((held_ids[0], fluent.strip(), "en", "src0", 1))
+    rows.append(
+        (held_ids[1], "zz9 qq7 xx3 vv1 kk8 jj2", "en", "src0", 1)
+    )
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: r
+        for r in QUERIES["lm_doc_perplexity"](spark, str(tmp_path)).collect()
+    }
+    assert got[held_ids[0]].avg_nll_micro < got[held_ids[1]].avg_nll_micro
