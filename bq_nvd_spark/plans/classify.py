@@ -112,8 +112,15 @@ _NB_ORACLE_PREFIX = f"""
       ) ORDER BY df DESC, term LIMIT {NB_VOCAB_K}
     ),
     cntv AS (SELECT c.* FROM cnt c JOIN vocab v ON v.term = c.term),
+    -- class spine from the UNCAPPED counts: a class whose every term
+    -- lost the vocab budget keeps Laplace-smoothed grid rows (tot=0)
+    -- instead of silently vanishing from the model — the same
+    -- ignorant-class-pays-the-penalty rule as the CV kernel's spine
     tot AS (
-      SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cntv GROUP BY lang
+      SELECT c0.lang, CAST(COALESCE(SUM(cv.c), 0) AS BIGINT) AS tot
+      FROM (SELECT DISTINCT lang FROM cnt) c0
+      LEFT JOIN cntv cv ON cv.lang = c0.lang
+      GROUP BY c0.lang
     ),
     vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
     ll AS (
@@ -235,7 +242,23 @@ def _build_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     cntv = cnt.join(F.broadcast(vocab), "term")
-    tot = cntv.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    # Class spine from the UNCAPPED counts: a class whose every term
+    # lost the vocab budget keeps Laplace-smoothed grid rows (tot=0)
+    # instead of silently vanishing from the model — the same
+    # ignorant-class-pays-the-penalty rule as the CV kernel's spine.
+    tot = (
+        cnt.select("lang")
+        .distinct()
+        .join(
+            cntv.groupBy("lang").agg(F.sum("c").cast("long").alias("t")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("tot"),
+        )
+    )
     vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
 
     # Laplace grid: every (class, capped-vocab term) pair gets a

@@ -538,11 +538,28 @@ def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document word-bigram repetition census: ``(doc_id, source,
     n_grams, dup_occ)`` for every doc with >= 2 tokens.
 
+    Memoized per (application, sf_dir) via ``shared_stage`` — both
+    consumers (profile, filter census) read the same materialized
+    relation, so a session pass pays the corpus tokenize once (the
+    same two-consumers-of-one-expensive-kernel shape as ``_nb_scores``
+    / ``_lm_scores``).
+
     The >= 2-token filter is load-bearing: Spark's ``sequence(0, -1)``
     is a DESCENDING sequence (DuckDB's ``range(1, 0)`` is empty), so an
     unguarded transform would desynchronize the engines on 1-token
     docs. Gram-less docs re-enter via the census's left-join spine.
     """
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("repetition_metrics", sf_dir),
+        lambda: _build_repetition_metrics(spark, sf_dir),
+    )
+
+
+def _build_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kernel's build pipeline (see ``_repetition_metrics``)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("toks")
     )

@@ -144,6 +144,52 @@ def test_nb_vocab_cap_drops_rare_terms(spark, tmp_path):
     assert sum(r.n_scored for r in cv) == len(rows) - 2, cv
 
 
+def test_nb_capped_out_class_stays_in_the_model(spark, tmp_path):
+    # Round-14 code-review finding: a class whose EVERY train term
+    # loses the vocab budget must keep Laplace-smoothed grid rows
+    # (tot=0), not vanish from the model — vanishing makes the class
+    # unpredictable forever, and the mirrored oracle shares the
+    # algebra so parity can't catch it. Engineered so 'mn' must WIN
+    # (uniform crowd counts would tie exactly: (c+1)/((c+1)*4096) =
+    # 1/4096 = mn's smoothed likelihood, so a skew doc inflates
+    # tot_en): per 'aaa_00000' token, ll_mn = ln(1/4096) beats
+    # ll_en = ln(3/13288) by ~78k micro; 100 tokens overcome the
+    # ln(1/4)-vs-ln(3/4) prior gap (~1.1M micro) ~7x over —
+    # deterministic integer margins, not a knife edge.
+    import hashlib
+
+    from bq_nvd_spark.plans.classify import NB_VOCAB_K
+    from bq_nvd_spark.plans.sampling import TRAIN_END as _TE
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    ids = list(range(400))
+    train_ids = [i for i in ids if bucket(i) < _TE]
+    held_ids = [i for i in ids if bucket(i) >= _TE]
+    crowd = " ".join(f"aaa_{k:05d}" for k in range(NB_VOCAB_K + 100))
+    rows = [
+        (train_ids[0], crowd, "en", "src0", 1),
+        (train_ids[1], crowd, "en", "src0", 1),
+        # the skew doc: inflates tot_en so aaa_00000 is RARER than
+        # average for en, breaking the structural uniform-count tie
+        (train_ids[3], " ".join(["aaa_00001"] * 1000), "en", "src0", 1),
+        # mn trains ONLY on the capped-out rare term: tot_mn = 0
+        (train_ids[2], "zzz_rare", "mn", "src0", 1),
+        (held_ids[0], " ".join(["aaa_00000"] * 100), "mn", "src0", 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    conf = QUERIES["nb_lang_confusion"](spark, str(tmp_path)).collect()
+    assert [(r.actual_lang, r.pred_lang, r.n_docs) for r in conf] == [
+        ("mn", "mn", 1)
+    ], conf
+
+
 def test_pii_census_counts_match_injection_arithmetic(spark, sf_dir):
     census = {r.source: r for r in QUERIES["pii_redaction_census"](spark, sf_dir).collect()}
     docs = (
