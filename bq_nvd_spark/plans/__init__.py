@@ -38,7 +38,10 @@ _DRIVER_PRIORITY = [
     # kept/dropped gate, plans/curation.py);
     # lm_doc_perplexity + lm_ppl_bucket_census (CCNet-style bigram-LM
     # perplexity scoring and head/middle/tail census, E11d in
-    # plans/classify.py).
+    # plans/classify.py);
+    # mmr_diverse_topk (greedy MMR diversified retrieval over the
+    # cosine pool, exact-integer trace via grouped applyInPandas, E3
+    # in plans/similarity_search.py).
     # -- never driver-checked (r13 additions, each mirror-green ×3 SFs) --
     "nb_lang_confusion",
     "nb_confidence_filter",

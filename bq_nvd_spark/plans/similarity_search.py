@@ -10,6 +10,8 @@ float reduction is a sequential fold.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1079,4 +1081,248 @@ def label_cohesion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "n_vecs",
         (F.floor(coh * 1_000_000 + 0.5) / 1_000_000).alias("cohesion_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E3 widening (round 14): MMR diversified retrieval (Carbonell &
+# Goldstein 1998) — the re-rank every production retrieval stack runs
+# between ANN candidates and the consumer: greedily pick the candidate
+# maximizing lam*rel(q,d) - (1-lam)*max_{s in S} sim(d, s), so the
+# result page trades raw relevance for coverage. Exactness contract:
+# relevance and pairwise sims are quantized to integer 1e-4 units
+# (the family's floor(x*10000+0.5) discipline), lam = 7/10 enters as
+# integer cross-multiplication (score = 7*rel - 3*maxsim), and every
+# argmax tie-breaks on vec_id — the whole greedy trace is exact
+# integer arithmetic, hash-identical cross-engine.
+#
+# Scale shape (100 TB): the corpus-sized work is ONE relevance pass
+# (the cosine_topk shape: broadcast query set, per-row Arrow fold, one
+# top-POOL window per query); the greedy loop then runs over the
+# CHECKPOINTED pool (queries x MMR_POOL rows) and its pairwise-sim
+# relation (queries x POOL^2) — both limit-bounded, so the K driver-
+# side plan-building iterations never touch the corpus again and the
+# K argmaxes window over bounded relations. MMR's sequential data
+# dependency is irreducible (pick i needs picks 1..i-1); bounding the
+# pool is what makes the greedy loop scale-free.
+MMR_POOL = 20  # relevance pool the greedy re-rank selects from
+MMR_K = 5  # picks per query
+MMR_LAM_NUM = 7  # lam = 7/10: score = 7*rel_e4 - 3*maxsim_e4
+MMR_LAM_DEN = 10
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL: one (m_i, c_i, p_i, s_i) CTE block
+    per pick, generated from the same constants the Spark plan uses so
+    the two traces cannot drift apart."""
+    lam, mu = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
+    blocks = [
+        f"""
+    p1 AS (
+      SELECT q_id, vec_id, CAST(1 AS INTEGER) AS mmr_rank,
+             CAST({lam} * rel_e4 AS BIGINT) AS mmr_score
+      FROM pool WHERE prn = 1
+    ),
+    s1 AS (SELECT * FROM p1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        blocks.append(f"""
+    m{i} AS (
+      SELECT p.q_id, p.vid_a AS vec_id, MAX(p.sim_e4) AS ms
+      FROM pairs p
+      JOIN s{i - 1} s ON s.q_id = p.q_id AND s.vec_id = p.vid_b
+      GROUP BY p.q_id, p.vid_a
+    ),
+    c{i} AS (
+      SELECT r.q_id, r.vec_id,
+             CAST({lam} * r.rel_e4 - {mu} * m.ms AS BIGINT) AS sc
+      FROM pool r
+      JOIN m{i} m ON m.q_id = r.q_id AND m.vec_id = r.vec_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s{i - 1} s
+        WHERE s.q_id = r.q_id AND s.vec_id = r.vec_id
+      )
+    ),
+    p{i} AS (
+      SELECT q_id, vec_id, CAST({i} AS INTEGER) AS mmr_rank,
+             sc AS mmr_score
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY q_id ORDER BY sc DESC, vec_id) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ),
+    s{i} AS (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM p{i})""")
+    return (
+        f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
+    ),
+    q AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+      WHERE vec_id < {_QUERY_MAX_ID}
+    ),
+    c AS (
+      SELECT vec_id, v AS cv, nrm AS cn FROM n
+      WHERE vec_id >= {_QUERY_MAX_ID}
+    ),
+    rel AS (
+      SELECT q.q_id, c.vec_id, c.cv, c.cn,
+             CAST(FLOOR({duck_fold_dot('qv', 'cv')} / (qn * cn) * 10000
+                        + 0.5) AS BIGINT) AS rel_e4
+      FROM c CROSS JOIN q
+    ),
+    pool AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY q_id ORDER BY rel_e4 DESC, vec_id) AS prn
+        FROM rel
+      ) WHERE prn <= {MMR_POOL}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.q_id, a.vec_id AS vid_a, b.vec_id AS vid_b,
+             CAST(FLOOR({duck_fold_dot('a.cv', 'b.cv')} / (a.cn * b.cn)
+                        * 10000 + 0.5) AS BIGINT) AS sim_e4
+      FROM pool a
+      JOIN pool b ON b.q_id = a.q_id AND b.vec_id <> a.vec_id
+    ),"""
+        + ",".join(blocks)
+        + f"""
+    SELECT q_id, mmr_rank, vec_id, mmr_score FROM s{MMR_K}
+    """
+    )
+
+
+@query("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-rank of the per-query top-MMR_POOL relevance pool
+    (see the section note for the exactness and scale contracts)."""
+    from pyspark.sql.window import Window
+
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
+    emb = _spread_embeddings(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
+    )
+    q = normed.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = normed.filter(F.col("vec_id") >= _QUERY_MAX_ID).select(
+        "vec_id", F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    rel = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        "cv",
+        "cn",
+        F.floor(
+            fold_dot_np("qv", "cv") / (F.col("qn") * F.col("cn")) * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("rel_e4"),
+    )
+    wpool = Window.partitionBy("q_id").orderBy(
+        F.desc("rel_e4"), F.asc("vec_id")
+    )
+    # The ONE corpus-sized pass ends here: checkpoint the pool (with
+    # vectors, queries x MMR_POOL rows) so the greedy loop's K
+    # consumers and the pairwise-sim relation read a materialized
+    # limit-bounded relation instead of replaying the scan.
+    # coalesce(1): the pool is <= queries x MMR_POOL rows; one
+    # partition keeps every greedy-loop stage at one task instead of
+    # paying 32-way scheduling per iteration on a 100-row relation.
+    pool = stage_checkpoint(
+        rel.withColumn("prn", F.row_number().over(wpool))
+        .filter(F.col("prn") <= MMR_POOL)
+        .coalesce(1)
+    )
+    a = pool.select(
+        "q_id",
+        F.col("vec_id").alias("vid_a"),
+        F.col("cv").alias("va"),
+        F.col("cn").alias("na"),
+    )
+    b = pool.select(
+        "q_id",
+        F.col("vec_id").alias("vid_b"),
+        F.col("cv").alias("vb"),
+        F.col("cn").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "q_id")
+        .filter(F.col("vid_a") != F.col("vid_b"))
+        .select(
+            "q_id",
+            "vid_a",
+            "vid_b",
+            F.floor(
+                fold_dot_np("va", "vb") / (F.col("na") * F.col("nb"))
+                * 10000
+                + 0.5
+            )
+            .cast("long")
+            .alias("sim_e4"),
+        )
+    )
+    # The greedy trace is irreducibly sequential (pick i needs picks
+    # 1..i-1), so it runs per query group in ONE applyInPandas over the
+    # bounded (candidate, candidate) sim relation joined with the
+    # candidates' relevance — exact integer arithmetic in pandas, the
+    # same trace the unrolled SQL oracle walks. A DataFrame-op loop
+    # (window argmax + anti-join per pick) is semantically identical
+    # but pays ~10 exchanges of scheduling for 100-row relations; the
+    # grouped kernel pays one.
+    rel_a = pool.select(
+        "q_id", F.col("vec_id").alias("vid_a"), "rel_e4"
+    )
+    feed = pairs.join(rel_a, ["q_id", "vid_a"])
+    lam, mu = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        q_id = pdf["q_id"].iloc[0]
+        rel_by = (
+            pdf[["vid_a", "rel_e4"]]
+            .drop_duplicates("vid_a")
+            .set_index("vid_a")["rel_e4"]
+            .to_dict()
+        )
+        sim = {
+            (a, b): s_
+            for a, b, s_ in zip(pdf["vid_a"], pdf["vid_b"], pdf["sim_e4"])
+        }
+        picked: "list[tuple]" = []
+        chosen: "list[int]" = []
+        remaining = sorted(rel_by)
+        while remaining and len(picked) < MMR_K:
+            best = None
+            for v in remaining:
+                if chosen:
+                    score = int(lam) * int(rel_by[v]) - int(mu) * max(
+                        int(sim[(v, c)]) for c in chosen
+                    )
+                else:
+                    score = int(lam) * int(rel_by[v])
+                # argmax, ties to the SMALLEST vec_id (remaining is
+                # sorted ascending, so strict > keeps the first)
+                if best is None or score > best[0]:
+                    best = (score, v)
+            picked.append(
+                (q_id, len(picked) + 1, best[1], best[0])
+            )
+            chosen.append(best[1])
+            remaining.remove(best[1])
+        return pd.DataFrame(
+            picked, columns=["q_id", "mmr_rank", "vec_id", "mmr_score"]
+        )
+
+    return feed.groupBy("q_id").applyInPandas(
+        _greedy,
+        schema="q_id bigint, mmr_rank int, vec_id bigint, mmr_score bigint",
     )

@@ -143,6 +143,8 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (C, "region: 5 rows"),
     ("plans/similarity_search.py", "ann_lsh_topk", "q"):
         (C, "query set: vec_id < 5 by construction"),
+    ("plans/similarity_search.py", "mmr_diverse_topk", "q"):
+        (C, "query set: vec_id < 5 by construction"),
     ("plans/similarity_search.py", "ivf_topk", "cent_arr"):
         (C, "IVF centroid array: one row of K=16 structs"),
     ("plans/similarity_search.py", "ivf_topk", "probes"):

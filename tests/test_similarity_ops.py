@@ -332,3 +332,75 @@ def test_emb_refine_protects_cluster_from_outsider_anchor(spark):
     assert got == {(1, b) for b in range(2, m + 1)}, (
         "cluster must star on its own min id (1), never the outsider (0)"
     )
+
+
+def test_mmr_diversifies_past_a_duplicate_and_handles_short_pools(
+    spark, sf_dir, tmp_path
+):
+    # Driver fixture invariants: K picks per query, ranks 1..K, no
+    # repeats within a query, and rank 1 == pure relevance argmax
+    # (MMR's first pick has no diversity term).
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.similarity_search import MMR_K
+
+    rows = QUERIES["mmr_diverse_topk"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, picks in by_q.items():
+        assert sorted(p.mmr_rank for p in picks) == list(
+            range(1, MMR_K + 1)
+        )
+        assert len({p.vec_id for p in picks}) == MMR_K
+    top = {
+        r.q_id: r.vec_id
+        for r in QUERIES["cosine_topk"](spark, sf_dir).collect()
+        if r.sim == max(
+            x.sim
+            for x in QUERIES["cosine_topk"](spark, sf_dir).collect()
+            if x.q_id == r.q_id
+        )
+    }
+    for q_id, picks in by_q.items():
+        rank1 = next(p.vec_id for p in picks if p.mmr_rank == 1)
+        assert rank1 == top[q_id]
+
+    # Synthetic geometry: candidate 6 is an exact duplicate of the
+    # top hit 5 (rel .9, sim 1.0 -> score 7*9000-3*10000 = 33000);
+    # candidate 7 is less relevant but diverse (rel .8, sim .72 ->
+    # 7*8000-3*7200 = 34400), so MMR must rank 7 over the duplicate —
+    # pure relevance ordering would pick 6. Only 3 candidates exist,
+    # so the greedy loop must also stop early (3 picks, not MMR_K).
+    import math
+
+    dim = 64
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    c5 = vec((0, 0.9), (2, math.sqrt(1 - 0.81)))
+    rows2 = [
+        (0, vec((0, 1.0))),          # the query under test
+        (1, vec((1, 1.0))),
+        (2, vec((1, 1.0))),
+        (3, vec((1, 1.0))),
+        (4, vec((1, 1.0))),
+        (5, c5),
+        (6, list(c5)),               # exact duplicate of 5
+        (7, vec((0, 0.8), (3, 0.6))),
+    ]
+    spark.createDataFrame(
+        rows2, "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = [
+        r
+        for r in QUERIES["mmr_diverse_topk"](spark, str(tmp_path)).collect()
+        if r.q_id == 0
+    ]
+    got.sort(key=lambda r: r.mmr_rank)
+    assert [r.vec_id for r in got] == [5, 7, 6], got
+    assert [r.mmr_rank for r in got] == [1, 2, 3]
