@@ -41,7 +41,10 @@ _DRIVER_PRIORITY = [
     # plans/classify.py);
     # mmr_diverse_topk (greedy MMR diversified retrieval over the
     # cosine pool, exact-integer trace via grouped applyInPandas, E3
-    # in plans/similarity_search.py).
+    # in plans/similarity_search.py);
+    # lm_ppl_tercile_cutoffs (exact avg-NLL terciles over the held
+    # corpus via rank_select — how CCNet sets the bucket thresholds;
+    # E11d in plans/classify.py).
     # -- never driver-checked (r13 additions, each mirror-green ×3 SFs) --
     "nb_lang_confusion",
     "nb_confidence_filter",

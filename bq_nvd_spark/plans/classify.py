@@ -912,3 +912,60 @@ def lm_ppl_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "ppl_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@query(
+    "lm_ppl_tercile_cutoffs",
+    oracle=_LM_ORACLE_PREFIX
+    + """,
+    av AS (
+      SELECT CAST(FLOOR(CAST(nll_micro AS DOUBLE)
+                        / CAST(n_bigrams AS DOUBLE) + 0.5) AS BIGINT) AS a
+      FROM sc
+    ),
+    r AS (
+      SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn,
+             COUNT(*) OVER () AS n
+      FROM av
+    )
+    SELECT p.pct,
+           MAX(CASE WHEN r.rn = (p.num * r.n + 2) // 3
+                    THEN r.a END) AS avg_nll_micro
+    FROM r CROSS JOIN (VALUES ('t33', 1), ('t66', 2)) p(pct, num)
+    GROUP BY p.pct
+    """,
+)
+def lm_ppl_tercile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact avg-NLL tercile cutoffs over the held-out corpus —
+    how CCNet actually SETS the head/middle/tail thresholds that
+    ``lm_ppl_bucket_census`` consumes as constants: values at ranks
+    ⌈n/3⌉ and ⌈2n/3⌉ of the per-doc average NLL.
+
+    Selection runs through ``operators/rank_select.exact_rank_values``
+    (histogram-refinement: aggregate + a few map-side-combined cell
+    scans, driver state census-bounded) — no global sort, no
+    un-partitioned Window; the oracle's ROW_NUMBER form picks the same
+    tie-independent element. The scored relation is the memoized
+    ``_lm_scores``, so this adds no corpus-sized work beyond the
+    kernel the census already pays for.
+    """
+    from bq_nvd_spark.operators.rank_select import exact_rank_values
+
+    av = _lm_scores(spark, sf_dir).select(
+        F.floor(
+            F.col("nll_micro").cast("double")
+            / F.col("n_bigrams").cast("double")
+            + 0.5
+        )
+        .cast("long")
+        .alias("a")
+    )
+    cuts = exact_rank_values(
+        av,
+        "a",
+        lambda n: {"t33": (n + 2) // 3, "t66": (2 * n + 2) // 3},
+    ).get(None, {})
+    return spark.createDataFrame(
+        sorted((k, int(v)) for k, v in cuts.items()),
+        "pct string, avg_nll_micro long",
+    )

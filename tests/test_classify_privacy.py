@@ -336,3 +336,21 @@ def test_lm_perplexity_ranks_fluency_and_accounts_all_held_docs(
         for r in QUERIES["lm_doc_perplexity"](spark, str(tmp_path)).collect()
     }
     assert got[held_ids[0]].avg_nll_micro < got[held_ids[1]].avg_nll_micro
+
+
+def test_lm_tercile_cutoffs_are_exact_order_statistics(spark, sf_dir):
+    import math
+
+    cuts = {
+        r.pct: r.avg_nll_micro
+        for r in QUERIES["lm_ppl_tercile_cutoffs"](spark, sf_dir).collect()
+    }
+    assert set(cuts) == {"t33", "t66"} and cuts["t33"] <= cuts["t66"]
+    avgs = sorted(
+        r.avg_nll_micro
+        for r in QUERIES["lm_doc_perplexity"](spark, sf_dir).collect()
+    )
+    n = len(avgs)
+    # the value at rank ceil(p*n/3) — exactly the selector's contract
+    assert cuts["t33"] == avgs[math.ceil(n / 3) - 1]
+    assert cuts["t66"] == avgs[math.ceil(2 * n / 3) - 1]
