@@ -44,7 +44,10 @@ _DRIVER_PRIORITY = [
     # in plans/similarity_search.py);
     # lm_ppl_tercile_cutoffs (exact avg-NLL terciles over the held
     # corpus via rank_select — how CCNet sets the bucket thresholds;
-    # E11d in plans/classify.py).
+    # E11d in plans/classify.py);
+    # streaming_repetition_gate (the repetition gate as an ingest
+    # stream: stateless row-local HOF kernel + one complete-mode
+    # census, T4 x E4/E6 in streaming/micro_batch.py).
     # -- never driver-checked (r13 additions, each mirror-green ×3 SFs) --
     "nb_lang_confusion",
     "nb_confidence_filter",

@@ -623,9 +623,11 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "repetition_filter_census",
-    oracle=_REP_ORACLE_PREFIX
+#: shared by the batch census and its streaming ingest-gate twin
+#: (streaming/micro_batch.py::streaming_repetition_gate) — one SQL
+#: truth, two engine paths.
+REPETITION_CENSUS_ORACLE = (
+    _REP_ORACLE_PREFIX
     + f""",
     k AS (
       SELECT t.source,
@@ -638,8 +640,64 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(keep) AS BIGINT) AS n_kept,
            CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
     FROM k GROUP BY source
-    """,
+    """
 )
+
+
+def repetition_gate_census(docs: DataFrame) -> DataFrame:
+    """The repetition gate as a STATELESS per-row kernel + ONE
+    aggregate — the shape Structured Streaming can run (chained
+    stateful aggregations cannot stream; the batch census's
+    per-(doc, gram) -> per-doc -> per-source chain has three).
+
+    Per-row HOFs compute the same integers the explode+groupBy kernel
+    aggregates: dup_occ = n_grams − |grams occurring exactly once| —
+    identical by the count-partition identity, pinned equal to the
+    batch census by tests/test_corpus_curation.py. Cost trade-off,
+    stated plainly: the HOF count is O(distinct × len) per row — right
+    for an INGEST gate scoring each arriving doc once, while the batch
+    census's explode+groupBy stays the right shape for corpus-wide
+    re-scans of long documents.
+    """
+    toks = docs.select("source", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "source",
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(element_at(toks, i + 1), ' ',"
+                " element_at(toks, i + 2)))"
+            ),
+        )
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+        .alias("g"),
+    )
+    metrics = grams.select(
+        "source",
+        F.size("g").cast("long").alias("n_grams"),
+        (
+            F.size("g")
+            - F.size(
+                F.expr(
+                    "filter(array_distinct(g),"
+                    " d -> size(filter(g, x -> x = d)) = 1)"
+                )
+            )
+        )
+        .cast("long")
+        .alias("dup_occ"),
+    )
+    dropped = (
+        F.col("dup_occ") * REP_DUP_DEN > F.col("n_grams") * REP_DUP_NUM
+    )
+    return metrics.groupBy("source").agg(
+        F.sum((~dropped).cast("long")).cast("long").alias("n_kept"),
+        F.sum(dropped.cast("long")).cast("long").alias("n_dropped"),
+    )
+
+
+@query("repetition_filter_census", oracle=REPETITION_CENSUS_ORACLE)
 def repetition_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher-style repetition gate: kept/dropped per source under
     dup_occ/n_grams > REP_DUP_NUM/REP_DUP_DEN, compared by integer

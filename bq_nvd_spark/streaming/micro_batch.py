@@ -50,6 +50,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from bq_nvd_spark.plans.curation import (
+    REPETITION_CENSUS_ORACLE,
+    repetition_gate_census,
+)
 from bq_nvd_spark.plans.privacy import PII_CENSUS_ORACLE, scrub_census
 from bq_nvd_spark.plans.registry import query
 
@@ -502,5 +506,27 @@ def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_census(stream_table(spark, sf_dir, "documents")),
         output_mode="complete",
         name_prefix="stream_pii",
+        state_partitions=8,
+    )
+
+
+# --------------------------------------------------------------------------
+# T4 × E4/E6 (round 14): the repetition gate as an INGEST stream — the
+# Gopher duplicate-bigram rule applied to documents as they land, the
+# same scrub-on-ingest posture as streaming_pii_scrub. The batch
+# census's per-(doc, gram) → per-doc → per-source chain is three
+# stateful aggregations and cannot stream, so the streaming twin runs
+# the STATELESS row-local HOF form of the same integers
+# (plans/curation.py::repetition_gate_census) + one complete-mode
+# per-source census (|sources| rows of state). The oracle is the batch
+# census SQL, and a pytest additionally pins the two kernels —
+# explode+groupBy vs row-local HOF — equal on the driver fixture: two
+# independent implementations of one contract.
+@query("streaming_repetition_gate", oracle=REPETITION_CENSUS_ORACLE)
+def streaming_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        repetition_gate_census(stream_table(spark, sf_dir, "documents")),
+        output_mode="complete",
+        name_prefix="stream_repgate",
         state_partitions=8,
     )

@@ -207,3 +207,25 @@ def test_repetition_filter_gate_and_accounting(spark, sf_dir, tmp_path):
     assert prof2[0].dup_frac == 1.0
     assert prof2[1].dup_occ == 0
     assert 2 not in prof2  # no bigrams: excluded from the profile
+
+
+def test_streaming_repetition_gate_equals_batch_census(spark, sf_dir):
+    # Two independent implementations of one contract: the batch
+    # census (explode+groupBy over (doc_id, gram)) and the streaming
+    # ingest gate (stateless row-local HOF kernel + one aggregate)
+    # must produce identical per-source kept/dropped counts — this
+    # pins the count-partition identity (dup_occ = n_grams − |grams
+    # occurring exactly once|) that the row-local form relies on.
+    from bq_nvd_spark.plans import QUERIES
+
+    batch = {
+        r.source: (r.n_kept, r.n_dropped)
+        for r in QUERIES["repetition_filter_census"](spark, sf_dir).collect()
+    }
+    streamed = {
+        r.source: (r.n_kept, r.n_dropped)
+        for r in QUERIES["streaming_repetition_gate"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert streamed == batch
