@@ -48,6 +48,18 @@ _DRIVER_PRIORITY = [
     # streaming_repetition_gate (the repetition gate as an ingest
     # stream: stateless row-local HOF kernel + one complete-mode
     # census, T4 x E4/E6 in streaming/micro_batch.py).
+    # r15 rotation plan (computed at r14 close from CORRECTNESS_r01-r13
+    # + this window): post-r14 evidence distribution is 7 never-checked
+    # (the additions above) + 1 @r10 (orders_per_region, the logged r14
+    # deferral) + 38 @r11 + 50 @r12 + 50 @r13 + 50 @r14. The r15
+    # window = 7 never + orders_per_region + all 38 r11-era names + the
+    # 4 alphabetically-first r12-era names (agg_count_scalar,
+    # anti_join_customers_without_orders, approx_distinct_users,
+    # bpe_encode_top_tokens) = 50 exactly; the other 46 r12-era names
+    # defer (all unchanged, evidence age then 3 rounds — within the
+    # bar), and any query whose CODE changes in r15 outranks backlog
+    # per the standing rule. After that window, no name's evidence is
+    # older than r12.
     # -- never driver-checked (r13 additions, each mirror-green ×3 SFs) --
     "nb_lang_confusion",
     "nb_confidence_filter",
