@@ -1235,14 +1235,18 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors, queries x MMR_POOL rows) so the greedy loop's K
     # consumers and the pairwise-sim relation read a materialized
     # limit-bounded relation instead of replaying the scan.
-    # coalesce(1): the pool is <= queries x MMR_POOL rows; one
-    # partition keeps every greedy-loop stage at one task instead of
-    # paying 32-way scheduling per iteration on a 100-row relation.
+    # Checkpoint at the window's natural width, THEN coalesce the
+    # materialized <= queries x MMR_POOL rows to one partition for the
+    # tiny downstream stages. coalesce is narrow — placing it INSIDE
+    # the checkpoint build would collapse the corpus-sized top-pool
+    # Sort+Window stage into a single task (the un-partitioned-window
+    # trap), because coalesce propagates up to the previous shuffle
+    # boundary.
     pool = stage_checkpoint(
-        rel.withColumn("prn", F.row_number().over(wpool))
-        .filter(F.col("prn") <= MMR_POOL)
-        .coalesce(1)
-    )
+        rel.withColumn("prn", F.row_number().over(wpool)).filter(
+            F.col("prn") <= MMR_POOL
+        )
+    ).coalesce(1)
     a = pool.select(
         "q_id",
         F.col("vec_id").alias("vid_a"),
@@ -1282,20 +1286,27 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_a = pool.select(
         "q_id", F.col("vec_id").alias("vid_a"), "rel_e4"
     )
-    feed = pairs.join(rel_a, ["q_id", "vid_a"])
+    # LEFT join from the pool side: a query whose pool has exactly ONE
+    # candidate produces no pairs rows, but its rank-1 pick must still
+    # be emitted (the oracle's p1 CTE selects from pool, not pairs) —
+    # an inner join would silently drop the whole group.
+    feed = rel_a.join(pairs, ["q_id", "vid_a"], "left")
     lam, mu = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
 
     def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
         q_id = pdf["q_id"].iloc[0]
-        rel_by = (
-            pdf[["vid_a", "rel_e4"]]
+        rel_by = {
+            int(a): int(r)
+            for a, r in pdf[["vid_a", "rel_e4"]]
             .drop_duplicates("vid_a")
-            .set_index("vid_a")["rel_e4"]
-            .to_dict()
-        )
+            .itertuples(index=False)
+        }
+        # vid_b/sim_e4 are null on a singleton pool's seed row (and
+        # arrive as float64 once nullable) — skip them and re-int keys
         sim = {
-            (a, b): s_
+            (int(a), int(b)): int(s_)
             for a, b, s_ in zip(pdf["vid_a"], pdf["vid_b"], pdf["sim_e4"])
+            if not pd.isna(b)
         }
         picked: "list[tuple]" = []
         chosen: "list[int]" = []
@@ -1304,11 +1315,11 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             best = None
             for v in remaining:
                 if chosen:
-                    score = int(lam) * int(rel_by[v]) - int(mu) * max(
-                        int(sim[(v, c)]) for c in chosen
+                    score = int(lam) * rel_by[v] - int(mu) * max(
+                        sim[(v, c)] for c in chosen
                     )
                 else:
-                    score = int(lam) * int(rel_by[v])
+                    score = int(lam) * rel_by[v]
                 # argmax, ties to the SMALLEST vec_id (remaining is
                 # sorted ascending, so strict > keeps the first)
                 if best is None or score > best[0]:

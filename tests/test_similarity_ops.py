@@ -352,18 +352,20 @@ def test_mmr_diversifies_past_a_duplicate_and_handles_short_pools(
             range(1, MMR_K + 1)
         )
         assert len({p.vec_id for p in picks}) == MMR_K
-    top = {
-        r.q_id: r.vec_id
-        for r in QUERIES["cosine_topk"](spark, sf_dir).collect()
-        if r.sim == max(
-            x.sim
-            for x in QUERIES["cosine_topk"](spark, sf_dir).collect()
-            if x.q_id == r.q_id
-        )
+    cos = QUERIES["cosine_topk"](spark, sf_dir).collect()  # ONE run
+    max_sim = {}
+    for r in cos:
+        max_sim[r.q_id] = max(max_sim.get(r.q_id, r.sim), r.sim)
+    # containment, not equality: cosine_topk rounds with ROUND(.,4)
+    # while mmr floor-quantizes, and top-sim ties are legal — rank 1
+    # must sit IN the relevance-argmax tie set, chosen deterministically
+    top_set = {
+        q: {r.vec_id for r in cos if r.q_id == q and r.sim == m}
+        for q, m in max_sim.items()
     }
     for q_id, picks in by_q.items():
         rank1 = next(p.vec_id for p in picks if p.mmr_rank == 1)
-        assert rank1 == top[q_id]
+        assert rank1 in top_set[q_id], (q_id, rank1, top_set[q_id])
 
     # Synthetic geometry: candidate 6 is an exact duplicate of the
     # top hit 5 (rel .9, sim 1.0 -> score 7*9000-3*10000 = 33000);
@@ -404,3 +406,30 @@ def test_mmr_diversifies_past_a_duplicate_and_handles_short_pools(
     got.sort(key=lambda r: r.mmr_rank)
     assert [r.vec_id for r in got] == [5, 7, 6], got
     assert [r.mmr_rank for r in got] == [1, 2, 3]
+
+
+def test_mmr_singleton_pool_still_emits_rank_one(spark, tmp_path):
+    # A query whose candidate pool has exactly ONE vector produces no
+    # pairwise-sim rows; the greedy trace must still emit the rank-1
+    # pick (the oracle selects it from the pool CTE) — an inner
+    # pairs-join would silently drop the whole group (round-14 review
+    # finding).
+    from bq_nvd_spark.plans import QUERIES
+
+    dim = 64
+    def vec(i, x=1.0):
+        v = [0.0] * dim
+        v[i] = x
+        return v
+
+    rows = [(q, vec(0)) for q in range(5)] + [(5, vec(0, 0.7))]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = QUERIES["mmr_diverse_topk"](spark, str(tmp_path)).collect()
+    assert len(got) == 5  # one rank-1 pick per query, nothing more
+    assert all(r.mmr_rank == 1 and r.vec_id == 5 for r in got), got
+    # score = 7 * rel_e4; rel = cos(e0, 0.7*e0) = 1.0 -> 7 * 10000
+    assert all(r.mmr_score == 70000 for r in got), got
