@@ -637,3 +637,63 @@ def test_mixture_resample_exact_shares(spark, tmp_path):
     # T = min(400*11/1, 30*11/2, 300*11/3, 200*11/4, 50*11/1) = 165
     # quotas = floor(w_s*165/11) = w_s*15
     assert got2 == {"src0": 15, "src1": 30, "src2": 45, "src3": 60, "web": 15}
+
+
+# --------------------------------------------------------------------------
+# Round 14: the repetition gate's two kernels (explode+groupBy batch,
+# row-local HOF stream) both rest on the count-partition identity
+#   occurrences in grams with count >= 2
+#     == total grams - |grams occurring exactly once|
+# and on the exact-rational gate. Sweep generated token lists through
+# the STREAMING kernel (the subtler one: HOF algebra + one aggregate)
+# against a brute-force Python reference; the batch==stream pytest in
+# test_corpus_curation ties the other kernel to this one.
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_gate_kernel_matches_bruteforce(spark, docs):
+    from collections import Counter
+
+    from bq_nvd_spark.plans.curation import (
+        REP_DUP_DEN,
+        REP_DUP_NUM,
+        repetition_gate_census,
+    )
+
+    rows = [
+        (i, " ".join(toks), f"src{i % 2}") for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    got = {
+        r.source: (r.n_kept, r.n_dropped)
+        for r in repetition_gate_census(df).collect()
+    }
+    want: dict[str, list[int]] = {}
+    for i, toks in enumerate(docs):
+        # NOTE: split(' ') on an empty string yields [''] — one token,
+        # no bigrams; the reference must mirror the engine's tokenizer
+        toks = " ".join(toks).split(" ")
+        grams = [
+            f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)
+        ]
+        c = Counter(grams)
+        n_grams = len(grams)
+        dup_occ = sum(v for v in c.values() if v >= 2)
+        assert dup_occ == n_grams - sum(
+            1 for v in c.values() if v == 1
+        )  # the identity itself
+        dropped = dup_occ * REP_DUP_DEN > n_grams * REP_DUP_NUM
+        want.setdefault(f"src{i % 2}", [0, 0])[1 if dropped else 0] += 1
+    assert got == {s: (k, d) for s, (k, d) in want.items()}
