@@ -653,11 +653,14 @@ def repetition_gate_census(docs: DataFrame) -> DataFrame:
     Per-row HOFs compute the same integers the explode+groupBy kernel
     aggregates: dup_occ = n_grams − |grams occurring exactly once| —
     identical by the count-partition identity, pinned equal to the
-    batch census by tests/test_corpus_curation.py. Cost trade-off,
-    stated plainly: the HOF count is O(distinct × len) per row — right
-    for an INGEST gate scoring each arriving doc once, while the batch
-    census's explode+groupBy stays the right shape for corpus-wide
-    re-scans of long documents.
+    batch census by tests/test_corpus_curation.py. Per-row cost is
+    O(L log L) in token count: ``array_sort`` the gram array once,
+    then count singletons by adjacent inequality in one linear
+    ``filter`` pass over positions — a pathological long document
+    costs one sort, not a distinct×length rescan. The batch census's
+    explode+groupBy stays the right shape for corpus-wide re-scans
+    (map-side combine across docs); this kernel is for scoring each
+    arriving doc once at ingest.
     """
     toks = docs.select("source", F.split("text", " ").alias("toks"))
     grams = toks.select(
@@ -673,18 +676,23 @@ def repetition_gate_census(docs: DataFrame) -> DataFrame:
         .otherwise(F.expr("CAST(array() AS array<string>)"))
         .alias("g"),
     )
-    metrics = grams.select(
+    # Sorted copy once per row; a gram at 1-based position i of s is a
+    # singleton iff it differs from both neighbours. sequence(1, 0)
+    # would step DOWNWARD in Spark, so the empty-gram row is gated
+    # before the position scan.
+    sorted_grams = grams.select(
+        "source", "g", F.array_sort("g").alias("s")
+    )
+    singletons = F.expr(
+        "size(filter(sequence(1, size(s)), i ->"
+        " (i = 1 OR element_at(s, i) != element_at(s, i - 1)) AND"
+        " (i = size(s) OR element_at(s, i) != element_at(s, i + 1))))"
+    )
+    metrics = sorted_grams.select(
         "source",
         F.size("g").cast("long").alias("n_grams"),
-        (
-            F.size("g")
-            - F.size(
-                F.expr(
-                    "filter(array_distinct(g),"
-                    " d -> size(filter(g, x -> x = d)) = 1)"
-                )
-            )
-        )
+        F.when(F.size("g") > 0, F.size("g") - singletons)
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("dup_occ"),
     )
