@@ -13,105 +13,81 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # never-checked and re-oracled names, then the stalest backlog; only
 # truly-unchanged names may defer to the next round.
 _DRIVER_PRIORITY = [
-    # -- round 14 window (VERDICT r13 task 1, exactly the rotation
-    # pre-computed at r13 close): the 7 never-driver-checked r13
-    # additions + 43 of the 44 r10-era backlog names = 50 exactly.
-    # Post-r13 evidence distribution (from CORRECTNESS_r01-r13):
-    # 7 never-checked + 44 @r10 + 38 @r11 + 50 @r12 + 50 @r13.
-    # Deferral note (the one r10-era name without a slot):
-    # orders_per_region — plain groupBy/agg, code unchanged since its
-    # r10 driver row (CORRECTNESS_r10.json, green); carries r10
-    # evidence into r15, where it leads the backlog tier.
-    # Code changed in r14, already inside the window (per the standing
-    # code-change-outranks-backlog rule): the NB trio
-    # (nb_lang_confusion, nb_confidence_filter, nb_kfold_accuracy) —
-    # vocabulary capped at top-V by document frequency so the
-    # vocab×classes likelihood broadcast is limit-bounded (VERDICT r13
-    # task 2), identical cap in the oracles; each mirror-green ×3 SFs
-    # post-change.
-    # After this window, no name's evidence is older than r11 except
-    # the logged deferral above.
-    # Added in round 14 BEYOND the window, owed to the r15 window as
-    # never-driver-checked (each mirror-green ×3 SFs on add):
-    # doc_repetition_profile + repetition_filter_census (Gopher-family
-    # duplicate-bigram fraction diagnostic and its exact-rational
-    # kept/dropped gate, plans/curation.py);
-    # lm_doc_perplexity + lm_ppl_bucket_census (CCNet-style bigram-LM
-    # perplexity scoring and head/middle/tail census, E11d in
-    # plans/classify.py);
-    # mmr_diverse_topk (greedy MMR diversified retrieval over the
-    # cosine pool, exact-integer trace via grouped applyInPandas, E3
-    # in plans/similarity_search.py);
-    # lm_ppl_tercile_cutoffs (exact avg-NLL terciles over the held
-    # corpus via rank_select — how CCNet sets the bucket thresholds;
-    # E11d in plans/classify.py);
-    # streaming_repetition_gate (the repetition gate as an ingest
-    # stream: stateless row-local HOF kernel + one complete-mode
-    # census, T4 x E4/E6 in streaming/micro_batch.py).
-    # r15 rotation plan (computed at r14 close from CORRECTNESS_r01-r13
-    # + this window): post-r14 evidence distribution is 7 never-checked
-    # (the additions above) + 1 @r10 (orders_per_region, the logged r14
-    # deferral) + 38 @r11 + 50 @r12 + 50 @r13 + 50 @r14. The r15
-    # window = 7 never + orders_per_region + all 38 r11-era names + the
-    # 4 alphabetically-first r12-era names (agg_count_scalar,
-    # anti_join_customers_without_orders, approx_distinct_users,
-    # bpe_encode_top_tokens) = 50 exactly; the other 46 r12-era names
-    # defer (all unchanged, evidence age then 3 rounds — within the
-    # bar), and any query whose CODE changes in r15 outranks backlog
-    # per the standing rule. After that window, no name's evidence is
-    # older than r12.
-    # -- never driver-checked (r13 additions, each mirror-green ×3 SFs) --
-    "nb_lang_confusion",
-    "nb_confidence_filter",
-    "nb_kfold_accuracy",
-    "pii_redaction_census",
-    "streaming_pii_scrub",
-    "rrf_fusion_topk",
-    "cms_user_freq_accuracy",
-    # -- last driver row r10 (stalest evidence in the registry) --
-    "argmax_latest_event_per_user",
-    "arrow_byte_stats",
-    "arrow_group_quality",
-    "bag_except_order_dates",
-    "bpe_merge_census",
-    "customer_rfm_segments",
-    "duplicate_span_docs",
-    "embedding_int8_census",
-    "first_event_per_user_type",
-    "full_outer_daily_activity",
-    "funnel_conversion",
-    "grouping_sets_status_priority",
-    "kll_rank_accuracy",
-    "lang_distribution",
-    "lateral_top2_orders",
-    "moment_stats_by_type",
-    "monthly_urgent_gapfill",
-    "nvd_first_write_wins",
-    "orders_trailing_90d_revenue",
-    "pivot_priority_by_segment",
-    "profile_orders_columns",
-    "q10_returned_item_revenue",
-    "q11_important_parts",
-    "q13_customer_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_census",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_banded_brand_revenue",
-    "q20_excess_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_late_order_priorities",
-    "q5_revenue_by_nation",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "recursive_month_spine",
-    "streaming_static_enrich",
-    "token_counts_top20",
-    "value_mad_outliers",
+    # -- round 15 window (VERDICT r14 task 1, exactly the rotation
+    # pre-computed at r14 close): the 7 never-driver-checked r14
+    # additions + orders_per_region (the logged r14 deferral, evidence
+    # @r10) + all 38 r11-era names + the 4 alphabetically-first
+    # r12-era names = 50 exactly.
+    # Post-r14 evidence distribution (from CORRECTNESS_r01-r14):
+    # 7 never-checked + 1 @r10 + 38 @r11 + 50 @r12 + 50 @r13 + 50 @r14.
+    # Code changed in r15, already inside the window (per the standing
+    # code-change-outranks-backlog rule): streaming_repetition_gate —
+    # its per-row singleton-count kernel rewritten from the
+    # O(distinct x len) nested HOF to array_sort + one adjacent-
+    # inequality scan (O(L log L) per document, VERDICT r14 task 3);
+    # mirror-green x3 SFs post-change.
+    # Deferral note: the 46 r12-era names after the alphabetical
+    # first 4 defer (all unchanged; evidence age 3 rounds — within
+    # the bar). After this window, no name's evidence is older
+    # than r12.
+    # Added in round 15 BEYOND the window, owed to the r16 window as
+    # never-driver-checked (each mirror-green x3 SFs on add): see the
+    # r16 rotation plan appended at round close.
+    # -- never driver-checked (r14 additions, each mirror-green x3 SFs;
+    #    streaming_repetition_gate also r15-code-changed) --
+    "doc_repetition_profile",
+    "repetition_filter_census",
+    "streaming_repetition_gate",
+    "lm_doc_perplexity",
+    "lm_ppl_bucket_census",
+    "lm_ppl_tercile_cutoffs",
+    "mmr_diverse_topk",
+    # -- last driver row r10 (the logged r14 deferral) --
+    "orders_per_region",
+    # -- last driver row r11 (all 38) --
+    "ann_lsh_topk",
+    "cosine_topk",
+    "customer_balance_tiles",
+    "event_transition_matrix",
+    "heavy_hitter_tokens",
+    "incremental_dedup_new_docs",
+    "label_centroids",
+    "label_cohesion_stats",
+    "minhash_candidate_pairs",
+    "minhash_lsh_buckets",
+    "mixture_resample_docs",
+    "nvd_cvss_vector_parse",
+    "nvd_feed_ingest",
+    "nvd_flagship_linux_cves",
+    "oov_rate_by_vocab",
+    "q22_idle_rich_customers",
+    "repetition_ngram_profile",
+    "scd2_event_type_intervals",
+    "sequence_packing",
+    "session_window_per_user",
+    "simhash_near_dup_pairs",
+    "sketch_percentile_accuracy",
+    "source_mixture_weights",
+    "span_contamination_census",
+    "stateful_user_totals",
+    "stratified_sample_per_lang",
+    "streaming_cdc_user_totals",
+    "streaming_dedup_within_watermark",
+    "streaming_funnel_conversion",
+    "streaming_upsert_user_totals",
+    "tfidf_top_terms",
+    "udaf_median_chars",
+    "udtf_token_chunks",
+    "unigram_surprisal_scores",
+    "variant_props_stats",
+    "weekly_retention_cohorts",
+    "weighted_sample_docs",
+    "zorder_cell_census",
+    # -- last driver row r12 (alphabetically first 4) --
+    "agg_count_scalar",
+    "anti_join_customers_without_orders",
+    "approx_distinct_users",
+    "bpe_encode_top_tokens",
 ]
 
 def _reorder(registry: dict) -> None:
