@@ -31,8 +31,12 @@ _DRIVER_PRIORITY = [
     # the bar). After this window, no name's evidence is older
     # than r12.
     # Added in round 15 BEYOND the window, owed to the r16 window as
-    # never-driver-checked (each mirror-green x3 SFs on add): see the
-    # r16 rotation plan appended at round close.
+    # never-driver-checked (each mirror-green x3 SFs on add):
+    # dsir_importance_weights + dsir_resample_topk (DSIR targeted data
+    # selection: hashed-n-gram importance log-weights in exact integer
+    # micro-nats + deterministic Gumbel-top-K resample, E6+ in
+    # plans/sampling.py, VERDICT r14 task 4).
+    # The r16 rotation plan is appended at round close.
     # -- never driver-checked (r14 additions, each mirror-green x3 SFs;
     #    streaming_repetition_gate also r15-code-changed) --
     "doc_repetition_profile",

@@ -487,3 +487,295 @@ def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("k_s"))
         .select("doc_id", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# E6+ (round 15): DSIR — Data Selection with Importance Resampling
+# (Xie et al. 2023, arXiv:2302.03169) — the standard targeted-data-
+# selection operator: estimate a TARGET and a SOURCE distribution over
+# hashed n-gram features, weight every raw document by the probability
+# ratio p_target(x)/p_source(x), and resample the raw pool
+# proportionally to that weight, so documents that "look like" the
+# target domain are enriched. Here the target corpus is the train
+# split's DSIR_TARGET_LANG documents, the source model is the whole
+# train split, and the resampled pool is the held split (val+test) —
+# documents that fit neither model, the honest evaluation shape.
+#
+# Exactness contract: both hashed-unigram+bigram multinomials use
+# add-one smoothing over DSIR_BUCKETS buckets; the per-bucket log-
+# ratio is computed as the difference of two ln's each quantized to
+# integer micro-nats (the repo-wide _micro_ln discipline — both
+# engines' libm ln agree to <=1 ulp on identical rationals, the NB/LM
+# precedent), so a document's log-weight is an EXACT integer dot
+# product Σ_b c_b·λ_b. Resampling is Gumbel-top-K: key = logw_micro +
+# G where G = −ln(−ln(u)) for the deterministic per-doc uniform
+# u = (md5-bucket('dsir:'||doc_id)+1)/65537 — sampling K docs without
+# replacement with probability proportional to the importance weight
+# (Gumbel-max trick), yet bit-reproducible on any cluster layout. The
+# inner −ln(u) is quantized to integer micro-nats BEFORE the outer ln
+# so both engines take ln of identical rationals twice (u < 1 always
+# by the 65537 denominator, so neither ln sees 0).
+#
+# The log-weight is EXTENSIVE in document length (a product over
+# feature occurrences, faithful to the paper), so production runs it
+# over ~equal-length chunks (compose with the chunking/packing
+# operators) — on raw variable-length docs, length differences can
+# dominate a weak domain signal. The behavioral test therefore proves
+# enrichment on an equal-length two-domain corpus; on the driver
+# fixture (five langs sharing one 31-token vocabulary, ~0.003
+# nats/token divergence) the queries are exactness-gated only.
+#
+# Scale shape (100 TB): the model relation is groupBy(fb) over fb =
+# md5(feature) mod DSIR_BUCKETS — AT MOST DSIR_BUCKETS rows by
+# construction, bounded like the NB vocab cap, so it (and the one-row
+# totals) ride broadcasts while the corpus-sized held features reach
+# them map-side with zero extra shuffle beyond the per-doc groupBy.
+# The train scan runs ONCE (one explode feeding one map-side-combined
+# groupBy; target counts are a conditional agg, not a second scan) and
+# is stage-checkpointed. Selection is ORDER BY key LIMIT K →
+# TakeOrderedAndProject (per-partition heaps, no global sort).
+# Reference parity: the reference has no data-selection stage; this is
+# part of the driver-mandated LLM-curation extension surface (layer C),
+# alongside mixture_resample_docs above.
+DSIR_BUCKETS = 4096
+DSIR_K = 40
+DSIR_TARGET_LANG = "en"
+
+_DSIR_MICRO = 1_000_000
+
+
+def _dsir_duck_fb(arg: str) -> str:
+    return f"CAST(('0x' || substr(md5({arg}), 1, 3)) AS INTEGER)"
+
+
+_DSIR_ORACLE_PREFIX = f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text, {_DUCK_BUCKET} AS bucket FROM documents
+    ),
+    train AS (SELECT * FROM docs WHERE bucket < {TRAIN_END}),
+    held AS (SELECT * FROM docs WHERE bucket >= {TRAIN_END}),
+    tfeat AS (
+      SELECT lang, t.tok AS ft
+      FROM (SELECT lang, string_split(text, ' ') AS toks FROM train),
+           UNNEST(toks) AS t(tok)
+      UNION ALL
+      SELECT lang, toks[i] || ' ' || toks[i + 1] AS ft
+      FROM (SELECT lang, string_split(text, ' ') AS toks FROM train),
+           UNNEST(range(1, len(toks))) AS t(i)
+    ),
+    model AS (
+      SELECT {_dsir_duck_fb("ft")} AS fb,
+             CAST(COUNT(*) AS BIGINT) AS cs,
+             CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM tfeat GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+             CAST(SUM(cs) AS BIGINT) AS ts
+      FROM model
+    ),
+    hfeat AS (
+      SELECT doc_id, lang, t.tok AS ft
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM held),
+           UNNEST(toks) AS t(tok)
+      UNION ALL
+      SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS ft
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM held),
+           UNNEST(range(1, len(toks))) AS t(i)
+    ),
+    hb AS (
+      SELECT doc_id, lang, {_dsir_duck_fb("ft")} AS fb,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM hfeat GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT h.doc_id, h.lang,
+             CAST(SUM(h.c) AS BIGINT) AS n_feats,
+             CAST(SUM(h.c * (
+               CAST(FLOOR(LN(CAST(COALESCE(m.ct, 0) + 1 AS DOUBLE)
+                             / CAST(tot.tt + {DSIR_BUCKETS} AS DOUBLE))
+                          * {_DSIR_MICRO} + 0.5) AS BIGINT)
+               - CAST(FLOOR(LN(CAST(COALESCE(m.cs, 0) + 1 AS DOUBLE)
+                               / CAST(tot.ts + {DSIR_BUCKETS} AS DOUBLE))
+                            * {_DSIR_MICRO} + 0.5) AS BIGINT)
+             )) AS BIGINT) AS logw_micro
+      FROM hb h LEFT JOIN model m ON m.fb = h.fb CROSS JOIN tot
+      GROUP BY 1, 2
+    )"""
+
+
+def _dsir_feats(side: DataFrame, *keep: str) -> DataFrame:
+    """(*keep, fb): one hashed-feature row per unigram AND bigram
+    occurrence. Unigrams contain no space and bigrams always do, so
+    the two feature families never collide textually."""
+    toks = side.select(*keep, F.split("text", " ").alias("toks"))
+    feats = F.concat(
+        F.col("toks"),
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(element_at(toks, i + 1), ' ',"
+                " element_at(toks, i + 2)))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")),
+    )
+    return toks.select(*keep, F.explode(feats).alias("ft")).select(
+        *keep,
+        F.conv(F.substring(F.md5(F.col("ft")), 1, 3), 16, 10)
+        .cast("int")
+        .alias("fb"),
+    )
+
+
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR kernel: per-held-doc ``(doc_id, lang, n_feats,
+    logw_micro)``. Memoized via ``shared_stage`` — both consumers
+    (the weight diagnostic and the resample) score the pool once."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("dsir_scores", sf_dir),
+        lambda: _build_dsir_scores(spark, sf_dir),
+    )
+
+
+def _build_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _micro_ln is the repo-wide quantized-ln helper (classify.py owns
+    # it because NB landed first; DSIR reuses the identical discipline).
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+    from bq_nvd_spark.plans.classify import _micro_ln
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _spark_bucket().alias("bucket")
+    )
+    model = stage_checkpoint(
+        _dsir_feats(docs.filter(F.col("bucket") < TRAIN_END), "lang")
+        .groupBy("fb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cs"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ct"),
+        )
+    )
+    tot = model.agg(
+        F.sum("ct").cast("long").alias("tt"),
+        F.sum("cs").cast("long").alias("ts"),
+    )
+    hb = (
+        _dsir_feats(
+            docs.filter(F.col("bucket") >= TRAIN_END), "doc_id", "lang"
+        )
+        .groupBy("doc_id", "lang", "fb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lam = _micro_ln(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("tt") + F.lit(DSIR_BUCKETS)).cast("double")
+    ) - _micro_ln(
+        (F.coalesce(F.col("cs"), F.lit(0)) + 1).cast("double")
+        / (F.col("ts") + F.lit(DSIR_BUCKETS)).cast("double")
+    )
+    return (
+        hb.join(F.broadcast(model), "fb", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", "c", (F.col("c") * lam).alias("w"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum("w").cast("long").alias("logw_micro"),
+        )
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=_DSIR_ORACLE_PREFIX
+    + """
+    SELECT doc_id, lang, n_feats, logw_micro FROM sc
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-held-document DSIR importance weight in exact integer
+    micro-nats: logw = Σ_b c_b·(ln p̂_target[b] − ln p̂_source[b]) over
+    hashed unigram+bigram buckets (see the section note)."""
+    return _dsir_scores(spark, sf_dir).select(
+        "doc_id", "lang", "n_feats", "logw_micro"
+    )
+
+
+@query(
+    "dsir_resample_topk",
+    oracle=_DSIR_ORACLE_PREFIX
+    + f"""
+    SELECT doc_id, lang, logw_micro
+    FROM (
+      SELECT doc_id, lang, logw_micro,
+             logw_micro + CAST(FLOOR(-LN(CAST(nlu AS DOUBLE)
+                                         / {_DSIR_MICRO}.0)
+                                     * {_DSIR_MICRO} + 0.5) AS BIGINT)
+               AS key_micro
+      FROM (
+        SELECT *,
+               CAST(FLOOR(-LN((ub + 1) / 65537.0)
+                          * {_DSIR_MICRO} + 0.5) AS BIGINT) AS nlu
+        FROM (
+          SELECT *,
+                 CAST(('0x' || substr(md5('dsir:'
+                        || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                   AS ub
+          FROM sc
+        )
+      )
+    )
+    ORDER BY key_micro DESC, doc_id
+    LIMIT {DSIR_K}
+    """,
+)
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-K importance resample of the held pool: K docs drawn
+    without replacement with probability ∝ exp(logw), deterministic
+    via the per-doc md5 uniform (see the section note)."""
+    sc = _dsir_scores(spark, sf_dir)
+    ub = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dsir:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    nlu = F.floor(
+        -F.log((ub + 1) / F.lit(65537.0)) * _DSIR_MICRO + 0.5
+    ).cast("long")
+    g = F.floor(
+        -F.log(nlu.cast("double") / F.lit(float(_DSIR_MICRO)))
+        * _DSIR_MICRO
+        + 0.5
+    ).cast("long")
+    return (
+        sc.select(
+            "doc_id",
+            "lang",
+            "logw_micro",
+            (F.col("logw_micro") + g).alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), "doc_id")
+        .limit(DSIR_K)
+        .select("doc_id", "lang", "logw_micro")
+    )

@@ -159,6 +159,11 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (C, "≤5 queries × IVF_NPROBE probe cells"),
     ("plans/sampling.py", "mixture_resample_docs", "quota"):
         (A, "per-source quotas; source is a low-card domain"),
+    ("plans/sampling.py", "_build_dsir_scores", "model"):
+        (A, "hashed-n-gram model: groupBy(fb), fb = md5 mod "
+            "DSIR_BUCKETS → ≤4,096 rows regardless of corpus size"),
+    ("plans/sampling.py", "_build_dsir_scores", "tot"):
+        (A, "one-row feature-occurrence totals"),
     ("plans/sketches.py", "kll_rank_accuracy", "q.select('event_type', 'kll_p90')"):
         (A, "per-event-type p90s: ~5 keys"),
     ("plans/sketches.py", "heavy_hitter_tokens", "tot"):
