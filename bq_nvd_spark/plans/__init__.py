@@ -35,7 +35,14 @@ _DRIVER_PRIORITY = [
     # dsir_importance_weights + dsir_resample_topk (DSIR targeted data
     # selection: hashed-n-gram importance log-weights in exact integer
     # micro-nats + deterministic Gumbel-top-K resample, E6+ in
-    # plans/sampling.py, VERDICT r14 task 4).
+    # plans/sampling.py, VERDICT r14 task 4);
+    # mmr_ann_diverse_topk (MMR over the IVF shortlist — the shared
+    # greedy kernel over ivf_topk's deterministic candidate set,
+    # hash-exact, E3 in plans/similarity_search.py, VERDICT r14
+    # task 5). mmr_diverse_topk's code also changed in r15 (greedy
+    # kernel extracted into _mmr_greedy_from_pool, trace unchanged) —
+    # it is already inside this window per the code-change rule and
+    # was re-mirrored x3 SFs post-refactor.
     # The r16 rotation plan is appended at round close.
     # -- never driver-checked (r14 additions, each mirror-green x3 SFs;
     #    streaming_repetition_gate also r15-code-changed) --

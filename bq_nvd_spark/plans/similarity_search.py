@@ -1111,10 +1111,69 @@ MMR_LAM_NUM = 7  # lam = 7/10: score = 7*rel_e4 - 3*maxsim_e4
 MMR_LAM_DEN = 10
 
 
-def _mmr_oracle() -> str:
+#: brute-force relevance CTE: every (query, corpus) pair scored — the
+#: exact pool. The ANN variant swaps in _MMR_IVF_REL below; the
+#: unrolled greedy blocks are shared verbatim.
+_MMR_BRUTE_REL = f"""q AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+      WHERE vec_id < {_QUERY_MAX_ID}
+    ),
+    c AS (
+      SELECT vec_id, v AS cv, nrm AS cn FROM n
+      WHERE vec_id >= {_QUERY_MAX_ID}
+    ),
+    rel AS (
+      SELECT q.q_id, c.vec_id, c.cv, c.cn,
+             CAST(FLOOR({duck_fold_dot('qv', 'cv')} / (qn * cn) * 10000
+                        + 0.5) AS BIGINT) AS rel_e4
+      FROM c CROSS JOIN q
+    )"""
+
+#: IVF-shortlisted relevance CTE: the same deterministic coarse
+#: quantizer as ivf_topk (fixed centroid subset, argmax-cosine cell
+#: assignment with smallest-cent_id ties, IVF_NPROBE probed cells per
+#: query) — relevance is scored ONLY for candidates in probed cells,
+#: so the 100 TB path never scans the corpus per query batch.
+_MMR_IVF_REL = f"""cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n WHERE vec_id >= {_QUERY_MAX_ID} AND vec_id < {_CENT_MAX_ID}
+    ),
+    assign AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT a.vec_id, a.v, a.nrm, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {duck_fold_dot('a.v', 'c.cv')} / (a.nrm * c.cnrm) DESC,
+                          c.cent_id) AS rn
+        FROM n a, cents c
+        WHERE a.vec_id >= {_QUERY_MAX_ID}
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, qv, qn, cell FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {duck_fold_dot('q.v', 'c.cv')} / (q.nrm * c.cnrm) DESC,
+                          c.cent_id) AS rn
+        FROM n q, cents c
+        WHERE q.vec_id < {_QUERY_MAX_ID}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    rel AS (
+      SELECT p.q_id, a.vec_id, a.v AS cv, a.nrm AS cn,
+             CAST(FLOOR({duck_fold_dot('p.qv', 'a.v')} / (p.qn * a.nrm)
+                        * 10000 + 0.5) AS BIGINT) AS rel_e4
+      FROM probes p JOIN assign a ON a.cell = p.cell
+    )"""
+
+
+def _mmr_oracle(rel_cte: str = _MMR_BRUTE_REL) -> str:
     """Unrolled greedy MMR in SQL: one (m_i, c_i, p_i, s_i) CTE block
     per pick, generated from the same constants the Spark plan uses so
-    the two traces cannot drift apart."""
+    the two traces cannot drift apart. ``rel_cte`` supplies the pool's
+    relevance relation — brute-force by default, IVF-shortlisted for
+    the ANN variant; everything downstream of ``rel`` is shared."""
     lam, mu = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
     blocks = [
         f"""
@@ -1161,20 +1220,7 @@ def _mmr_oracle() -> str:
     n AS (
       SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
     ),
-    q AS (
-      SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
-      WHERE vec_id < {_QUERY_MAX_ID}
-    ),
-    c AS (
-      SELECT vec_id, v AS cv, nrm AS cn FROM n
-      WHERE vec_id >= {_QUERY_MAX_ID}
-    ),
-    rel AS (
-      SELECT q.q_id, c.vec_id, c.cv, c.cn,
-             CAST(FLOOR({duck_fold_dot('qv', 'cv')} / (qn * cn) * 10000
-                        + 0.5) AS BIGINT) AS rel_e4
-      FROM c CROSS JOIN q
-    ),
+    {rel_cte},
     pool AS MATERIALIZED (
       SELECT * FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -1247,6 +1293,16 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prn") <= MMR_POOL
         )
     ).coalesce(1)
+    return _mmr_greedy_from_pool(pool)
+
+
+def _mmr_greedy_from_pool(pool: DataFrame) -> DataFrame:
+    """The irreducibly sequential greedy MMR trace, shared verbatim by
+    the brute-force and ANN-pooled variants. ``pool`` must be a
+    MATERIALIZED, limit-bounded relation (<= queries x MMR_POOL rows)
+    with columns (q_id, vec_id, cv, cn, rel_e4): pairwise sims over
+    the bounded pool, then ONE grouped applyInPandas running the exact
+    integer-scored trace the unrolled SQL oracle walks."""
     a = pool.select(
         "q_id",
         F.col("vec_id").alias("vid_a"),
@@ -1337,3 +1393,119 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _greedy,
         schema="q_id bigint, mmr_rank int, vec_id bigint, mmr_score bigint",
     )
+
+# --------------------------------------------------------------------------
+# E3 (round 15): MMR over an IVF shortlist — the scale path for
+# diversified retrieval. mmr_diverse_topk's relevance pass is the
+# brute-force corpus scan (the exactness baseline, same accepted shape
+# as cosine_topk); here the pool is drawn from the SAME deterministic
+# coarse quantizer as ivf_topk (fixed centroid subset, argmax-cosine
+# assignment, IVF_NPROBE probed cells per query), so only vectors in
+# probed cells pay the relevance dot product and the 100 TB path never
+# scans the corpus per query batch. Downstream of the pool, the
+# pairwise-sim relation and the greedy trace are _mmr_greedy_from_pool
+# — shared VERBATIM with the brute variant — and the oracle shares the
+# unrolled CTE blocks, swapping only the relevance CTE; the quantizer
+# is deterministic in both engines, so the contract stays hash-exact
+# (stronger than a recall bound).
+@query("mmr_ann_diverse_topk", oracle=_mmr_oracle(_MMR_IVF_REL))
+def mmr_ann_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-rank over the IVF-shortlisted relevance pool (see
+    the section note; pool semantics match ivf_topk's candidate set)."""
+    from pyspark.sql.window import Window
+
+    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+
+    emb = _spread_embeddings(spark, sf_dir)
+    n = stage_checkpoint(
+        emb.select("vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm"))
+    )
+    cent_arr = (
+        n.filter(
+            (F.col("vec_id") >= _QUERY_MAX_ID)
+            & (F.col("vec_id") < _CENT_MAX_ID)
+        )
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+
+    def cent_cos(c):
+        return fold_dot("v", c["cv"]) / (F.col("nrm") * c["cnrm"])
+
+    # Per-row argmax / top-nprobe over the one-row centroid array —
+    # identical kernels (and tie-breaks) to ivf_topk.
+    best_cell = F.aggregate(
+        "cents",
+        F.struct(
+            F.lit(-2.0).cast("double").alias("cos"),
+            F.lit(None).cast("long").alias("cell"),
+        ),
+        lambda acc, c: F.when(
+            cent_cos(c) > acc["cos"],
+            F.struct(cent_cos(c).alias("cos"), c["cent_id"].alias("cell")),
+        ).otherwise(acc),
+    )["cell"]
+    probe_cells = F.slice(
+        F.sort_array(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (-cent_cos(c)).alias("neg_cos"),
+                    c["cent_id"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        IVF_NPROBE,
+    )
+
+    assign = (
+        n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
+        .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "v", "nrm", best_cell.alias("cell"))
+    )
+    probes = (
+        n.filter(F.col("vec_id") < _QUERY_MAX_ID)
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(probe_cells).alias("p"),
+        )
+        .select("q_id", "qv", "qn", F.col("p.cell").alias("cell"))
+    )
+    rel = assign.join(F.broadcast(probes), "cell").select(
+        "q_id",
+        "vec_id",
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.floor(
+            fold_dot_np("qv", "v") / (F.col("qn") * F.col("nrm")) * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("rel_e4"),
+    )
+    wpool = Window.partitionBy("q_id").orderBy(
+        F.desc("rel_e4"), F.asc("vec_id")
+    )
+    # Same checkpoint-then-coalesce discipline as the brute variant:
+    # materialize at the shortlist's natural width, then collapse the
+    # <= queries x MMR_POOL rows for the tiny downstream stages.
+    pool = (
+        stage_checkpoint(
+            rel.withColumn("prn", F.row_number().over(wpool)).filter(
+                F.col("prn") <= MMR_POOL
+            )
+        )
+        .coalesce(1)
+        .select("q_id", "vec_id", "cv", "cn", "rel_e4")
+    )
+    return _mmr_greedy_from_pool(pool)

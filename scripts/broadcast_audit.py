@@ -157,6 +157,10 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (C, "refined centroid array: one row of K structs"),
     ("plans/similarity_search.py", "ivf_refined_topk", "probes"):
         (C, "≤5 queries × IVF_NPROBE probe cells"),
+    ("plans/similarity_search.py", "mmr_ann_diverse_topk", "cent_arr"):
+        (A, "one row holding the IVF_CELLS centroid array"),
+    ("plans/similarity_search.py", "mmr_ann_diverse_topk", "probes"):
+        (C, "≤5 queries × IVF_NPROBE probe cells"),
     ("plans/sampling.py", "mixture_resample_docs", "quota"):
         (A, "per-source quotas; source is a low-card domain"),
     ("plans/sampling.py", "_build_dsir_scores", "model"):

@@ -433,3 +433,75 @@ def test_mmr_singleton_pool_still_emits_rank_one(spark, tmp_path):
     assert all(r.mmr_rank == 1 and r.vec_id == 5 for r in got), got
     # score = 7 * rel_e4; rel = cos(e0, 0.7*e0) = 1.0 -> 7 * 10000
     assert all(r.mmr_score == 70000 for r in got), got
+
+
+def test_mmr_ann_pool_invariants_and_duplicate_geometry(
+    spark, sf_dir, tmp_path
+):
+    # The ANN-pooled MMR variant shares the greedy kernel verbatim;
+    # what changes is the pool. Invariants: K picks per query with
+    # ranks 1..K and no repeats, and rank 1 == the IVF candidate
+    # set's relevance argmax — exactly ivf_topk's rn=1 row (identical
+    # quantization and (sim DESC, vec_id ASC) tie-break).
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.similarity_search import MMR_K
+
+    rows = QUERIES["mmr_ann_diverse_topk"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, picks in by_q.items():
+        assert sorted(p.mmr_rank for p in picks) == list(
+            range(1, MMR_K + 1)
+        )
+        assert len({p.vec_id for p in picks}) == MMR_K
+    ivf = QUERIES["ivf_topk"](spark, sf_dir).collect()
+    ivf_best = {}
+    for r in ivf:
+        cur = ivf_best.get(r.q_id)
+        if cur is None or (-r.sim, r.vec_id) < (-cur[0], cur[1]):
+            ivf_best[r.q_id] = (r.sim, r.vec_id)
+    for q_id, picks in by_q.items():
+        rank1 = next(p.vec_id for p in picks if p.mmr_rank == 1)
+        assert rank1 == ivf_best[q_id][1], (q_id, rank1, ivf_best[q_id])
+
+    # Synthetic geometry, same as the brute test: with <= IVF_CELLS
+    # corpus vectors every vector is its own centroid/cell and queries
+    # probe enough cells to see all of them, so the shortlist equals
+    # the corpus and the ANN trace must reproduce the known diversity
+    # ordering: duplicate 6 of top-hit 5 is deferred below diverse 7.
+    import math
+
+    dim = 64
+
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    c5 = vec((0, 0.9), (2, math.sqrt(1 - 0.81)))
+    rows2 = [
+        (0, vec((0, 1.0))),
+        (1, vec((1, 1.0))),
+        (2, vec((1, 1.0))),
+        (3, vec((1, 1.0))),
+        (4, vec((1, 1.0))),
+        (5, c5),
+        (6, list(c5)),
+        (7, vec((0, 0.8), (3, 0.6))),
+    ]
+    spark.createDataFrame(
+        rows2, "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = [
+        r
+        for r in QUERIES["mmr_ann_diverse_topk"](
+            spark, str(tmp_path)
+        ).collect()
+        if r.q_id == 0
+    ]
+    got.sort(key=lambda r: r.mmr_rank)
+    assert [r.vec_id for r in got] == [5, 7, 6], got
