@@ -39,7 +39,11 @@ _DRIVER_PRIORITY = [
     # mmr_ann_diverse_topk (MMR over the IVF shortlist — the shared
     # greedy kernel over ivf_topk's deterministic candidate set,
     # hash-exact, E3 in plans/similarity_search.py, VERDICT r14
-    # task 5). mmr_diverse_topk's code also changed in r15 (greedy
+    # task 5);
+    # doc_gopher_quality_profile + gopher_quality_census (the full
+    # Gopher five-rule quality composite, integer-exact in one scan,
+    # E4/E6 in plans/curation.py, VERDICT r14 task 7).
+    # mmr_diverse_topk's code also changed in r15 (greedy
     # kernel extracted into _mmr_greedy_from_pool, trace unchanged) —
     # it is already inside this window per the code-change rule and
     # was re-mirrored x3 SFs post-refactor.

