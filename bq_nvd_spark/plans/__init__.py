@@ -42,7 +42,10 @@ _DRIVER_PRIORITY = [
     # task 5);
     # doc_gopher_quality_profile + gopher_quality_census (the full
     # Gopher five-rule quality composite, integer-exact in one scan,
-    # E4/E6 in plans/curation.py, VERDICT r14 task 7).
+    # E4/E6 in plans/curation.py, VERDICT r14 task 7);
+    # streaming_gopher_gate (the same gate as an AvailableNow ingest
+    # stream — stateless rules kernel + one complete-mode census,
+    # oracle shared verbatim, T4 x E4/E6 in streaming/micro_batch.py).
     # mmr_diverse_topk's code also changed in r15 (greedy
     # kernel extracted into _mmr_greedy_from_pool, trace unchanged) —
     # it is already inside this window per the code-change rule and

@@ -808,7 +808,15 @@ _GQ_ORACLE_PREFIX = f"""
 def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc rule relation shared by the profile and the census —
     one corpus scan, all-projection (no joins, no windows)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules_kernel(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_rules_kernel(docs: DataFrame) -> DataFrame:
+    """The rule arithmetic as a STATELESS per-row kernel over any
+    (doc_id, source, text) relation — shared by the batch queries and
+    the streaming ingest twin (streaming/micro_batch.py::
+    streaming_gopher_gate); every metric is a projection, so the
+    kernel streams as-is."""
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("long")
     sum_chars = (F.length("text") - (F.size(toks) - 1)).cast("long")
@@ -904,9 +912,11 @@ def doc_gopher_quality_profile(
     return _gopher_rules(spark, sf_dir).drop("source")
 
 
-@query(
-    "gopher_quality_census",
-    oracle=_GQ_ORACLE_PREFIX
+#: shared by the batch census and its streaming ingest-gate twin
+#: (streaming/micro_batch.py::streaming_gopher_gate) — one SQL truth,
+#: two engine paths (the REPETITION_CENSUS_ORACLE pattern).
+GOPHER_CENSUS_ORACLE = (
+    _GQ_ORACLE_PREFIX
     + """
     SELECT source,
            CAST(COUNT(*) AS BIGINT)            AS n_docs,
@@ -917,15 +927,15 @@ def doc_gopher_quality_profile(
            CAST(SUM(1 - ok_alpha)      AS BIGINT) AS f_alpha,
            CAST(SUM(1 - ok_stopword)   AS BIGINT) AS f_stopword
     FROM k GROUP BY source
-    """,
+    """
 )
-def gopher_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Gopher gate census: kept count plus per-rule failure
-    counts (a doc can fail several rules; the columns are independent
-    tallies, not a partition). One scan, one map-side-combined
-    groupBy — nothing data-proportional retained."""
-    r = _gopher_rules(spark, sf_dir)
-    return r.groupBy("source").agg(
+
+
+def gopher_census_kernel(docs: DataFrame) -> DataFrame:
+    """Rules + ONE aggregate over any (doc_id, source, text) relation —
+    the whole gate is a stateless projection into a single groupBy, so
+    it streams unchanged (no multi-aggregation chain to break up)."""
+    return gopher_rules_kernel(docs).groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("keep").cast("long").alias("n_kept"),
         F.sum(1 - F.col("ok_word_count")).cast("long").alias("f_word_count"),
@@ -934,3 +944,12 @@ def gopher_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("ok_alpha")).cast("long").alias("f_alpha"),
         F.sum(1 - F.col("ok_stopword")).cast("long").alias("f_stopword"),
     )
+
+
+@query("gopher_quality_census", oracle=GOPHER_CENSUS_ORACLE)
+def gopher_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher gate census: kept count plus per-rule failure
+    counts (a doc can fail several rules; the columns are independent
+    tallies, not a partition). One scan, one map-side-combined
+    groupBy — nothing data-proportional retained."""
+    return gopher_census_kernel(load_table(spark, sf_dir, "documents"))

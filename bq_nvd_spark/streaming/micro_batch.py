@@ -51,7 +51,9 @@ from pyspark.sql.types import (
 )
 
 from bq_nvd_spark.plans.curation import (
+    GOPHER_CENSUS_ORACLE,
     REPETITION_CENSUS_ORACLE,
+    gopher_census_kernel,
     repetition_gate_census,
 )
 from bq_nvd_spark.plans.privacy import PII_CENSUS_ORACLE, scrub_census
@@ -528,5 +530,23 @@ def streaming_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_gate_census(stream_table(spark, sf_dir, "documents")),
         output_mode="complete",
         name_prefix="stream_repgate",
+        state_partitions=8,
+    )
+
+
+# --------------------------------------------------------------------------
+# T4 × E4/E6 (round 15): the full Gopher quality gate as an INGEST
+# stream — the third member of the scrub-on-ingest family
+# (streaming_pii_scrub, streaming_repetition_gate). The gate is
+# already the streamable shape: five stateless per-row rules
+# (plans/curation.py::gopher_rules_kernel) into ONE complete-mode
+# per-source census (|sources| rows of state) — no multi-aggregation
+# chain to re-derive. Oracle = the batch census SQL, shared verbatim.
+@query("streaming_gopher_gate", oracle=GOPHER_CENSUS_ORACLE)
+def streaming_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        gopher_census_kernel(stream_table(spark, sf_dir, "documents")),
+        output_mode="complete",
+        name_prefix="stream_gopher",
         state_partitions=8,
     )

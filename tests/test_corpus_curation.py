@@ -291,3 +291,24 @@ def test_gopher_gate_rules_fire_individually(spark, sf_dir, tmp_path):
     prof = QUERIES["doc_gopher_quality_profile"](spark, sf_dir).collect()
     kept = sum(r["keep"] for r in prof)
     assert 0 < kept < len(prof)
+
+
+def test_streaming_gopher_gate_equals_batch_census(spark, sf_dir):
+    # The gate is a stateless projection into one aggregate, so the
+    # streamed census must equal the batch census field-for-field —
+    # same contract as the repetition-gate twin.
+    from bq_nvd_spark.plans import QUERIES
+
+    cols = [
+        "n_docs", "n_kept", "f_word_count", "f_mean_len",
+        "f_symbol", "f_alpha", "f_stopword",
+    ]
+    batch = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in QUERIES["gopher_quality_census"](spark, sf_dir).collect()
+    }
+    streamed = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in QUERIES["streaming_gopher_gate"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
