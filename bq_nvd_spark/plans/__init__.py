@@ -45,7 +45,10 @@ _DRIVER_PRIORITY = [
     # E4/E6 in plans/curation.py, VERDICT r14 task 7);
     # streaming_gopher_gate (the same gate as an AvailableNow ingest
     # stream — stateless rules kernel + one complete-mode census,
-    # oracle shared verbatim, T4 x E4/E6 in streaming/micro_batch.py).
+    # oracle shared verbatim, T4 x E4/E6 in streaming/micro_batch.py);
+    # temperature_mixture_quotas (mT5-style alpha-sampling quotas,
+    # alpha=1/2 via IEEE-exact sqrt + the integer capacity/quota math,
+    # E6+ in plans/sampling.py).
     # mmr_diverse_topk's code also changed in r15 (greedy
     # kernel extracted into _mmr_greedy_from_pool, trace unchanged) —
     # it is already inside this window per the code-change rule and

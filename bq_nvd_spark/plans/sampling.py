@@ -779,3 +779,87 @@ def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(DSIR_K)
         .select("doc_id", "lang", "logw_micro")
     )
+
+
+# --------------------------------------------------------------------------
+# E6+ (round 15): TEMPERATURE mixture quotas — the alpha-sampling rule
+# multilingual/multi-source pretraining uses to flatten a skewed corpus
+# (mT5/XLM-R style: sample source s with probability ∝ n_s^alpha,
+# 0 < alpha < 1, so head sources shrink and tail sources grow relative
+# to their raw shares). Here alpha = 1/2: w_s = sqrt(n_s), computable
+# EXACTLY cross-engine because IEEE-754 sqrt is correctly rounded
+# (unlike pow/ln, which agree only to ~1 ulp) — quantized once to
+# integer micro-units, after which the capacity/quota arithmetic is
+# the same all-integer math as mixture_resample_docs: capacity
+# T = min_s floor(n_s*SUMw/w_s) (the scarcest source under its
+# flattened share binds), quota k_s = floor(w_s*T/SUMw). Scale shape:
+# ONE corpus scan into the per-source census; every derived scalar is
+# an unpartitioned window over the |sources|-row census (the benign
+# aggregated-series case); membership selection composes with
+# mixture_resample_docs' md5-rank machinery.
+TEMP_ALPHA_NOTE = "alpha = 1/2 via IEEE-exact sqrt"
+
+
+@query(
+    "temperature_mixture_quotas",
+    oracle="""
+    WITH w AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(FLOOR(SQRT(COUNT(*)) * 1000000 + 0.5) AS BIGINT)
+               AS w_micro
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT source, n_docs, w_micro,
+             CAST(SUM(w_micro) OVER () AS BIGINT) AS sum_w
+      FROM w
+    ),
+    t AS (
+      SELECT source, n_docs, w_micro, sum_w,
+             MIN((n_docs * sum_w) // w_micro) OVER () AS cap
+      FROM s
+    )
+    SELECT source, n_docs, w_micro,
+           CAST((w_micro * cap) // sum_w AS BIGINT) AS quota
+    FROM t
+    """,
+)
+def temperature_mixture_quotas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source quotas of the largest corpus achievable at EXACT
+    n_s^(1/2)-proportional shares (see the section note). Emits the
+    census (n_docs), the quantized weight, and the integer quota."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs")) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    wall = Window.partitionBy()
+    return (
+        w.select(
+            "source",
+            "n_docs",
+            "w_micro",
+            F.sum("w_micro").over(wall).cast("long").alias("sum_w"),
+        )
+        .select(
+            "source", "n_docs", "w_micro", "sum_w",
+            F.min(F.expr("(n_docs * sum_w) div w_micro"))
+            .over(wall)
+            .alias("cap"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "w_micro",
+            F.expr("(w_micro * cap) div sum_w").cast("long").alias("quota"),
+        )
+    )

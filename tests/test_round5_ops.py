@@ -287,3 +287,47 @@ def test_dsir_determinism_and_selection_shape(spark, sf_dir):
     assert again == {r["doc_id"] for r in rows}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_quotas_flatten_the_mixture(spark, tmp_path):
+    """alpha=1/2 temperature sampling must shrink the head source's
+    share and grow the tail source's share relative to raw proportions,
+    never exceed any source's inventory, and bind capacity on the
+    scarcest source under its flattened share. Skewed synthetic corpus
+    with known closed-form expectations."""
+    from bq_nvd_spark.plans import QUERIES
+
+    sizes = {"big": 400, "mid": 100, "tiny": 25}
+    rows, did = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((did, f"text {did}", "en", src, 7))
+            did += 1
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in QUERIES["temperature_mixture_quotas"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # sqrt weights: 20e6 / 10e6 / 5e6; sum_w = 35e6.
+    assert got["big"]["w_micro"] == 20_000_000
+    assert got["mid"]["w_micro"] == 10_000_000
+    assert got["tiny"]["w_micro"] == 5_000_000
+    # capacity = min(n_s*sum_w // w_s) = min(700, 350, 175) = 175
+    # (tiny binds); quotas = floor(w_s*175/35e6) = 100 / 50 / 25.
+    assert {s: got[s]["quota"] for s in sizes} == {
+        "big": 100, "mid": 50, "tiny": 25,
+    }
+    total_n, total_q = sum(sizes.values()), 175
+    for s, n in sizes.items():
+        assert got[s]["quota"] <= n
+    # flattening: head share falls (400/525 -> 100/175), tail share
+    # rises (25/525 -> 25/175)
+    assert got["big"]["quota"] / total_q < sizes["big"] / total_n
+    assert got["tiny"]["quota"] / total_q > sizes["tiny"] / total_n
