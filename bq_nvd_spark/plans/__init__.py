@@ -52,7 +52,12 @@ _DRIVER_PRIORITY = [
     # mmr_diverse_topk's code also changed in r15 (greedy
     # kernel extracted into _mmr_greedy_from_pool, trace unchanged) —
     # it is already inside this window per the code-change rule and
-    # was re-mirrored x3 SFs post-refactor.
+    # was re-mirrored x3 SFs post-refactor. ivf_topk's code changed
+    # too (the IVF coarse quantizer extracted into
+    # _ivf_assign_and_probes + _IVF_QUANTIZER_CTE, shared with
+    # mmr_ann_diverse_topk; oracle byte-identical) — it takes the last
+    # window slot, evicting bpe_encode_top_tokens (r12-era, unchanged,
+    # deferral logged: leads the r16 backlog tier).
     # The r16 rotation plan is appended at round close.
     # -- never driver-checked (r14 additions, each mirror-green x3 SFs;
     #    streaming_repetition_gate also r15-code-changed) --
@@ -104,11 +109,15 @@ _DRIVER_PRIORITY = [
     "weekly_retention_cohorts",
     "weighted_sample_docs",
     "zorder_cell_census",
-    # -- last driver row r12 (alphabetically first 4) --
+    # -- last driver row r12 (alphabetically first 3; the 4th slot
+    #    went to ivf_topk per the code-change rule — see header) --
     "agg_count_scalar",
     "anti_join_customers_without_orders",
     "approx_distinct_users",
-    "bpe_encode_top_tokens",
+    # -- code changed in r15 (quantizer extracted into
+    #    _ivf_assign_and_probes, shared with mmr_ann_diverse_topk;
+    #    oracle byte-identical, mirror-green x3 SFs post-refactor) --
+    "ivf_topk",
 ]
 
 def _reorder(registry: dict) -> None:

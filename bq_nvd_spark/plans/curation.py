@@ -762,6 +762,11 @@ GQ_MAX_MEAN_LEN = 10
 GQ_SYM_NUM, GQ_SYM_DEN = 1, 10
 GQ_ALPHA_NUM, GQ_ALPHA_DEN = 8, 10
 GQ_MIN_STOP = 2
+#: one stopword set, interpolated into BOTH engine halves (the GQ_*
+#: constant discipline — two inline literals would desynchronize the
+#: engines the first time the list grows toward Gopher's real 8).
+GQ_STOPWORDS = ("the", "a")
+_GQ_STOP_SQL = ", ".join(f"'{w}'" for w in GQ_STOPWORDS)
 
 _GQ_ORACLE_PREFIX = f"""
     WITH m AS (
@@ -776,7 +781,7 @@ _GQ_ORACLE_PREFIX = f"""
                                   t -> regexp_matches(t, '[a-z]')))
                   AS BIGINT) AS alpha_words,
              CAST(len(list_filter(list_distinct(string_split(text, ' ')),
-                                  t -> t IN ('the', 'a')))
+                                  t -> t IN ({_GQ_STOP_SQL})))
                   AS BIGINT) AS n_stop
       FROM documents
     ),
@@ -830,7 +835,7 @@ def gopher_rules_kernel(docs: DataFrame) -> DataFrame:
         F.filter(toks, lambda t: t.rlike("[a-z]"))
     ).cast("long")
     n_stop = F.size(
-        F.filter(F.array_distinct(toks), lambda t: t.isin("the", "a"))
+        F.filter(F.array_distinct(toks), lambda t: t.isin(*GQ_STOPWORDS))
     ).cast("long")
     m = docs.select(
         "doc_id",

@@ -541,6 +541,12 @@ DSIR_BUCKETS = 4096
 DSIR_K = 40
 DSIR_TARGET_LANG = "en"
 
+# One micro-nat scale for BOTH the quantized-ln weights and the Gumbel
+# keys they are summed with. This MUST equal classify.NB_MICRO (the
+# Spark kernel borrows classify._micro_ln, which scales by NB_MICRO,
+# while this oracle interpolates _DSIR_MICRO) — a module-level import
+# would be circular (classify imports sampling's split constants), so
+# _build_dsir_scores asserts the equality at first use instead.
 _DSIR_MICRO = 1_000_000
 
 
@@ -648,7 +654,15 @@ def _build_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _micro_ln is the repo-wide quantized-ln helper (classify.py owns
     # it because NB landed first; DSIR reuses the identical discipline).
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
-    from bq_nvd_spark.plans.classify import _micro_ln
+    from bq_nvd_spark.plans.classify import NB_MICRO, _micro_ln
+
+    # the oracle hard-codes _DSIR_MICRO; _micro_ln scales by NB_MICRO —
+    # they must be ONE scale or the engines silently desynchronize
+    if NB_MICRO != _DSIR_MICRO:
+        raise AssertionError(
+            f"DSIR micro scale {_DSIR_MICRO} != classify.NB_MICRO "
+            f"{NB_MICRO}: retune _DSIR_MICRO (and the oracle) together"
+        )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", _spark_bucket().alias("bucket")
@@ -815,12 +829,17 @@ TEMP_ALPHA_NOTE = "alpha = 1/2 via IEEE-exact sqrt"
       FROM w
     ),
     t AS (
+      -- 128-bit intermediates: n_docs*sum_w (and w_micro*cap below)
+      -- exceed BIGINT at petabyte-source cardinalities; HUGEINT here
+      -- == DECIMAL(38,0) on the Spark side, division results fit BIGINT
       SELECT source, n_docs, w_micro, sum_w,
-             MIN((n_docs * sum_w) // w_micro) OVER () AS cap
+             CAST(MIN((CAST(n_docs AS HUGEINT) * sum_w) // w_micro)
+                  OVER () AS BIGINT) AS cap
       FROM s
     )
     SELECT source, n_docs, w_micro,
-           CAST((w_micro * cap) // sum_w AS BIGINT) AS quota
+           CAST((CAST(w_micro AS HUGEINT) * cap) // sum_w AS BIGINT)
+             AS quota
     FROM t
     """,
 )
@@ -852,7 +871,16 @@ def temperature_mixture_quotas(
         )
         .select(
             "source", "n_docs", "w_micro", "sum_w",
-            F.min(F.expr("(n_docs * sum_w) div w_micro"))
+            # DECIMAL(38,0) intermediates (the oracle's HUGEINT twin):
+            # the products overflow BIGINT at petabyte-source
+            # cardinalities, and Spark's non-ANSI multiply would wrap
+            # SILENTLY while DuckDB errors — divergence exactly at
+            # scale. div on decimals returns an exact LONG.
+            F.min(
+                F.expr(
+                    "(CAST(n_docs AS DECIMAL(38,0)) * sum_w) div w_micro"
+                )
+            )
             .over(wall)
             .alias("cap"),
         )
@@ -860,6 +888,8 @@ def temperature_mixture_quotas(
             "source",
             "n_docs",
             "w_micro",
-            F.expr("(w_micro * cap) div sum_w").cast("long").alias("quota"),
+            F.expr("(CAST(w_micro AS DECIMAL(38,0)) * cap) div sum_w")
+            .cast("long")
+            .alias("quota"),
         )
     )

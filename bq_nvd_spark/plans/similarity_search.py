@@ -154,16 +154,14 @@ IVF_NPROBE = 4  # cells probed per query
 _CENT_MAX_ID = _QUERY_MAX_ID + IVF_CELLS
 
 
-@query(
-    "ivf_topk",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    n AS MATERIALIZED (
-      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
-    ),
-    cents AS (
+#: the deterministic IVF coarse quantizer as oracle CTEs — ONE text,
+#: interpolated into ivf_topk's oracle AND _MMR_IVF_REL below, so a
+#: tie-break or quantization fix cannot drift between the two (the
+#: Spark twin is _ivf_assign_and_probes). Expects an ``n`` CTE of
+#: (vec_id, v, nrm) in scope. ivf_refined_topk keeps its own variant:
+#: its centroid relation is the refined (re-trained) set, not this
+#: fixed corpus subset.
+_IVF_QUANTIZER_CTE = f"""cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
       FROM n WHERE vec_id >= {_QUERY_MAX_ID} AND vec_id < {_CENT_MAX_ID}
     ),
@@ -188,43 +186,22 @@ _CENT_MAX_ID = _QUERY_MAX_ID + IVF_CELLS
         FROM n q, cents c
         WHERE q.vec_id < {_QUERY_MAX_ID}
       ) WHERE rn <= {IVF_NPROBE}
-    ),
-    scored AS (
-      SELECT p.q_id, a.vec_id,
-             FLOOR({duck_fold_dot('p.qv', 'a.v')} / (p.qn * a.nrm) * 10000 + 0.5)
-               / 10000 AS sim
-      FROM probes p JOIN assign a ON a.cell = p.cell
-    )
-    SELECT q_id, vec_id, sim
-    FROM (
-      SELECT q_id, vec_id, sim,
-             ROW_NUMBER() OVER (PARTITION BY q_id
-                                ORDER BY sim DESC, vec_id) AS rn
-      FROM scored
-    )
-    WHERE rn <= {TOP_K}
-    """,
-)
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3: IVF-bucketed top-k — the coarse-quantizer alternative to sign-
-    LSH. Centroids are a fixed, deterministic subset of the corpus (a
-    real deployment k-means-trains them offline; the index structure,
-    not the training, is what this plan exercises). Every corpus vector
-    is assigned to its nearest centroid (argmax cosine, ties to the
-    smallest centroid id), queries probe their ``IVF_NPROBE`` best
-    cells, and only vectors in probed cells pay the exact re-rank.
+    )"""
 
-    All-declarative and shuffle-free until the candidate join: the
-    centroid set folds into ONE broadcast row holding a sorted
-    array<struct>, and each vector picks its cells with a per-row
-    higher-order argmax / top-nprobe over that array — no 16× cross-join
-    row blowup, no argmax window, no exchange touches the corpus before
-    candidates exist. Cell sizes are corpus/IVF_CELLS by construction —
-    tunable against executor memory the same way N_BITS tunes LSH
-    buckets.
+
+
+
+def _ivf_assign_and_probes(spark: SparkSession, sf_dir: str):
+    """The deterministic IVF coarse quantizer, shared VERBATIM by
+    ivf_topk and mmr_ann_diverse_topk (its oracle twin is
+    _IVF_QUANTIZER_CTE — one text each side, so a tie-break or
+    quantization fix cannot drift between consumers). Returns
+    ``(assign, probes)``: every corpus vector with its argmax-cosine
+    cell (ties to the smallest cent_id), and each query replicated
+    onto its IVF_NPROBE best cells. ivf_refined_topk keeps its own
+    variant — its centroid relation is the refined (re-trained) set,
+    not this fixed corpus subset.
     """
-    from pyspark.sql.window import Window
-
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
     emb = _spread_embeddings(spark, sf_dir)
@@ -300,6 +277,56 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
+    return assign, probes
+
+
+@query(
+    "ivf_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
+    ),
+    {_IVF_QUANTIZER_CTE},
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             FLOOR({duck_fold_dot('p.qv', 'a.v')} / (p.qn * a.nrm) * 10000 + 0.5)
+               / 10000 AS sim
+      FROM probes p JOIN assign a ON a.cell = p.cell
+    )
+    SELECT q_id, vec_id, sim
+    FROM (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: IVF-bucketed top-k — the coarse-quantizer alternative to sign-
+    LSH. Centroids are a fixed, deterministic subset of the corpus (a
+    real deployment k-means-trains them offline; the index structure,
+    not the training, is what this plan exercises). Every corpus vector
+    is assigned to its nearest centroid (argmax cosine, ties to the
+    smallest centroid id), queries probe their ``IVF_NPROBE`` best
+    cells, and only vectors in probed cells pay the exact re-rank.
+
+    All-declarative and shuffle-free until the candidate join: the
+    centroid set folds into ONE broadcast row holding a sorted
+    array<struct>, and each vector picks its cells with a per-row
+    higher-order argmax / top-nprobe over that array — no 16× cross-join
+    row blowup, no argmax window, no exchange touches the corpus before
+    candidates exist. Cell sizes are corpus/IVF_CELLS by construction —
+    tunable against executor memory the same way N_BITS tunes LSH
+    buckets.
+    """
+    from pyspark.sql.window import Window
+
+    assign, probes = _ivf_assign_and_probes(spark, sf_dir)
     scored = assign.join(F.broadcast(probes), "cell").select(
         "q_id",
         "vec_id",
@@ -1134,32 +1161,7 @@ _MMR_BRUTE_REL = f"""q AS (
 #: assignment with smallest-cent_id ties, IVF_NPROBE probed cells per
 #: query) — relevance is scored ONLY for candidates in probed cells,
 #: so the 100 TB path never scans the corpus per query batch.
-_MMR_IVF_REL = f"""cents AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-      FROM n WHERE vec_id >= {_QUERY_MAX_ID} AND vec_id < {_CENT_MAX_ID}
-    ),
-    assign AS (
-      SELECT vec_id, v, nrm, cell FROM (
-        SELECT a.vec_id, a.v, a.nrm, c.cent_id AS cell,
-               ROW_NUMBER() OVER (
-                 PARTITION BY a.vec_id
-                 ORDER BY {duck_fold_dot('a.v', 'c.cv')} / (a.nrm * c.cnrm) DESC,
-                          c.cent_id) AS rn
-        FROM n a, cents c
-        WHERE a.vec_id >= {_QUERY_MAX_ID}
-      ) WHERE rn = 1
-    ),
-    probes AS (
-      SELECT q_id, qv, qn, cell FROM (
-        SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.cent_id AS cell,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY {duck_fold_dot('q.v', 'c.cv')} / (q.nrm * c.cnrm) DESC,
-                          c.cent_id) AS rn
-        FROM n q, cents c
-        WHERE q.vec_id < {_QUERY_MAX_ID}
-      ) WHERE rn <= {IVF_NPROBE}
-    ),
+_MMR_IVF_REL = f"""{_IVF_QUANTIZER_CTE},
     rel AS (
       SELECT p.q_id, a.vec_id, a.v AS cv, a.nrm AS cn,
              CAST(FLOOR({duck_fold_dot('p.qv', 'a.v')} / (p.qn * a.nrm)
@@ -1416,71 +1418,7 @@ def mmr_ann_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
-    emb = _spread_embeddings(spark, sf_dir)
-    n = stage_checkpoint(
-        emb.select("vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm"))
-    )
-    cent_arr = (
-        n.filter(
-            (F.col("vec_id") >= _QUERY_MAX_ID)
-            & (F.col("vec_id") < _CENT_MAX_ID)
-        )
-        .select(
-            F.struct(
-                F.col("vec_id").alias("cent_id"),
-                F.col("v").alias("cv"),
-                F.col("nrm").alias("cnrm"),
-            ).alias("c")
-        )
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
-
-    def cent_cos(c):
-        return fold_dot("v", c["cv"]) / (F.col("nrm") * c["cnrm"])
-
-    # Per-row argmax / top-nprobe over the one-row centroid array —
-    # identical kernels (and tie-breaks) to ivf_topk.
-    best_cell = F.aggregate(
-        "cents",
-        F.struct(
-            F.lit(-2.0).cast("double").alias("cos"),
-            F.lit(None).cast("long").alias("cell"),
-        ),
-        lambda acc, c: F.when(
-            cent_cos(c) > acc["cos"],
-            F.struct(cent_cos(c).alias("cos"), c["cent_id"].alias("cell")),
-        ).otherwise(acc),
-    )["cell"]
-    probe_cells = F.slice(
-        F.sort_array(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    (-cent_cos(c)).alias("neg_cos"),
-                    c["cent_id"].alias("cell"),
-                ),
-            )
-        ),
-        1,
-        IVF_NPROBE,
-    )
-
-    assign = (
-        n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
-        .crossJoin(F.broadcast(cent_arr))
-        .select("vec_id", "v", "nrm", best_cell.alias("cell"))
-    )
-    probes = (
-        n.filter(F.col("vec_id") < _QUERY_MAX_ID)
-        .crossJoin(F.broadcast(cent_arr))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            F.explode(probe_cells).alias("p"),
-        )
-        .select("q_id", "qv", "qn", F.col("p.cell").alias("cell"))
-    )
+    assign, probes = _ivf_assign_and_probes(spark, sf_dir)
     rel = assign.join(F.broadcast(probes), "cell").select(
         "q_id",
         "vec_id",

@@ -145,8 +145,9 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (C, "query set: vec_id < 5 by construction"),
     ("plans/similarity_search.py", "mmr_diverse_topk", "q"):
         (C, "query set: vec_id < 5 by construction"),
-    ("plans/similarity_search.py", "ivf_topk", "cent_arr"):
-        (C, "IVF centroid array: one row of K=16 structs"),
+    ("plans/similarity_search.py", "_ivf_assign_and_probes", "cent_arr"):
+        (C, "IVF centroid array: one row of K=16 structs (shared "
+            "quantizer for ivf_topk + mmr_ann_diverse_topk)"),
     ("plans/similarity_search.py", "ivf_topk", "probes"):
         (C, "≤5 queries × IVF_NPROBE probe cells"),
     ("plans/similarity_search.py", "ivf_refined_topk", "cent_arr"):
@@ -157,8 +158,6 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (C, "refined centroid array: one row of K structs"),
     ("plans/similarity_search.py", "ivf_refined_topk", "probes"):
         (C, "≤5 queries × IVF_NPROBE probe cells"),
-    ("plans/similarity_search.py", "mmr_ann_diverse_topk", "cent_arr"):
-        (A, "one row holding the IVF_CELLS centroid array"),
     ("plans/similarity_search.py", "mmr_ann_diverse_topk", "probes"):
         (C, "≤5 queries × IVF_NPROBE probe cells"),
     ("plans/sampling.py", "mixture_resample_docs", "quota"):
