@@ -116,10 +116,16 @@ def parse_acks(path: str) -> "set[tuple[str, str]]":
 
     acks = set()
     try:
-        for line in open(path):
-            m = re.match(r"^- (\S+) @(\S+): \S", line)
-            if m:
-                acks.add((m.group(1), m.group(2)))
+        with open(path) as fh:
+            for line in fh:
+                # anchored to the real entry shape: the record label is
+                # always a bench_history FILE (rNN.json), so prose that
+                # merely looks like '- name @word: note' cannot count
+                # as an acknowledgment (and the indented format example
+                # in the file stays unmatched).
+                m = re.match(r"^- (\S+) @(\S+\.json): \S", line)
+                if m:
+                    acks.add((m.group(1), m.group(2)))
     except OSError:
         pass
     return acks
@@ -147,8 +153,14 @@ def check_acks() -> int:
     except OSError:
         print("no SCALING.md; run the full audit first", file=sys.stderr)
         return 1
-    m = re.search(r"### Cold-build drift vs prior round \(([^)\s]+)", text)
-    prior_label = m.group(1) if m else "none"
+    m = re.search(r"### Cold-build drift vs prior round \(([^)]+)\)", text)
+    prior_label = m.group(1) if m else "none found"
+    if prior_label.startswith("none") or "drift gate skipped" in prior_label:
+        # no same-SF prior baseline -> the audit produced no drift rows,
+        # so there is nothing to acknowledge (and the 'none found'
+        # sentinel could never match an ack entry's rNN.json label)
+        print(f"watch-row acks OK (no drift baseline: {prior_label})")
+        return 0
     watch = re.findall(
         r"^\| (\S+) \| [\d.]+ \| [\d.]+ \| [\d.]+ \| watch", text, re.M
     )
