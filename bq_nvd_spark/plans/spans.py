@@ -146,3 +146,217 @@ def span_contamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("occ").cast("long").alias("n_dup_occurrences"),
         F.max("nd").cast("long").alias("max_docs_per_span"),
     )
+
+
+# --------------------------------------------------------------------------
+# E2/E4 (round 15): WINNOWING document fingerprints (Schleimer, Wilkerson
+# & Aiken 2003 — the MOSS algorithm): hash every WIN_K-token k-gram,
+# slide a WIN_W-wide window over the hash sequence, and keep each
+# window's RIGHTMOST MINIMUM (hash, position) — a provably
+# position-robust fingerprint set with expected density 2/(w+1) that
+# guarantees any shared run of >= WIN_K + WIN_W - 1 tokens leaves at
+# least one shared fingerprint. The local-min selection is what the
+# fixed-stride span dedup above cannot give: insertions before a shared
+# passage shift every stride boundary but not the winnowed minima.
+#
+# Exactness contract: k-gram hashes are the first 8 md5 hex chars (the
+# repo-wide cross-engine hash), the rightmost-min argmin is encoded as
+# ONE integer MIN aggregate — key = h*2^20 − p, so min key sorts by
+# (h ASC, p DESC) exactly, h = key div 2^20 + 1 and p = h*2^20 − key
+# recover the pair — no struct-ordering or row_number portability in
+# the hot aggregate. Docs with fewer k-grams than WIN_W collapse to
+# ONE window (n_wins = greatest(1, m−W+1)); the explicit clamp also
+# keeps the per-k-gram window range ascending, where a raw
+# sequence(lo, hi) with lo > hi would step DOWNWARD in Spark but come
+# back EMPTY from DuckDB's range() — a silent cross-engine divergence.
+#
+# Scale shape (100 TB): the k-gram explode is linear in tokens; the
+# window replication is a CONSTANT WIN_W-fold blowup feeding one
+# map-side-combined (doc, window) hash aggregate; fingerprints are a
+# linear DISTINCT. The pair query joins fingerprints on hash with a
+# document-frequency cap (WIN_DOC_CAP, the decontamination precedent),
+# so per-hash fan-out is <= CAP² and boilerplate fingerprints never
+# explode the join.
+WIN_K = 4  # tokens per k-gram
+WIN_W = 4  # winnowing window (k-grams per window)
+WIN_M = 1 << 20  # position encoder: key = h * WIN_M - p (p < 2^20)
+WIN_DOC_CAP = 10  # fingerprint doc-frequency cap for the pair join
+WIN_SHARED_MIN = 2  # min shared fingerprints to report a pair
+
+_DUCK_WINNOW = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i AS p,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+{WIN_K - 1}],
+                    ' ')), 1, 8)) AS BIGINT) AS h,
+             len(t) - {WIN_K} + 1 AS m
+      FROM toks, UNNEST(range(1, len(t) - {WIN_K} + 2)) AS u(i)
+      WHERE len(t) >= {WIN_K}
+    ),
+    wins AS (
+      SELECT doc_id, j, MIN(h * {WIN_M} - p) AS key
+      FROM kg,
+           UNNEST(range(GREATEST(1, p - {WIN_W} + 1),
+                        LEAST(p, GREATEST(1, m - {WIN_W} + 1)) + 1))
+             AS v(j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, key // {WIN_M} + 1 AS h,
+             (key // {WIN_M} + 1) * {WIN_M} - key AS p
+      FROM wins
+    )"""
+
+
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared kernel: the DISTINCT (doc_id, h, p) fingerprint relation
+    (plus per-doc n_kgrams via max(m) downstream). Memoized via
+    ``shared_stage`` — both consumers winnow the corpus once."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("winnow_fp", sf_dir),
+        lambda: _build_winnow_fingerprints(spark, sf_dir),
+    )
+
+
+def _build_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= WIN_K)
+    )
+    kg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, size(t) - {WIN_K} + 1)")
+        ).alias("p"),
+        F.col("t"),
+        (F.size("t") - WIN_K + 1).cast("long").alias("m"),
+    ).select(
+        "doc_id",
+        "p",
+        "m",
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"concat_ws(' ', slice(t, p, {WIN_K}))")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wins = (
+        kg.select(
+            "doc_id",
+            "h",
+            "p",
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(1, p - {WIN_W} + 1),"
+                    f" least(p, greatest(1, m - {WIN_W} + 1)))"
+                )
+            ).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min(F.col("h") * WIN_M - F.col("p")).alias("key"))
+    )
+    return (
+        wins.select(
+            "doc_id",
+            "key",
+            (F.expr(f"key div {WIN_M}") + 1).alias("h"),
+        )
+        .select(
+            "doc_id", "h", (F.col("h") * WIN_M - F.col("key")).alias("p")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "winnow_fingerprint_census",
+    oracle=_DUCK_WINNOW
+    + f"""
+    SELECT k.doc_id,
+           CAST(MAX(k.m) AS BIGINT) AS n_kgrams,
+           CAST(GREATEST(1, MAX(k.m) - {WIN_W} + 1) AS BIGINT)
+             AS n_windows,
+           CAST(COUNT(DISTINCT f.h * {WIN_M} + f.p) AS BIGINT)
+             AS n_fingerprints
+    FROM (SELECT DISTINCT doc_id, m FROM kg) k
+    JOIN fp f ON f.doc_id = k.doc_id
+    GROUP BY k.doc_id
+    """,
+)
+def winnow_fingerprint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing census: k-gram count, window count, and
+    selected-fingerprint count (expected density ~= 2/(w+1) of the
+    k-grams — the Schleimer et al. bound the pytest pins)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= WIN_K)
+        .select(
+            "doc_id",
+            (F.size("t") - WIN_K + 1).cast("long").alias("n_kgrams"),
+        )
+    )
+    fp = _winnow_fingerprints(spark, sf_dir)
+    counts = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints")
+    )
+    return docs.join(counts, "doc_id").select(
+        "doc_id",
+        "n_kgrams",
+        F.greatest(F.lit(1), F.col("n_kgrams") - WIN_W + 1)
+        .cast("long")
+        .alias("n_windows"),
+        "n_fingerprints",
+    )
+
+
+@query(
+    "winnow_shared_pairs",
+    oracle=_DUCK_WINNOW
+    + f"""
+    , rare AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM fp)
+      GROUP BY h HAVING COUNT(*) <= {WIN_DOC_CAP}
+    ),
+    fr AS (
+      SELECT DISTINCT f.doc_id, f.h FROM fp f JOIN rare r ON r.h = f.h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WIN_SHARED_MIN}
+    """,
+)
+def winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= WIN_SHARED_MIN winnowed fingerprints —
+    the MOSS copy-detection report. The doc-frequency cap drops
+    boilerplate fingerprints BEFORE the self-join (the decontamination
+    precedent), bounding per-hash fan-out at WIN_DOC_CAP²."""
+    fp = _winnow_fingerprints(spark, sf_dir).select("doc_id", "h").distinct()
+    rare = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= WIN_DOC_CAP)
+        .select("h")
+    )
+    fr = fp.join(rare, "h")
+    a = fr.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fr.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_SHARED_MIN)
+    )
