@@ -1447,3 +1447,104 @@ def mmr_ann_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "cv", "cn", "rel_e4")
     )
     return _mmr_greedy_from_pool(pool)
+
+# --------------------------------------------------------------------------
+# E3 (round 15): HARD-NEGATIVE MINING for contrastive training — for
+# every labeled corpus vector, the most-similar vector carrying a
+# DIFFERENT label among candidates in its IVF cell (the standard
+# ANN-restricted mining loop: the hardest negatives live in the same
+# coarse cell by construction, which is why FAISS-based miners batch
+# by cell). Reuses the shared quantizer's ``assign`` relation — no
+# third copy of the quantizer, per the round-15 review rule.
+#
+# Exactness: the per-anchor argmax is ONE integer MAX aggregate —
+# key = (sim_e4 + 10000)·2^20 + (2^20−1−vec_id), so max key sorts by
+# (sim DESC, vec_id ASC) exactly and the pair decodes back out — the
+# same single-integer-argmin trick as the winnowing kernel.
+#
+# Scale shape (100 TB): the within-cell self-join is (corpus²/cells);
+# IVF_CELLS is THE knob — a real deployment scales cells with the
+# corpus so cell size stays ~constant and the join stays linear in
+# corpus size (the same sizing argument as ivf_topk's candidate join
+# and EMB_BUCKET_CAP's bucket bound). No broadcast anywhere: the
+# self-join is a shuffle equi-join on the cell id.
+HN_M = 1 << 20  # argmax encoder: key = (sim_e4+10000)*HN_M + (HN_M-1-vec_id)
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
+    ),
+    {_IVF_QUANTIZER_CTE},
+    la AS (
+      SELECT a.vec_id, e.label, a.v, a.nrm, a.cell
+      FROM assign a JOIN e ON e.vec_id = a.vec_id
+    ),
+    keyed AS (
+      SELECT a.vec_id, a.label,
+             MAX((CAST(FLOOR({duck_fold_dot('a.v', 'b.v')}
+                             / (a.nrm * b.nrm) * 10000 + 0.5) AS BIGINT)
+                  + 10000) * {HN_M} + ({HN_M} - 1 - b.vec_id)) AS key
+      FROM la a JOIN la b
+        ON b.cell = a.cell AND b.label <> a.label
+      GROUP BY a.vec_id, a.label
+    )
+    SELECT vec_id, label,
+           CAST({HN_M} - 1 - key % {HN_M} AS BIGINT) AS neg_id,
+           CAST(key // {HN_M} - 10000 AS BIGINT) AS neg_sim_e4
+    FROM keyed
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor hardest different-label negative within the anchor's
+    IVF cell (see the section note). Anchors whose cell holds no
+    other-label vector emit nothing, identically in both engines."""
+    assign, _ = _ivf_assign_and_probes(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    la = assign.join(labels, "vec_id")
+    a = la.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+        "cell",
+    )
+    b = la.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+        "cell",
+    )
+    sim_e4 = (
+        F.floor(
+            fold_dot_np("av", "bv") / (F.col("an") * F.col("bn")) * 10000
+            + 0.5
+        )
+    ).cast("long")
+    keyed = (
+        a.join(b, "cell")
+        .filter(F.col("b_label") != F.col("a_label"))
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("a_label").alias("label"),
+            ((sim_e4 + 10000) * HN_M + (HN_M - 1 - F.col("b_id"))).alias(
+                "k"
+            ),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("k").alias("key"))
+    )
+    return keyed.select(
+        "vec_id",
+        "label",
+        (HN_M - 1 - F.col("key") % HN_M).cast("long").alias("neg_id"),
+        (F.expr(f"key div {HN_M}") - 10000).cast("long").alias("neg_sim_e4"),
+    )

@@ -505,3 +505,67 @@ def test_mmr_ann_pool_invariants_and_duplicate_geometry(
     ]
     got.sort(key=lambda r: r.mmr_rank)
     assert [r.vec_id for r in got] == [5, 7, 6], got
+
+
+def test_hard_negative_mining_geometry_and_python_reference(
+    spark, sf_dir, tmp_path
+):
+    # Fixture invariants cross-checked against a Python brute-force
+    # restricted to IVF cells: mined negatives must carry a different
+    # label and be the exact within-cell argmax (sim DESC, vec_id ASC).
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.similarity_search import (
+        _CENT_MAX_ID,
+        _QUERY_MAX_ID,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: ([float(x) for x in r.embedding], r.label) for r in rows}
+    import math
+
+    def cos_e4(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(d / (na * nb) * 10000 + 0.5)
+
+    cents = {i: vecs[i][0] for i in vecs if _QUERY_MAX_ID <= i < _CENT_MAX_ID}
+
+    def cell_of(v):
+        best = None
+        for cid in sorted(cents):
+            c = cents[cid]
+            d = sum(x * y for x, y in zip(v, c))
+            nc = math.sqrt(sum(x * x for x in c))
+            nv = math.sqrt(sum(x * x for x in v))
+            cosv = d / (nv * nc)
+            if best is None or cosv > best[0]:
+                best = (cosv, cid)
+        return best[1]
+
+    cells = {
+        i: cell_of(v) for i, (v, _) in vecs.items() if i >= _QUERY_MAX_ID
+    }
+    want = {}
+    for i, (v, lab) in vecs.items():
+        if i < _QUERY_MAX_ID:
+            continue
+        cands = [
+            (cos_e4(v, vecs[j][0]), j)
+            for j, c in cells.items()
+            if c == cells[i] and vecs[j][1] != lab
+        ]
+        if cands:
+            s, j = max(cands, key=lambda t: (t[0], -t[1]))
+            want[i] = (j, s)
+    got = {
+        r.vec_id: (r.neg_id, r.neg_sim_e4)
+        for r in QUERIES["hard_negative_mining"](spark, sf_dir).collect()
+    }
+    assert got == want
+    for r in QUERIES["hard_negative_mining"](spark, sf_dir).collect():
+        assert vecs[r.neg_id][1] != r.label
