@@ -360,3 +360,130 @@ def winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= WIN_SHARED_MIN)
     )
+
+
+# --------------------------------------------------------------------------
+# E2 (round 15): duplicated-span EXCISION — the transform the span
+# DIAGNOSTICS above exist for ("Deduplicating Training Data Makes
+# Language Models Better" removes the duplicated substring, not the
+# document): every token position covered by a span occurring in >= 2
+# distinct documents is cut, and the surviving tokens re-join in
+# position order. Documents with no duplicated span pass through
+# verbatim; a document excised to nothing still appears (empty text,
+# n_removed = n_tokens) via the doc spine.
+#
+# Scale shape: dup detection is the duplicate_span_docs plan; coverage
+# expansion is a constant SPAN_N-fold explode of the (already small)
+# duplicated-gram occurrence relation into a DISTINCT (doc, pos) set;
+# the rebuild is one groupBy(doc) over surviving tokens with
+# sort_array(struct(pos, tok)) — per-document work, never a global
+# sort. The reassembled string is deterministic in both engines
+# (unique positions; DuckDB string_agg ORDER BY pos is its twin).
+# Hash note: the engine detects dups on xxhash64 keys while the oracle
+# joins gram STRINGS — the module-header collision trade (~1e-9).
+@query(
+    "span_excised_docs",
+    oracle=f"""
+    WITH {_DUCK_GRAMS},
+    pg AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(t) - {SPAN_N} + 2)) AS p,
+             len(t) AS n_tokens
+      FROM toks
+    ),
+    pos_grams AS (
+      SELECT g.doc_id, p.p AS p,
+             array_to_string(t[p.p:p.p + {SPAN_N} - 1], ' ') AS g
+      FROM toks g JOIN pg p ON p.doc_id = g.doc_id
+    ),
+    covered AS (
+      SELECT DISTINCT pg.doc_id, pg.p + o.o AS pos
+      FROM pos_grams pg JOIN dup d ON d.g = pg.g,
+           UNNEST(range(0, {SPAN_N})) AS o(o)
+    ),
+    alltok AS (
+      SELECT doc_id, t[i] AS tok, i AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT a.doc_id, a.tok, a.pos
+      FROM alltok a LEFT JOIN covered c
+        ON c.doc_id = a.doc_id AND c.pos = a.pos
+      WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0)
+                AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """,
+)
+def span_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut every token covered by a cross-document duplicated span and
+    re-join the survivors in position order (see the section note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.filter(F.size("t") >= SPAN_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, size(t) - {SPAN_N} + 1)")
+        ).alias("p"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "p",
+        F.expr(
+            f"xxhash64(concat_ws(' ', slice(t, p, {SPAN_N})))"
+        ).alias("span_key"),
+    )
+    dup = (
+        grams.groupBy("span_key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span_key")
+    )
+    covered = (
+        grams.join(dup, "span_key")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(p, p + {SPAN_N} - 1)")
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    alltok = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = alltok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    spine = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

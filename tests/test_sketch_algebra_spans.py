@@ -246,3 +246,48 @@ def test_winnow_shared_run_guarantee(spark, tmp_path):
     # construction — and doc_c must pair with nobody
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_span_excision_cuts_exactly_the_shared_run(spark, sf_dir, tmp_path):
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.spans import SPAN_N
+
+    run = [f"dup{i}" for i in range(SPAN_N)]  # exactly one shared span
+    a = [f"a{i}" for i in range(5)] + run + [f"z{i}" for i in range(4)]
+    b = [f"b{i}" for i in range(2)] + run + [f"y{i}" for i in range(6)]
+    c = [f"c{i}" for i in range(12)]
+    rows = [
+        (0, " ".join(a), "en", "s", 1),
+        (1, " ".join(b), "en", "s", 1),
+        (2, " ".join(c), "en", "s", 1),
+        (3, " ".join(run), "en", "s", 1),  # the run IS the whole doc
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: r
+        for r in QUERIES["span_excised_docs"](spark, str(tmp_path)).collect()
+    }
+    assert got[0].text_clean == " ".join(a[:5] + a[5 + SPAN_N:])
+    assert got[0].n_removed == SPAN_N
+    assert got[1].text_clean == " ".join(b[:2] + b[2 + SPAN_N:])
+    assert got[2].text_clean == " ".join(c) and got[2].n_removed == 0
+    # fully-excised doc still appears, empty
+    assert got[3].text_clean == "" and got[3].n_removed == SPAN_N
+
+    # fixture consistency: a doc loses tokens iff the span diagnostic
+    # reports duplicated spans for it
+    excised = {
+        r.doc_id
+        for r in QUERIES["span_excised_docs"](spark, sf_dir).collect()
+        if r.n_removed > 0
+    }
+    flagged = {
+        r.doc_id
+        for r in QUERIES["duplicate_span_docs"](spark, sf_dir).collect()
+    }
+    assert excised == flagged
