@@ -59,25 +59,26 @@ _DRIVER_PRIORITY = [
     # window slot, evicting bpe_encode_top_tokens (r12-era, unchanged,
     # deferral logged: leads the r16 backlog tier).
     # r16 rotation plan (computed at r15 close from CORRECTNESS_r01-r14
-    # + this window): post-r15 evidence distribution is 11
+    # + this window): post-r15 evidence distribution is 12
     # never-checked (the r15 additions listed above +
     # winnow_fingerprint_census / winnow_shared_pairs, the MOSS
     # winnowing pair; hard_negative_mining, within-cell contrastive
     # mining over the shared quantizer; span_excised_docs, the
-    # duplicated-span removal transform — each mirror-green x3 SFs)
+    # duplicated-span removal transform; source_drift_kl, the
+    # per-source KL snapshot-drift monitor — each mirror-green x3 SFs)
     # + 46 @r12 + 50 @r13 + 50 @r14 + 50 @r15.
-    # The r16 window = the 11 never-checked + the 39 alphabetically-
+    # The r16 window = the 12 never-checked + the 38 alphabetically-
     # first r12-era names (bpe_encode_top_tokens, the logged r15
     # eviction, is alphabetically first and so leads that tier
-    # automatically) = 50 exactly; the 7 r12-era deferrals are
-    # textrank_keywords, theta_overlap_users, token_length_histogram,
+    # automatically) = 50 exactly; the 8 r12-era deferrals are
+    # streaming_approx_daily_users, textrank_keywords,
+    # theta_overlap_users, token_length_histogram,
     # topk_orders_by_price, vocab_growth_curve,
     # window_running_order_total, window_top3_customers_per_nation
     # (all unchanged, evidence age then 4 rounds — flag for priority
-    # in r17). Any query whose
-    # CODE changes in r16 outranks backlog per the standing rule.
-    # After that window, no name's evidence is older than r13 except
-    # the 7 logged deferrals.
+    # in r17). Any query whose CODE changes in r16 outranks backlog
+    # per the standing rule. After that window, no name's evidence is
+    # older than r13 except the 8 logged deferrals.
     # -- never driver-checked (r14 additions, each mirror-green x3 SFs;
     #    streaming_repetition_gate also r15-code-changed) --
     "doc_repetition_profile",

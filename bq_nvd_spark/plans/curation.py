@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from bq_nvd_spark.plans.llm import _duck_band_cte, _spark_bands
 from bq_nvd_spark.plans.registry import query
+from bq_nvd_spark.plans.sampling import TRAIN_END as _SPLIT_TRAIN_END
+from bq_nvd_spark.plans.sampling import _DUCK_BUCKET as _DUCK_SPLIT_BUCKET
 from bq_nvd_spark.sources.tables import load_table
 
 N_BUCKETS = 10  # corpus-growth deciles (by doc_id, the ingest order)
@@ -958,3 +960,124 @@ def gopher_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     tallies, not a partition). One scan, one map-side-combined
     groupBy — nothing data-proportional retained."""
     return gopher_census_kernel(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# E6+ (round 15): per-source DISTRIBUTION DRIFT — the ingest-monitoring
+# gate a continuously-fed corpus runs between snapshots: for every
+# source, KL(current ‖ previous) over unigram distributions, where
+# "previous" is the source's train-bucket split and "current" its held
+# buckets (the same md5 split every selection operator here uses — in
+# production the two sides are consecutive snapshot partitions). A
+# source whose crawler broke, changed encoding, or started emitting
+# boilerplate shows up as a drift spike before it poisons training.
+
+#
+# Exactness: drift_micro = Σ_t c_t · (micro_ln(c_t/Tc) −
+# micro_ln((p_t+1)/(Tp+V))) — every ln quantized to integer micro-nats
+# (the repo discipline), c_t/Tc exact rationals, add-one smoothing on
+# the PREVIOUS side only (current terms have c_t >= 1 by construction,
+# so ln never sees 0; unseen-before tokens are exactly the drift
+# signal and get the smoothed floor). V is the source's union
+# vocabulary. Scale shape: two map-side-combined (source, token)
+# censuses off one scan, an equi-join on (source, token), per-source
+# totals via aggregate-bounded broadcasts — never a corpus broadcast.
+@query(
+    "source_drift_kl",
+    oracle=f"""
+    WITH docs AS (
+      SELECT source, text, {_DUCK_SPLIT_BUCKET} AS bucket FROM documents
+    ),
+    tok AS (
+      SELECT source, bucket < {_SPLIT_TRAIN_END} AS prev, t.tok
+      FROM (SELECT source, bucket, string_split(text, ' ') AS toks
+            FROM docs),
+           UNNEST(toks) AS t(tok)
+    ),
+    census AS (
+      SELECT source, tok,
+             CAST(SUM(CASE WHEN prev THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+             CAST(SUM(CASE WHEN prev THEN 0 ELSE 1 END) AS BIGINT) AS cc
+      FROM tok GROUP BY source, tok
+    ),
+    tot AS (
+      SELECT source,
+             CAST(SUM(pc) AS BIGINT) AS tp,
+             CAST(SUM(cc) AS BIGINT) AS tc,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM census GROUP BY source
+    )
+    SELECT c.source,
+           CAST(SUM(c.cc) AS BIGINT) AS n_cur_tokens,
+           CAST(SUM(c.cc * (
+             CAST(FLOOR(LN(CAST(c.cc AS DOUBLE) / CAST(t.tc AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT)
+             - CAST(FLOOR(LN(CAST(c.pc + 1 AS DOUBLE)
+                             / CAST(t.tp + t.v AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT)
+           )) AS BIGINT) AS drift_micro,
+           CAST(FLOOR(CAST(SUM(c.cc * (
+             CAST(FLOOR(LN(CAST(c.cc AS DOUBLE) / CAST(t.tc AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT)
+             - CAST(FLOOR(LN(CAST(c.pc + 1 AS DOUBLE)
+                             / CAST(t.tp + t.v AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT)
+           )) AS DOUBLE) / CAST(SUM(c.cc) AS DOUBLE) + 0.5) AS BIGINT)
+             AS drift_per_token_micro
+    FROM census c JOIN tot t ON t.source = c.source
+    WHERE c.cc > 0
+    GROUP BY c.source
+    """,
+)
+def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL drift, current (held split) vs previous
+    (train split), in exact integer micro-nats (see the section note).
+    ``drift_per_token_micro`` is the half-up-rounded per-token average
+    — two exact integers divided once, identical cross-engine."""
+    from bq_nvd_spark.plans.classify import _micro_ln
+    from bq_nvd_spark.plans.sampling import TRAIN_END, _spark_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text", _spark_bucket().alias("bucket")
+    )
+    tok = docs.select(
+        "source",
+        (F.col("bucket") < TRAIN_END).alias("prev"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    census = tok.groupBy("source", "tok").agg(
+        F.sum(F.when(F.col("prev"), 1).otherwise(0))
+        .cast("long")
+        .alias("pc"),
+        F.sum(F.when(F.col("prev"), 0).otherwise(1))
+        .cast("long")
+        .alias("cc"),
+    )
+    tot = census.groupBy("source").agg(
+        F.sum("pc").cast("long").alias("tp"),
+        F.sum("cc").cast("long").alias("tc"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    term = F.col("cc") * (
+        _micro_ln(F.col("cc").cast("double") / F.col("tc").cast("double"))
+        - _micro_ln(
+            (F.col("pc") + 1).cast("double")
+            / (F.col("tp") + F.col("v")).cast("double")
+        )
+    )
+    return (
+        census.filter(F.col("cc") > 0)
+        .join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("cc").cast("long").alias("n_cur_tokens"),
+            F.sum(term).cast("long").alias("drift_micro"),
+            F.floor(
+                F.sum(term).cast("double")
+                / F.sum("cc").cast("double")
+                + 0.5
+            )
+            .cast("long")
+            .alias("drift_per_token_micro"),
+        )
+    )

@@ -55,6 +55,8 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (A, "one-row max(doc_id) aggregate"),
     ("plans/curation.py", "oov_rate_by_vocab", "vocab"):
         (L, "top-VOCAB_K vocabulary via orderBy().limit()"),
+    ("plans/curation.py", "source_drift_kl", "tot"):
+        (A, "per-source totals: source is a low-card domain"),
     ("plans/curation.py", "cross_source_contamination_matrix", "pa"):
         (A, "per-source doc counts; source is a low-card domain"),
     ("plans/curation.py", "cross_source_contamination_matrix", "pb"):

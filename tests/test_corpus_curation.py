@@ -312,3 +312,53 @@ def test_streaming_gopher_gate_equals_batch_census(spark, sf_dir):
         for r in QUERIES["streaming_gopher_gate"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_source_drift_kl_flags_the_shifted_source(spark, tmp_path):
+    # Two sources with identical train-split behavior; 'shifted' swaps
+    # its vocabulary entirely in the held split (a broken crawler),
+    # 'stable' keeps drawing from the same tokens. The drift monitor
+    # must rank shifted far above stable.
+    import random
+
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.sampling import TRAIN_END
+    from bq_nvd_spark.plans.curation import _SPLIT_TRAIN_END
+
+    assert _SPLIT_TRAIN_END == TRAIN_END  # one split constant, reused
+    rng = random.Random(3)
+    import hashlib
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+
+    vocab_a = [f"tok{i}" for i in range(10)]
+    vocab_b = [f"new{i}" for i in range(10)]
+    rows = []
+    for did in range(300):
+        held = bucket(did) >= TRAIN_END
+        src = "stable" if did % 2 == 0 else "shifted"
+        if src == "shifted" and held:
+            toks = [rng.choice(vocab_b) for _ in range(30)]
+        else:
+            toks = [rng.choice(vocab_a) for _ in range(30)]
+        rows.append((did, " ".join(toks), "en", src, 30))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in QUERIES["source_drift_kl"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"stable", "shifted"}
+    # the shifted source's every current token was unseen in training:
+    # drift is the full smoothed-floor penalty, nats per token
+    assert got["shifted"].drift_per_token_micro > 1_000_000  # > 1 nat
+    assert got["stable"].drift_per_token_micro < 300_000  # < 0.3 nat
+    assert (
+        got["shifted"].drift_per_token_micro
+        > 3 * got["stable"].drift_per_token_micro
+    )
