@@ -57,7 +57,12 @@ _DRIVER_PRIORITY = [
     # _ivf_assign_and_probes + _IVF_QUANTIZER_CTE, shared with
     # mmr_ann_diverse_topk; oracle byte-identical) — it takes the last
     # window slot, evicting bpe_encode_top_tokens (r12-era, unchanged,
-    # deferral logged: leads the r16 backlog tier).
+    # deferral logged: leads the r16 backlog tier). The round-15
+    # review's span-kernel sharing also changed duplicate_span_docs
+    # (evidence @r14) — it takes the next slot, evicting
+    # approx_distinct_users (r12-era, unchanged, defers to r16);
+    # span_contamination_census and span_excised_docs share the same
+    # kernels and are already in the window / the never-checked tier.
     # r16 rotation plan (computed at r15 close from CORRECTNESS_r01-r14
     # + this window): post-r15 evidence distribution is 12
     # never-checked (the r15 additions listed above +
@@ -66,11 +71,15 @@ _DRIVER_PRIORITY = [
     # mining over the shared quantizer; span_excised_docs, the
     # duplicated-span removal transform; source_drift_kl, the
     # per-source KL snapshot-drift monitor — each mirror-green x3 SFs)
-    # + 46 @r12 + 50 @r13 + 50 @r14 + 50 @r15.
+    # + 47 @r12 + 50 @r13 + 49 @r14 + 50 @r15 (the two r15 window
+    # evictions bpe_encode_top_tokens and approx_distinct_users sit in
+    # the 47 @r12; duplicate_span_docs moved from @r14 into this
+    # window).
     # The r16 window = the 12 never-checked + the 38 alphabetically-
-    # first r12-era names (bpe_encode_top_tokens, the logged r15
-    # eviction, is alphabetically first and so leads that tier
-    # automatically) = 50 exactly; the 8 r12-era deferrals are
+    # first r12-era names (bpe_encode_top_tokens and
+    # approx_distinct_users, the logged r15 evictions, are
+    # alphabetically early and so lead that tier automatically) = 50
+    # exactly; the 9 r12-era deferrals are sketch_distinct_accuracy,
     # streaming_approx_daily_users, textrank_keywords,
     # theta_overlap_users, token_length_histogram,
     # topk_orders_by_price, vocab_growth_curve,
@@ -78,7 +87,7 @@ _DRIVER_PRIORITY = [
     # (all unchanged, evidence age then 4 rounds — flag for priority
     # in r17). Any query whose CODE changes in r16 outranks backlog
     # per the standing rule. After that window, no name's evidence is
-    # older than r13 except the 8 logged deferrals.
+    # older than r13 except the 9 logged deferrals.
     # -- never driver-checked (r14 additions, each mirror-green x3 SFs;
     #    streaming_repetition_gate also r15-code-changed) --
     "doc_repetition_profile",
@@ -129,15 +138,18 @@ _DRIVER_PRIORITY = [
     "weekly_retention_cohorts",
     "weighted_sample_docs",
     "zorder_cell_census",
-    # -- last driver row r12 (alphabetically first 3; the 4th slot
-    #    went to ivf_topk per the code-change rule — see header) --
+    # -- last driver row r12 (alphabetically first 2; the 3rd/4th
+    #    slots went to code-changed queries — see header) --
     "agg_count_scalar",
     "anti_join_customers_without_orders",
-    "approx_distinct_users",
     # -- code changed in r15 (quantizer extracted into
     #    _ivf_assign_and_probes, shared with mmr_ann_diverse_topk;
     #    oracle byte-identical, mirror-green x3 SFs post-refactor) --
     "ivf_topk",
+    # -- code changed in r15 (dup-span relation extracted into the
+    #    shared_stage-memoized _dup_span_keys, shared with the census
+    #    and the new excision transform; mirror-green x3 SFs) --
+    "duplicate_span_docs",
 ]
 
 def _reorder(registry: dict) -> None:

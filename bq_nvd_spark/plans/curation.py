@@ -1035,14 +1035,14 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``drift_per_token_micro`` is the half-up-rounded per-token average
     — two exact integers divided once, identical cross-engine."""
     from bq_nvd_spark.plans.classify import _micro_ln
-    from bq_nvd_spark.plans.sampling import TRAIN_END, _spark_bucket
+    from bq_nvd_spark.plans.sampling import _spark_bucket
 
     docs = load_table(spark, sf_dir, "documents").select(
         "source", "text", _spark_bucket().alias("bucket")
     )
     tok = docs.select(
         "source",
-        (F.col("bucket") < TRAIN_END).alias("prev"),
+        (F.col("bucket") < _SPLIT_TRAIN_END).alias("prev"),
         F.explode(F.split("text", " ")).alias("tok"),
     )
     census = tok.groupBy("source", "tok").agg(

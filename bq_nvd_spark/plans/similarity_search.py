@@ -1457,10 +1457,14 @@ def mmr_ann_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by cell). Reuses the shared quantizer's ``assign`` relation — no
 # third copy of the quantizer, per the round-15 review rule.
 #
-# Exactness: the per-anchor argmax is ONE integer MAX aggregate —
-# key = (sim_e4 + 10000)·2^20 + (2^20−1−vec_id), so max key sorts by
+# Exactness: the per-anchor argmax is ONE integer MIN aggregate —
+# key = (10000 − sim_e4)·2^44 + vec_id, so MIN key sorts by
 # (sim DESC, vec_id ASC) exactly and the pair decodes back out — the
-# same single-integer-argmin trick as the winnowing kernel.
+# same single-integer-argmin trick as the winnowing kernel. The id
+# term is additive (never a subtraction that can go negative), and
+# vec_id < 2^44 is structurally unreachable at the target scale
+# (2^44 64-float vectors ≈ 4.5 EB); (10000−sim) ≤ 20000 keeps the key
+# under 20001·2^44 ≈ 3.5e17 < 2^63.
 #
 # Scale shape (100 TB): the within-cell self-join is (corpus²/cells);
 # IVF_CELLS is THE knob — a real deployment scales cells with the
@@ -1468,7 +1472,7 @@ def mmr_ann_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus size (the same sizing argument as ivf_topk's candidate join
 # and EMB_BUCKET_CAP's bucket bound). No broadcast anywhere: the
 # self-join is a shuffle equi-join on the cell id.
-HN_M = 1 << 20  # argmax encoder: key = (sim_e4+10000)*HN_M + (HN_M-1-vec_id)
+HN_M = 1 << 44  # argmin encoder: key = (10000-sim_e4)*HN_M + vec_id
 
 
 @query(
@@ -1487,16 +1491,16 @@ HN_M = 1 << 20  # argmax encoder: key = (sim_e4+10000)*HN_M + (HN_M-1-vec_id)
     ),
     keyed AS (
       SELECT a.vec_id, a.label,
-             MAX((CAST(FLOOR({duck_fold_dot('a.v', 'b.v')}
-                             / (a.nrm * b.nrm) * 10000 + 0.5) AS BIGINT)
-                  + 10000) * {HN_M} + ({HN_M} - 1 - b.vec_id)) AS key
+             MIN((10000 - CAST(FLOOR({duck_fold_dot('a.v', 'b.v')}
+                               / (a.nrm * b.nrm) * 10000 + 0.5) AS BIGINT))
+                 * {HN_M} + b.vec_id) AS key
       FROM la a JOIN la b
         ON b.cell = a.cell AND b.label <> a.label
       GROUP BY a.vec_id, a.label
     )
     SELECT vec_id, label,
-           CAST({HN_M} - 1 - key % {HN_M} AS BIGINT) AS neg_id,
-           CAST(key // {HN_M} - 10000 AS BIGINT) AS neg_sim_e4
+           CAST(key % {HN_M} AS BIGINT) AS neg_id,
+           CAST(10000 - key // {HN_M} AS BIGINT) AS neg_sim_e4
     FROM keyed
     """,
 )
@@ -1535,16 +1539,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a_id").alias("vec_id"),
             F.col("a_label").alias("label"),
-            ((sim_e4 + 10000) * HN_M + (HN_M - 1 - F.col("b_id"))).alias(
-                "k"
-            ),
+            ((10000 - sim_e4) * HN_M + F.col("b_id")).alias("k"),
         )
         .groupBy("vec_id", "label")
-        .agg(F.max("k").alias("key"))
+        .agg(F.min("k").alias("key"))
     )
     return keyed.select(
         "vec_id",
         "label",
-        (HN_M - 1 - F.col("key") % HN_M).cast("long").alias("neg_id"),
-        (F.expr(f"key div {HN_M}") - 10000).cast("long").alias("neg_sim_e4"),
+        (F.col("key") % HN_M).cast("long").alias("neg_id"),
+        (10000 - F.expr(f"key div {HN_M}")).cast("long").alias("neg_sim_e4"),
     )

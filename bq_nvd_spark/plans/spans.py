@@ -58,26 +58,60 @@ _DUCK_GRAMS = f"""
 """
 
 
-def _span_keys(docs: DataFrame) -> DataFrame:
-    """(doc_id, span_key) for every SPAN_N-token rolling window.
+def _span_keys(docs: DataFrame, with_pos: bool = False) -> DataFrame:
+    """(doc_id, span_key) — or (doc_id, p, span_key) with 1-based span
+    start positions when ``with_pos`` — for every SPAN_N-token rolling
+    window. ONE gram kernel for all four span operators.
 
-    The window enumeration runs as a ``transform(sequence(...))`` HOF —
-    per-row work over an already-loaded token array (no shuffle); the
-    emitted key is the 64-bit hash, so everything downstream shuffles
-    fixed-width longs.
+    The window enumeration runs as a per-row HOF/explode over an
+    already-loaded token array (no shuffle); the emitted key is the
+    64-bit hash, so everything downstream shuffles fixed-width longs.
     """
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= SPAN_N
     )
+    if not with_pos:
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SPAN_N}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(t, i + 1, {SPAN_N}))))"
+                )
+            ).alias("span_key"),
+        )
     return toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                f"transform(sequence(0, size(t) - {SPAN_N}),"
-                f" i -> xxhash64(concat_ws(' ', slice(t, i + 1, {SPAN_N}))))"
-            )
+            F.expr(f"sequence(1, size(t) - {SPAN_N} + 1)")
+        ).alias("p"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "p",
+        F.expr(
+            f"xxhash64(concat_ws(' ', slice(t, p, {SPAN_N})))"
         ).alias("span_key"),
     )
+
+
+def _dup_span_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide duplicated-span key relation (span_key occurring
+    in >= 2 distinct documents) — memoized via ``shared_stage`` so the
+    diagnostic, the census, and the excision transform pay the gram
+    explode + dedup aggregation once per session."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        grams = _span_keys(load_table(spark, sf_dir, "documents"))
+        return (
+            grams.groupBy("span_key")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("span_key")
+        )
+
+    return shared_stage(spark, ("dup_spans", sf_dir), build)
 
 
 @query(
@@ -98,14 +132,8 @@ def duplicate_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join back, count per doc — three shuffles, all on longs.
     """
     grams = _span_keys(load_table(spark, sf_dir, "documents"))
-    dup = (
-        grams.groupBy("span_key")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("span_key")
-    )
     return (
-        grams.join(dup, "span_key")
+        grams.join(_dup_span_keys(spark, sf_dir), "span_key")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
     )
@@ -161,8 +189,8 @@ def span_contamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Exactness contract: k-gram hashes are the first 8 md5 hex chars (the
 # repo-wide cross-engine hash), the rightmost-min argmin is encoded as
-# ONE integer MIN aggregate — key = h*2^20 − p, so min key sorts by
-# (h ASC, p DESC) exactly, h = key div 2^20 + 1 and p = h*2^20 − key
+# ONE integer MIN aggregate — key = h*WIN_M − p, so min key sorts by
+# (h ASC, p DESC) exactly, h = key div WIN_M + 1 and p = h*WIN_M − key
 # recover the pair — no struct-ordering or row_number portability in
 # the hot aggregate. Docs with fewer k-grams than WIN_W collapse to
 # ONE window (n_wins = greatest(1, m−W+1)); the explicit clamp also
@@ -179,7 +207,12 @@ def span_contamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explode the join.
 WIN_K = 4  # tokens per k-gram
 WIN_W = 4  # winnowing window (k-grams per window)
-WIN_M = 1 << 20  # position encoder: key = h * WIN_M - p (p < 2^20)
+# Position encoder: key = h*WIN_M − p orders by (h ASC, p DESC) exactly
+# while p < WIN_M. p counts k-grams in ONE document, and a Spark string
+# column caps at 2 GB ≈ 2^30 tokens, so p < 2^31 is STRUCTURALLY
+# guaranteed — no document can overflow this encoder. h < 2^32 (8 md5
+# hex chars) keeps h*2^31 − p inside int64 (max (2^32−1)·2^31 < 2^63).
+WIN_M = 1 << 31
 WIN_DOC_CAP = 10  # fingerprint doc-frequency cap for the pair join
 WIN_SHARED_MIN = 2  # min shared fingerprints to report a pair
 
@@ -283,14 +316,17 @@ def _build_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_DUCK_WINNOW
     + f"""
     SELECT k.doc_id,
-           CAST(MAX(k.m) AS BIGINT) AS n_kgrams,
-           CAST(GREATEST(1, MAX(k.m) - {WIN_W} + 1) AS BIGINT)
-             AS n_windows,
-           CAST(COUNT(DISTINCT f.h * {WIN_M} + f.p) AS BIGINT)
-             AS n_fingerprints
+           CAST(k.m AS BIGINT) AS n_kgrams,
+           CAST(GREATEST(1, k.m - {WIN_W} + 1) AS BIGINT) AS n_windows,
+           f.n_fingerprints
     FROM (SELECT DISTINCT doc_id, m FROM kg) k
-    JOIN fp f ON f.doc_id = k.doc_id
-    GROUP BY k.doc_id
+    JOIN (
+      -- fp is already DISTINCT (doc_id, h, p): a plain count per doc
+      -- needs no (h, p) pair-encoding (h*WIN_M + p would overflow
+      -- BIGINT now that WIN_M is 2^31)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+      FROM fp GROUP BY doc_id
+    ) f ON f.doc_id = k.doc_id
     """,
 )
 def winnow_fingerprint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,27 +467,9 @@ def span_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-join the survivors in position order (see the section note)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    grams = toks.filter(F.size("t") >= SPAN_N).select(
-        "doc_id",
-        F.explode(
-            F.expr(f"sequence(1, size(t) - {SPAN_N} + 1)")
-        ).alias("p"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "p",
-        F.expr(
-            f"xxhash64(concat_ws(' ', slice(t, p, {SPAN_N})))"
-        ).alias("span_key"),
-    )
-    dup = (
-        grams.groupBy("span_key")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("span_key")
-    )
+    grams = _span_keys(docs, with_pos=True)
     covered = (
-        grams.join(dup, "span_key")
+        grams.join(_dup_span_keys(spark, sf_dir), "span_key")
         .select(
             "doc_id",
             F.explode(

@@ -322,10 +322,8 @@ def test_source_drift_kl_flags_the_shifted_source(spark, tmp_path):
     import random
 
     from bq_nvd_spark.plans import QUERIES
-    from bq_nvd_spark.plans.sampling import TRAIN_END
-    from bq_nvd_spark.plans.curation import _SPLIT_TRAIN_END
+    from bq_nvd_spark.plans.curation import _SPLIT_TRAIN_END as TRAIN_END
 
-    assert _SPLIT_TRAIN_END == TRAIN_END  # one split constant, reused
     rng = random.Random(3)
     import hashlib
 

@@ -507,9 +507,7 @@ def test_mmr_ann_pool_invariants_and_duplicate_geometry(
     assert [r.vec_id for r in got] == [5, 7, 6], got
 
 
-def test_hard_negative_mining_geometry_and_python_reference(
-    spark, sf_dir, tmp_path
-):
+def test_hard_negative_mining_geometry_and_python_reference(spark, sf_dir):
     # Fixture invariants cross-checked against a Python brute-force
     # restricted to IVF cells: mined negatives must carry a different
     # label and be the exact within-cell argmax (sim DESC, vec_id ASC).
@@ -562,10 +560,8 @@ def test_hard_negative_mining_geometry_and_python_reference(
         if cands:
             s, j = max(cands, key=lambda t: (t[0], -t[1]))
             want[i] = (j, s)
-    got = {
-        r.vec_id: (r.neg_id, r.neg_sim_e4)
-        for r in QUERIES["hard_negative_mining"](spark, sf_dir).collect()
-    }
+    rows2 = QUERIES["hard_negative_mining"](spark, sf_dir).collect()
+    got = {r.vec_id: (r.neg_id, r.neg_sim_e4) for r in rows2}
     assert got == want
-    for r in QUERIES["hard_negative_mining"](spark, sf_dir).collect():
+    for r in rows2:
         assert vecs[r.neg_id][1] != r.label
