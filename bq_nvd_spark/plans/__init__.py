@@ -13,143 +13,110 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # never-checked and re-oracled names, then the stalest backlog; only
 # truly-unchanged names may defer to the next round.
 _DRIVER_PRIORITY = [
-    # -- round 15 window (VERDICT r14 task 1, exactly the rotation
-    # pre-computed at r14 close): the 7 never-driver-checked r14
-    # additions + orders_per_region (the logged r14 deferral, evidence
-    # @r10) + all 38 r11-era names + the 4 alphabetically-first
-    # r12-era names = 50 exactly.
-    # Post-r14 evidence distribution (from CORRECTNESS_r01-r14):
-    # 7 never-checked + 1 @r10 + 38 @r11 + 50 @r12 + 50 @r13 + 50 @r14.
-    # Code changed in r15, already inside the window (per the standing
-    # code-change-outranks-backlog rule): streaming_repetition_gate —
-    # its per-row singleton-count kernel rewritten from the
-    # O(distinct x len) nested HOF to array_sort + one adjacent-
-    # inequality scan (O(L log L) per document, VERDICT r14 task 3);
-    # mirror-green x3 SFs post-change.
-    # Deferral note: the 46 r12-era names after the alphabetical
-    # first 4 defer (all unchanged; evidence age 3 rounds — within
-    # the bar). After this window, no name's evidence is older
-    # than r12.
-    # Added in round 15 BEYOND the window, owed to the r16 window as
+    # -- round 16 window (VERDICT r15 task 1, exactly the rotation
+    # pre-computed at r15 close): the 12 never-driver-checked r15
+    # additions + the 38 alphabetically-first r12-era names = 50
+    # exactly. The two logged r15 evictions
+    # (approx_distinct_users, bpe_encode_top_tokens) are
+    # alphabetically early in the r12 tier and so lead it
+    # automatically, closing their deferral.
+    # Post-r15 evidence distribution (from CORRECTNESS_r01-r15,
+    # recomputed at r16 open): 12 never-checked + 47 @r12 + 50 @r13
+    # + 49 @r14 + 50 @r15.
+    # Deferral note: the 9 r12-era names after the alphabetical
+    # first 38 defer to r17 with evidence age 4 rounds —
+    # sketch_distinct_accuracy, streaming_approx_daily_users,
+    # textrank_keywords, theta_overlap_users,
+    # token_length_histogram, topk_orders_by_price,
+    # vocab_growth_curve, window_running_order_total,
+    # window_top3_customers_per_nation. They are the oldest backlog
+    # and MUST lead the r17 window (all unchanged).
+    # Code changed in r16, already inside the window (per the
+    # standing code-change-outranks-backlog rule): the Gopher
+    # composite trio (doc_gopher_quality_profile,
+    # gopher_quality_census, streaming_gopher_gate) — rule 4's
+    # alphabetic-word regex widened [a-z] -> [A-Za-z] (ADVICE r15)
+    # and the kernel extended with the Gopher A1.1 line-granularity
+    # repetition + format rules (VERDICT r15 task 3); all three
+    # re-mirrored x3 SFs post-change and sit in the never-checked
+    # tier below.
+    # Added in round 16 BEYOND the window, owed to the r17 window as
     # never-driver-checked (each mirror-green x3 SFs on add):
-    # dsir_importance_weights + dsir_resample_topk (DSIR targeted data
-    # selection: hashed-n-gram importance log-weights in exact integer
-    # micro-nats + deterministic Gumbel-top-K resample, E6+ in
-    # plans/sampling.py, VERDICT r14 task 4);
-    # mmr_ann_diverse_topk (MMR over the IVF shortlist — the shared
-    # greedy kernel over ivf_topk's deterministic candidate set,
-    # hash-exact, E3 in plans/similarity_search.py, VERDICT r14
-    # task 5);
-    # doc_gopher_quality_profile + gopher_quality_census (the full
-    # Gopher five-rule quality composite, integer-exact in one scan,
-    # E4/E6 in plans/curation.py, VERDICT r14 task 7);
-    # streaming_gopher_gate (the same gate as an AvailableNow ingest
-    # stream — stateless rules kernel + one complete-mode census,
-    # oracle shared verbatim, T4 x E4/E6 in streaming/micro_batch.py);
-    # temperature_mixture_quotas (mT5-style alpha-sampling quotas,
-    # alpha=1/2 via IEEE-exact sqrt + the integer capacity/quota math,
-    # E6+ in plans/sampling.py).
-    # mmr_diverse_topk's code also changed in r15 (greedy
-    # kernel extracted into _mmr_greedy_from_pool, trace unchanged) —
-    # it is already inside this window per the code-change rule and
-    # was re-mirrored x3 SFs post-refactor. ivf_topk's code changed
-    # too (the IVF coarse quantizer extracted into
-    # _ivf_assign_and_probes + _IVF_QUANTIZER_CTE, shared with
-    # mmr_ann_diverse_topk; oracle byte-identical) — it takes the last
-    # window slot, evicting bpe_encode_top_tokens (r12-era, unchanged,
-    # deferral logged: leads the r16 backlog tier). The round-15
-    # review's span-kernel sharing also changed duplicate_span_docs
-    # (evidence @r14) — it takes the next slot, evicting
-    # approx_distinct_users (r12-era, unchanged, defers to r16);
-    # span_contamination_census and span_excised_docs share the same
-    # kernels and are already in the window / the never-checked tier.
-    # r16 rotation plan (computed at r15 close from CORRECTNESS_r01-r14
-    # + this window): post-r15 evidence distribution is 12
-    # never-checked (the r15 additions listed above +
-    # winnow_fingerprint_census / winnow_shared_pairs, the MOSS
-    # winnowing pair; hard_negative_mining, within-cell contrastive
-    # mining over the shared quantizer; span_excised_docs, the
-    # duplicated-span removal transform; source_drift_kl, the
-    # per-source KL snapshot-drift monitor — each mirror-green x3 SFs)
-    # + 47 @r12 + 50 @r13 + 49 @r14 + 50 @r15 (the two r15 window
-    # evictions bpe_encode_top_tokens and approx_distinct_users sit in
-    # the 47 @r12; duplicate_span_docs moved from @r14 into this
-    # window).
-    # The r16 window = the 12 never-checked + the 38 alphabetically-
-    # first r12-era names (bpe_encode_top_tokens and
-    # approx_distinct_users, the logged r15 evictions, are
-    # alphabetically early and so lead that tier automatically) = 50
-    # exactly; the 9 r12-era deferrals are sketch_distinct_accuracy,
-    # streaming_approx_daily_users, textrank_keywords,
-    # theta_overlap_users, token_length_histogram,
-    # topk_orders_by_price, vocab_growth_curve,
-    # window_running_order_total, window_top3_customers_per_nation
-    # (all unchanged, evidence age then 4 rounds — flag for priority
-    # in r17). Any query whose CODE changes in r16 outranks backlog
-    # per the standing rule. After that window, no name's evidence is
-    # older than r13 except the 9 logged deferrals.
-    # -- never driver-checked (r14 additions, each mirror-green x3 SFs;
-    #    streaming_repetition_gate also r15-code-changed) --
-    "doc_repetition_profile",
-    "repetition_filter_census",
-    "streaming_repetition_gate",
-    "lm_doc_perplexity",
-    "lm_ppl_bucket_census",
-    "lm_ppl_tercile_cutoffs",
-    "mmr_diverse_topk",
-    # -- last driver row r10 (the logged r14 deferral) --
-    "orders_per_region",
-    # -- last driver row r11 (all 38) --
-    "ann_lsh_topk",
-    "cosine_topk",
-    "customer_balance_tiles",
-    "event_transition_matrix",
-    "heavy_hitter_tokens",
-    "incremental_dedup_new_docs",
-    "label_centroids",
-    "label_cohesion_stats",
-    "minhash_candidate_pairs",
-    "minhash_lsh_buckets",
-    "mixture_resample_docs",
-    "nvd_cvss_vector_parse",
-    "nvd_feed_ingest",
-    "nvd_flagship_linux_cves",
-    "oov_rate_by_vocab",
-    "q22_idle_rich_customers",
-    "repetition_ngram_profile",
-    "scd2_event_type_intervals",
-    "sequence_packing",
-    "session_window_per_user",
-    "simhash_near_dup_pairs",
-    "sketch_percentile_accuracy",
-    "source_mixture_weights",
-    "span_contamination_census",
-    "stateful_user_totals",
-    "stratified_sample_per_lang",
-    "streaming_cdc_user_totals",
-    "streaming_dedup_within_watermark",
-    "streaming_funnel_conversion",
-    "streaming_upsert_user_totals",
-    "tfidf_top_terms",
-    "udaf_median_chars",
-    "udtf_token_chunks",
-    "unigram_surprisal_scores",
-    "variant_props_stats",
-    "weekly_retention_cohorts",
-    "weighted_sample_docs",
-    "zorder_cell_census",
-    # -- last driver row r12 (alphabetically first 2; the 3rd/4th
-    #    slots went to code-changed queries — see header) --
-    "agg_count_scalar",
-    "anti_join_customers_without_orders",
-    # -- code changed in r15 (quantizer extracted into
-    #    _ivf_assign_and_probes, shared with mmr_ann_diverse_topk;
-    #    oracle byte-identical, mirror-green x3 SFs post-refactor) --
-    "ivf_topk",
-    # -- code changed in r15 (dup-span relation extracted into the
-    #    shared_stage-memoized _dup_span_keys, shared with the census
-    #    and the new excision transform; mirror-green x3 SFs) --
-    "duplicate_span_docs",
+    # doc_line_repetition_profile + line_repetition_census (the
+    # line/paragraph-granularity duplicate-fraction profile behind
+    # the new Gopher rules, E4 in plans/curation.py);
+    # semdedup_pairs + semdedup_survivors (embedding-space semantic
+    # near-dedup over the shared IVF quantizer -> connected
+    # components -> min-id survivors, E2xE3 in
+    # plans/similarity_search.py, VERDICT r15 task 4);
+    # tokenizer_fertility_census (per-language chars/tokens under
+    # the learned BPE merge table, integer-exact, E4 in
+    # plans/llm.py, VERDICT r15 task 5);
+    # snapshot_dup_delta (cross-snapshot per-source duplicate-rate
+    # census, E2xE6 in plans/sampling.py, VERDICT r15 task 7).
+    # Post-r16 evidence distribution (if this window runs green):
+    # 7 never-checked (the r16 additions) + 9 @r12 (the logged
+    # deferrals) + 50 @r13 + 49 @r14 + 50 @r15 + 50 @r16.
+    # r17 rotation plan (computed at r16 close): the 7 r16 additions
+    # + the 9 r12-era deferrals + the 34 alphabetically-first
+    # r13-era names = 50 exactly; any r17 code change outranks
+    # backlog per the standing rule. After that window no name's
+    # evidence is older than r14 except the 16 r13-era deferrals
+    # (flag for r18 priority).
+    # -- never driver-checked (r15 additions, each mirror-green x3
+    #    SFs; the Gopher trio also r16-code-changed, re-mirrored) --
+    "doc_gopher_quality_profile",
+    "gopher_quality_census",
+    "streaming_gopher_gate",
+    "dsir_importance_weights",
+    "dsir_resample_topk",
+    "temperature_mixture_quotas",
+    "source_drift_kl",
+    "mmr_ann_diverse_topk",
+    "hard_negative_mining",
+    "winnow_fingerprint_census",
+    "winnow_shared_pairs",
+    "span_excised_docs",
+    # -- last driver row r12 (alphabetically first 38; leads with
+    #    the two logged r15 evictions) --
+    "approx_distinct_users",
+    "bpe_encode_top_tokens",
+    "bpe_train_merges",
+    "chunk_documents_sliding",
+    "count_nested_field",
+    "cube_status_priority_census",
+    "decontamination_overlaps",
+    "dedup_clusters",
+    "distinct_market_segments",
+    "doubly_nested_exists",
+    "embedding_similar_pairs",
+    "exact_dedup_docs",
+    "explode_unnest_roundtrip",
+    "gap_fill_daily_counts",
+    "group_agg_order_stats",
+    "hll_daily_rollup",
+    "hof_filter_transform_fold",
+    "ivf_refined_topk",
+    "jaccard_verified_pairs",
+    "kmeans_lloyd_clusters",
+    "like_filter_parts",
+    "minhash_pairs_capped",
+    "nested_exists_returned_items",
+    "nested_projection_dotted_path",
+    "nvd_count_cves",
+    "nvd_cpe_product_counts",
+    "nvd_severity_summary",
+    "pq_adc_recall_topk",
+    "q12_priority_buckets",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "quality_filtered_docs",
+    "quantized_cosine_topk",
+    "salted_join_event_weights",
+    "semi_join_customers_with_urgent_orders",
+    "set_except_custkeys",
+    "set_intersect_custkeys",
+    "set_union_keys",
 ]
 
 def _reorder(registry: dict) -> None:
