@@ -734,11 +734,12 @@ def repetition_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# E4/E6 (round 15): the FULL Gopher document-quality rule set (Rae et
-# al. 2021, arXiv:2112.11446 §A1.1) as one composite gate — the
-# standard pre-training quality filter the repetition gate above is
-# one clause of. Five rules, every decision an integer comparison or
-# integer cross-multiplication so no float enters any gate:
+# E4/E6 (round 15, line rules round 16): the FULL Gopher document-
+# quality rule set (Rae et al. 2021, arXiv:2112.11446 §A1.1) as one
+# composite gate — the standard pre-training quality filter the
+# repetition gate above is one clause of. Eleven rules, every decision
+# an integer comparison or integer cross-multiplication so no float
+# enters any gate:
 #   1. word count within [GQ_MIN_WORDS, GQ_MAX_WORDS];
 #   2. mean word length within [GQ_MIN_MEAN_LEN, GQ_MAX_MEAN_LEN]
 #      (sum_chars vs n_tokens cross-multiplied; for single-space-
@@ -749,14 +750,38 @@ def repetition_filter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   4. at least GQ_ALPHA_NUM/GQ_ALPHA_DEN of words contain an
 #      alphabetic character;
 #   5. at least GQ_MIN_STOP distinct stopwords present (the corpus
-#      stopword set of functions/text_metrics.py).
-# Bounds 2's lower edge and 1's floor are tuned so the gate splits
+#      stopword set of functions/text_metrics.py);
+#   6. duplicate-LINE fraction at most GQ_DLINE_NUM/GQ_DLINE_DEN —
+#      a line is a duplicate occurrence iff it equals an earlier line
+#      of the SAME document (per distinct line with count c: c−1
+#      duplicate occurrences, the DataTrove/NeMo-Curator counting);
+#   7. duplicate-line CHARACTER fraction at most
+#      GQ_DLCHAR_NUM/GQ_DLCHAR_DEN (chars of those c−1 occurrences
+#      over total line chars);
+#   8./9. the same two fractions at PARAGRAPH granularity
+#      (GQ_DPARA_*, GQ_DPCHAR_* — Gopher's own 30%/20% bounds);
+#  10. at most GQ_BULLET_NUM/GQ_BULLET_DEN of lines may start with a
+#      bullet marker (GQ_BULLETS);
+#  11. at most GQ_ELL_NUM/GQ_ELL_DEN of lines may end with '...'.
+# Line/paragraph segmentation: Gopher splits on '\n' / '\n\n'. The
+# driver fixture is single-line single-space text, so the REGISTERED
+# queries segment on fixed token widths instead — GQ_LINE_W-token
+# lines, GQ_PARA_W-token paragraphs (``fixture_segment_cols``), the
+# documented synthetic line structure; a real corpus passes
+# newline-split arrays through the same kernel
+# (``newline_segment_cols``, what the constructed-corpus pytest
+# drives). Per-row duplicate counting is the repetition-gate idiom:
+# one array_sort per granularity + a linear adjacent-equality scan —
+# O(L log L), never distinct×length.
+# Bounds 2's lower edge, 1's floor, and the LINE-duplicate bounds
+# 6/7 (1/20, vs Gopher's 3/10 and 2/10) are tuned so the gate splits
 # the driver fixture non-degenerately at every SF (the REP_DUP
-# precedent); rules 3 and 4 are vacuous on the all-alphabetic fixture
-# and are exercised by the constructed-corpus pytest. Scale shape:
-# every metric is a per-row projection over one corpus scan; the
-# census is one map-side-combined groupBy(source) — no joins, no
-# windows, nothing data-proportional held anywhere.
+# precedent); rules 3, 4, 8, 9, 10 and 11 are vacuous on the
+# all-alphabetic single-line fixture and are exercised by the
+# constructed-corpus pytest. Scale shape: every metric is a per-row
+# projection over one corpus scan; the census is one map-side-combined
+# groupBy(source) — no joins, no windows, nothing data-proportional
+# held anywhere.
 GQ_MIN_WORDS = 30
 GQ_MAX_WORDS = 100_000
 GQ_MIN_MEAN_LEN = 4
@@ -764,14 +789,99 @@ GQ_MAX_MEAN_LEN = 10
 GQ_SYM_NUM, GQ_SYM_DEN = 1, 10
 GQ_ALPHA_NUM, GQ_ALPHA_DEN = 8, 10
 GQ_MIN_STOP = 2
+GQ_LINE_W = 3  # tokens per synthetic fixture line
+GQ_PARA_W = 12  # tokens per synthetic fixture paragraph
+GQ_DLINE_NUM, GQ_DLINE_DEN = 1, 20  # tuned (Gopher: 3/10)
+GQ_DLCHAR_NUM, GQ_DLCHAR_DEN = 1, 20  # tuned (Gopher: 2/10)
+GQ_DPARA_NUM, GQ_DPARA_DEN = 3, 10  # Gopher A1.1
+GQ_DPCHAR_NUM, GQ_DPCHAR_DEN = 2, 10  # Gopher A1.1
+GQ_BULLET_NUM, GQ_BULLET_DEN = 9, 10  # Gopher A1.1 (90% bullet lines)
+GQ_ELL_NUM, GQ_ELL_DEN = 3, 10  # Gopher A1.1 (30% ellipsis lines)
+GQ_BULLETS = ("-", "*")
+#: rule verdict column order — the kernel's ok list, the profile's
+#: output, and the census's f_* tallies all derive from this one tuple.
+GQ_RULE_NAMES = (
+    "ok_word_count",
+    "ok_mean_len",
+    "ok_symbol",
+    "ok_alpha",
+    "ok_stopword",
+    "ok_dup_line",
+    "ok_dup_line_char",
+    "ok_dup_para",
+    "ok_dup_para_char",
+    "ok_bullet",
+    "ok_ellipsis",
+)
 #: one stopword set, interpolated into BOTH engine halves (the GQ_*
 #: constant discipline — two inline literals would desynchronize the
 #: engines the first time the list grows toward Gopher's real 8).
 GQ_STOPWORDS = ("the", "a")
 _GQ_STOP_SQL = ", ".join(f"'{w}'" for w in GQ_STOPWORDS)
 
+def _duck_seg_list(width: int) -> str:
+    """Fixed-width token segmentation as a DuckDB list expression —
+    the oracle half of ``fixture_segment_cols`` (same ceil-division,
+    same 1-based inclusive slice semantics)."""
+    return (
+        f"list_transform(generate_series(0, CAST((len(toks) + {width - 1})"
+        f" // {width} AS BIGINT) - 1),"
+        f" i -> array_to_string(toks[i*{width}+1:(i+1)*{width}], ' '))"
+    )
+
+
+def _duck_dup_cols(seg: str, srt: str, n_alias: str, d_alias: str) -> str:
+    """The four per-granularity duplicate metrics over a segment list
+    column ``seg`` and its sorted copy ``srt`` — duplicate occurrences
+    counted by adjacent equality in the sorted copy (i > 1 guards the
+    scan; generate_series(1, len) is never descending in DuckDB)."""
+    dup_idx = (
+        f"list_filter(generate_series(1, len({srt})),"
+        f" i -> i > 1 AND {srt}[i] = {srt}[i-1])"
+    )
+    return f"""
+             CAST(len({seg}) AS BIGINT) AS n_{n_alias},
+             CAST(len({dup_idx}) AS BIGINT) AS dup_{n_alias},
+             CAST(COALESCE(list_sum(list_transform({dup_idx},
+                    i -> length({srt}[i]))), 0) AS BIGINT)
+               AS dup_{d_alias}_chars,
+             CAST(COALESCE(list_sum(list_transform({seg},
+                    l -> length(l))), 0) AS BIGINT) AS {d_alias}_chars"""
+
+
+#: the 10 line/paragraph metric columns (over a ``srt`` CTE exposing
+#: lines/paras and their sorted copies) — ONE string, interpolated
+#: into the composite-gate oracle AND the standalone line-repetition
+#: oracles so the two never desynchronize.
+_GQ_LINEM_COLS = f"""{_duck_dup_cols('lines', 's_lines', 'lines', 'line')},
+{_duck_dup_cols('paras', 's_paras', 'paras', 'para')},
+             CAST(len(list_filter(lines,
+                    l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT)
+               AS bullet_lines,
+             CAST(len(list_filter(lines, l -> l LIKE '%...'))
+                  AS BIGINT) AS ellipsis_lines"""
+
+#: shared segmentation CTE chain: documents -> toks -> fixed-width
+#: lines/paras -> sorted copies.
+_GQ_SEG_CTES = f"""
+    segd AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, source, text, toks,
+             {_duck_seg_list(GQ_LINE_W)} AS lines,
+             {_duck_seg_list(GQ_PARA_W)} AS paras
+      FROM segd
+    ),
+    srt AS (
+      SELECT *, list_sort(lines) AS s_lines, list_sort(paras) AS s_paras
+      FROM seg
+    )"""
+
 _GQ_ORACLE_PREFIX = f"""
-    WITH m AS (
+    WITH {_GQ_SEG_CTES},
+    m AS (
       SELECT doc_id, source,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              CAST(length(text) - (len(string_split(text, ' ')) - 1)
@@ -780,16 +890,19 @@ _GQ_ORACLE_PREFIX = f"""
                   + (length(text) - length(replace(text, '...', ''))) // 3
                   AS BIGINT) AS sym_hits,
              CAST(len(list_filter(string_split(text, ' '),
-                                  t -> regexp_matches(t, '[a-z]')))
+                                  t -> regexp_matches(t, '[A-Za-z]')))
                   AS BIGINT) AS alpha_words,
              CAST(len(list_filter(list_distinct(string_split(text, ' ')),
                                   t -> t IN ({_GQ_STOP_SQL})))
-                  AS BIGINT) AS n_stop
-      FROM documents
+                  AS BIGINT) AS n_stop,
+             {_GQ_LINEM_COLS}
+      FROM srt
     ),
     r AS (
       SELECT doc_id, source, n_tokens, sum_chars, sym_hits, alpha_words,
-             n_stop,
+             n_stop, n_lines, dup_lines, dup_line_chars, line_chars,
+             n_paras, dup_paras, dup_para_chars, para_chars,
+             bullet_lines, ellipsis_lines,
              CASE WHEN n_tokens >= {GQ_MIN_WORDS}
                    AND n_tokens <= {GQ_MAX_WORDS} THEN 1 ELSE 0 END
                AS ok_word_count,
@@ -802,12 +915,32 @@ _GQ_ORACLE_PREFIX = f"""
                        >= {GQ_ALPHA_NUM} * n_tokens
                   THEN 1 ELSE 0 END AS ok_alpha,
              CASE WHEN n_stop >= {GQ_MIN_STOP} THEN 1 ELSE 0 END
-               AS ok_stopword
+               AS ok_stopword,
+             CASE WHEN dup_lines * {GQ_DLINE_DEN}
+                       <= n_lines * {GQ_DLINE_NUM} THEN 1 ELSE 0 END
+               AS ok_dup_line,
+             CASE WHEN dup_line_chars * {GQ_DLCHAR_DEN}
+                       <= line_chars * {GQ_DLCHAR_NUM} THEN 1 ELSE 0 END
+               AS ok_dup_line_char,
+             CASE WHEN dup_paras * {GQ_DPARA_DEN}
+                       <= n_paras * {GQ_DPARA_NUM} THEN 1 ELSE 0 END
+               AS ok_dup_para,
+             CASE WHEN dup_para_chars * {GQ_DPCHAR_DEN}
+                       <= para_chars * {GQ_DPCHAR_NUM} THEN 1 ELSE 0 END
+               AS ok_dup_para_char,
+             CASE WHEN bullet_lines * {GQ_BULLET_DEN}
+                       <= n_lines * {GQ_BULLET_NUM} THEN 1 ELSE 0 END
+               AS ok_bullet,
+             CASE WHEN ellipsis_lines * {GQ_ELL_DEN}
+                       <= n_lines * {GQ_ELL_NUM} THEN 1 ELSE 0 END
+               AS ok_ellipsis
       FROM m
     ),
     k AS (
       SELECT *, ok_word_count * ok_mean_len * ok_symbol * ok_alpha
-                * ok_stopword AS keep
+                * ok_stopword * ok_dup_line * ok_dup_line_char
+                * ok_dup_para * ok_dup_para_char * ok_bullet
+                * ok_ellipsis AS keep
       FROM r
     )"""
 
@@ -818,12 +951,87 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules_kernel(load_table(spark, sf_dir, "documents"))
 
 
-def gopher_rules_kernel(docs: DataFrame) -> DataFrame:
+def fixture_segment_cols() -> tuple:
+    """Fixed-width token segmentation of single-line fixture text into
+    ``lines`` (GQ_LINE_W tokens) and ``paras`` (GQ_PARA_W tokens) —
+    the registered queries' line structure (see the section note).
+    Ceil-division bound keeps the trailing partial segment; slice()
+    with 1-based start + length mirrors DuckDB's inclusive 1-based
+    list slice exactly."""
+
+    def seg(width: int):
+        return F.expr(
+            f"transform(sequence(0,"
+            f" (size(split(text, ' ')) + {width - 1}) div {width} - 1),"
+            f" i -> array_join(slice(split(text, ' '),"
+            f" i * {width} + 1, {width}), ' '))"
+        )
+
+    return seg(GQ_LINE_W).alias("lines"), seg(GQ_PARA_W).alias("paras")
+
+
+def newline_segment_cols() -> tuple:
+    """Real-corpus segmentation: lines on '\\n', paragraphs on '\\n\\n'
+    — Gopher A1.1's own delimiters. What the constructed-corpus pytest
+    drives through the same kernel; swap this in for
+    ``fixture_segment_cols`` on a corpus with genuine line structure."""
+    return (
+        F.split("text", "\n").alias("lines"),
+        F.split("text", "\n\n").alias("paras"),
+    )
+
+
+def _line_metric_exprs() -> list:
+    """The 10 line/paragraph metric columns over a relation exposing
+    lines/paras and sorted copies s_lines/s_paras. Duplicate
+    occurrences by adjacent equality in the sorted copy — one
+    O(L log L) sort + one linear scan per granularity, the
+    repetition-gate idiom; sequence(1, size) never descends because
+    split() arrays are non-empty, and ``i > 1`` guards element_at."""
+
+    def dup_cols(seg: str, srt: str, n_alias: str, d_alias: str):
+        dup_idx = (
+            f"filter(sequence(1, size({srt})),"
+            f" i -> i > 1 AND element_at({srt}, i) ="
+            f" element_at({srt}, i - 1))"
+        )
+        return [
+            F.size(seg).cast("long").alias(f"n_{n_alias}"),
+            F.expr(f"size({dup_idx})").cast("long").alias(f"dup_{n_alias}"),
+            F.expr(
+                f"aggregate({dup_idx}, 0L,"
+                f" (a, i) -> a + length(element_at({srt}, i)))"
+            ).cast("long").alias(f"dup_{d_alias}_chars"),
+            F.expr(
+                f"aggregate({seg}, 0L, (a, l) -> a + length(l))"
+            ).cast("long").alias(f"{d_alias}_chars"),
+        ]
+
+    bullet_pred = " OR ".join(
+        f"startswith(l, '{b}')" for b in GQ_BULLETS
+    )
+    return [
+        *dup_cols("lines", "s_lines", "lines", "line"),
+        *dup_cols("paras", "s_paras", "paras", "para"),
+        F.expr(f"size(filter(lines, l -> {bullet_pred}))")
+        .cast("long")
+        .alias("bullet_lines"),
+        F.expr("size(filter(lines, l -> endswith(l, '...')))")
+        .cast("long")
+        .alias("ellipsis_lines"),
+    ]
+
+
+def gopher_rules_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
     """The rule arithmetic as a STATELESS per-row kernel over any
     (doc_id, source, text) relation — shared by the batch queries and
     the streaming ingest twin (streaming/micro_batch.py::
     streaming_gopher_gate); every metric is a projection, so the
-    kernel streams as-is."""
+    kernel streams as-is. ``segment_cols`` picks the line structure
+    (default: the fixture's fixed-width segmentation; pass
+    ``newline_segment_cols`` for a real newline corpus)."""
+    if segment_cols is None:
+        segment_cols = fixture_segment_cols
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("long")
     sum_chars = (F.length("text") - (F.size(toks) - 1)).cast("long")
@@ -833,13 +1041,22 @@ def gopher_rules_kernel(docs: DataFrame) -> DataFrame:
             "(length(text) - length(replace(text, '...', ''))) div 3"
         )
     ).cast("long")
+    # [A-Za-z], not [a-z]: all-caps words ('NASA') are alphabetic under
+    # Gopher A1.1. Non-ASCII alphabets still count as non-alphabetic —
+    # the documented ASCII-corpus precondition of this rule set.
     alpha_words = F.size(
-        F.filter(toks, lambda t: t.rlike("[a-z]"))
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
     ).cast("long")
     n_stop = F.size(
         F.filter(F.array_distinct(toks), lambda t: t.isin(*GQ_STOPWORDS))
     ).cast("long")
-    m = docs.select(
+    seg = docs.select("doc_id", "source", "text", *segment_cols())
+    srt = seg.select(
+        "*",
+        F.array_sort("lines").alias("s_lines"),
+        F.array_sort("paras").alias("s_paras"),
+    )
+    m = srt.select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
@@ -847,6 +1064,7 @@ def gopher_rules_kernel(docs: DataFrame) -> DataFrame:
         sym_hits.alias("sym_hits"),
         alpha_words.alias("alpha_words"),
         n_stop.alias("n_stop"),
+        *_line_metric_exprs(),
     )
     ok = [
         (
@@ -866,6 +1084,30 @@ def gopher_rules_kernel(docs: DataFrame) -> DataFrame:
             >= GQ_ALPHA_NUM * F.col("n_tokens")
         ).alias("ok_alpha"),
         (F.col("n_stop") >= GQ_MIN_STOP).alias("ok_stopword"),
+        (
+            F.col("dup_lines") * GQ_DLINE_DEN
+            <= F.col("n_lines") * GQ_DLINE_NUM
+        ).alias("ok_dup_line"),
+        (
+            F.col("dup_line_chars") * GQ_DLCHAR_DEN
+            <= F.col("line_chars") * GQ_DLCHAR_NUM
+        ).alias("ok_dup_line_char"),
+        (
+            F.col("dup_paras") * GQ_DPARA_DEN
+            <= F.col("n_paras") * GQ_DPARA_NUM
+        ).alias("ok_dup_para"),
+        (
+            F.col("dup_para_chars") * GQ_DPCHAR_DEN
+            <= F.col("para_chars") * GQ_DPCHAR_NUM
+        ).alias("ok_dup_para_char"),
+        (
+            F.col("bullet_lines") * GQ_BULLET_DEN
+            <= F.col("n_lines") * GQ_BULLET_NUM
+        ).alias("ok_bullet"),
+        (
+            F.col("ellipsis_lines") * GQ_ELL_DEN
+            <= F.col("n_lines") * GQ_ELL_NUM
+        ).alias("ok_ellipsis"),
     ]
     # cast-after-alias would bury the name inside the CAST; re-alias
     # from the boolean's own alias metadata instead
@@ -873,41 +1115,49 @@ def gopher_rules_kernel(docs: DataFrame) -> DataFrame:
         "*",
         *[
             o.cast("long").alias(name)
-            for o, name in zip(
-                ok,
-                [
-                    "ok_word_count",
-                    "ok_mean_len",
-                    "ok_symbol",
-                    "ok_alpha",
-                    "ok_stopword",
-                ],
-            )
+            for o, name in zip(ok, GQ_RULE_NAMES)
         ],
     )
-    keep = (
-        F.col("ok_word_count")
-        * F.col("ok_mean_len")
-        * F.col("ok_symbol")
-        * F.col("ok_alpha")
-        * F.col("ok_stopword")
-    ).cast("long")
-    return rules.select("*", keep.alias("keep"))
+    keep = F.lit(1)
+    for name in GQ_RULE_NAMES:
+        keep = keep * F.col(name)
+    return rules.select("*", keep.cast("long").alias("keep"))
+
+
+#: raw metric output order, shared by the profile oracle and docs.
+GQ_METRIC_NAMES = (
+    "n_tokens",
+    "sum_chars",
+    "sym_hits",
+    "alpha_words",
+    "n_stop",
+    "n_lines",
+    "dup_lines",
+    "dup_line_chars",
+    "line_chars",
+    "n_paras",
+    "dup_paras",
+    "dup_para_chars",
+    "para_chars",
+    "bullet_lines",
+    "ellipsis_lines",
+)
+
+_GQ_PROFILE_SELECT = (
+    "\n    SELECT doc_id, "
+    + ", ".join(GQ_METRIC_NAMES)
+    + ",\n"
+    + ",\n".join(
+        f"           CAST({n} AS BIGINT) AS {n}"
+        for n in (*GQ_RULE_NAMES, "keep")
+    )
+    + "\n    FROM k\n    "
+)
 
 
 @query(
     "doc_gopher_quality_profile",
-    oracle=_GQ_ORACLE_PREFIX
-    + """
-    SELECT doc_id, n_tokens, sum_chars, sym_hits, alpha_words, n_stop,
-           CAST(ok_word_count AS BIGINT) AS ok_word_count,
-           CAST(ok_mean_len   AS BIGINT) AS ok_mean_len,
-           CAST(ok_symbol     AS BIGINT) AS ok_symbol,
-           CAST(ok_alpha      AS BIGINT) AS ok_alpha,
-           CAST(ok_stopword   AS BIGINT) AS ok_stopword,
-           CAST(keep          AS BIGINT) AS keep
-    FROM k
-    """,
+    oracle=_GQ_ORACLE_PREFIX + _GQ_PROFILE_SELECT,
 )
 def doc_gopher_quality_profile(
     spark: SparkSession, sf_dir: str
@@ -928,28 +1178,28 @@ GOPHER_CENSUS_ORACLE = (
     SELECT source,
            CAST(COUNT(*) AS BIGINT)            AS n_docs,
            CAST(SUM(keep) AS BIGINT)           AS n_kept,
-           CAST(SUM(1 - ok_word_count) AS BIGINT) AS f_word_count,
-           CAST(SUM(1 - ok_mean_len)   AS BIGINT) AS f_mean_len,
-           CAST(SUM(1 - ok_symbol)     AS BIGINT) AS f_symbol,
-           CAST(SUM(1 - ok_alpha)      AS BIGINT) AS f_alpha,
-           CAST(SUM(1 - ok_stopword)   AS BIGINT) AS f_stopword
+"""
+    + ",\n".join(
+        f"           CAST(SUM(1 - {n}) AS BIGINT) AS f_{n[3:]}"
+        for n in GQ_RULE_NAMES
+    )
+    + """
     FROM k GROUP BY source
     """
 )
 
 
-def gopher_census_kernel(docs: DataFrame) -> DataFrame:
+def gopher_census_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
     """Rules + ONE aggregate over any (doc_id, source, text) relation —
     the whole gate is a stateless projection into a single groupBy, so
     it streams unchanged (no multi-aggregation chain to break up)."""
-    return gopher_rules_kernel(docs).groupBy("source").agg(
+    return gopher_rules_kernel(docs, segment_cols).groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("keep").cast("long").alias("n_kept"),
-        F.sum(1 - F.col("ok_word_count")).cast("long").alias("f_word_count"),
-        F.sum(1 - F.col("ok_mean_len")).cast("long").alias("f_mean_len"),
-        F.sum(1 - F.col("ok_symbol")).cast("long").alias("f_symbol"),
-        F.sum(1 - F.col("ok_alpha")).cast("long").alias("f_alpha"),
-        F.sum(1 - F.col("ok_stopword")).cast("long").alias("f_stopword"),
+        *[
+            F.sum(1 - F.col(n)).cast("long").alias(f"f_{n[3:]}")
+            for n in GQ_RULE_NAMES
+        ],
     )
 
 
@@ -960,6 +1210,86 @@ def gopher_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     tallies, not a partition). One scan, one map-side-combined
     groupBy — nothing data-proportional retained."""
     return gopher_census_kernel(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# E4 (round 16): the line/paragraph repetition DIAGNOSTICS behind
+# Gopher rules 6–11 — the raw per-document numerators/denominators
+# (no verdicts: the artifact a curation run reads when a line-rule
+# pass rate moves), and the per-source MASS census (how many of a
+# source's line-characters are duplicated boilerplate — a different
+# dashboard row from the composite census's per-DOC failure counts:
+# one long boilerplate doc can carry most of a source's duplicate
+# mass while failing only one gate). Same kernel, same segmentation,
+# same scale shape as the composite: per-row projections into one
+# map-side-combined groupBy.
+
+
+def line_metrics_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
+    """The 10 line/paragraph metrics as a stateless per-row relation
+    over any (doc_id, source, text) input — the line-granularity half
+    of ``gopher_rules_kernel``, exposed for the diagnostics."""
+    if segment_cols is None:
+        segment_cols = fixture_segment_cols
+    seg = docs.select("doc_id", "source", *segment_cols())
+    srt = seg.select(
+        "*",
+        F.array_sort("lines").alias("s_lines"),
+        F.array_sort("paras").alias("s_paras"),
+    )
+    return srt.select("doc_id", "source", *_line_metric_exprs())
+
+
+_LINEM_NAMES = GQ_METRIC_NAMES[5:]  # the 10 line/para metric columns
+
+_LINE_PROFILE_ORACLE = f"""
+    WITH {_GQ_SEG_CTES},
+    m AS (
+      SELECT doc_id, source,
+             {_GQ_LINEM_COLS}
+      FROM srt
+    )
+    SELECT doc_id, {", ".join(_LINEM_NAMES)} FROM m
+    """
+
+
+@query("doc_line_repetition_profile", oracle=_LINE_PROFILE_ORACLE)
+def doc_line_repetition_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document line/paragraph repetition and format metrics (see
+    the section note) — integer numerators and denominators only; any
+    gate compares them by cross-multiplication downstream."""
+    return line_metrics_kernel(
+        load_table(spark, sf_dir, "documents")
+    ).drop("source")
+
+
+_LINE_CENSUS_ORACLE = f"""
+    WITH {_GQ_SEG_CTES},
+    m AS (
+      SELECT doc_id, source,
+             {_GQ_LINEM_COLS}
+      FROM srt
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+{",".join(chr(10) + f"           CAST(SUM({n}) AS BIGINT) AS {n}" for n in _LINEM_NAMES)}
+    FROM m GROUP BY source
+    """
+
+
+@query("line_repetition_census", oracle=_LINE_CENSUS_ORACLE)
+def line_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-line MASS census: summed line/paragraph
+    counts, duplicate occurrences, and character totals — the
+    corpus-level boilerplate budget per source. One scan, one
+    map-side-combined groupBy(source)."""
+    m = line_metrics_kernel(load_table(spark, sf_dir, "documents"))
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[F.sum(n).cast("long").alias(n) for n in _LINEM_NAMES],
+    )
 
 
 # --------------------------------------------------------------------------

@@ -97,9 +97,12 @@ def _span_keys(docs: DataFrame, with_pos: bool = False) -> DataFrame:
 
 def _dup_span_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-wide duplicated-span key relation (span_key occurring
-    in >= 2 distinct documents) — memoized via ``shared_stage`` so the
-    diagnostic, the census, and the excision transform pay the gram
-    explode + dedup aggregation once per session."""
+    in >= 2 distinct documents) — memoized via ``shared_stage`` so its
+    two consumers, ``duplicate_span_docs`` and the excision transform
+    ``span_excised_docs``, pay the gram explode + dedup aggregation
+    once per session. (``span_contamination_census`` does NOT consume
+    it: the census needs per-span distinct-doc counts, not just the
+    duplicated key set, and keeps its own groupBy.)"""
     from bq_nvd_spark.operators.checkpoint import shared_stage
 
     def build() -> DataFrame:
@@ -212,6 +215,17 @@ WIN_W = 4  # winnowing window (k-grams per window)
 # column caps at 2 GB ≈ 2^30 tokens, so p < 2^31 is STRUCTURALLY
 # guaranteed — no document can overflow this encoder. h < 2^32 (8 md5
 # hex chars) keeps h*2^31 − p inside int64 (max (2^32−1)·2^31 < 2^63).
+# h=0 tail (accepted, part of the hash-collision trade): a k-gram whose
+# 8-hex md5 prefix is exactly 0 (~2^-32 per k-gram) encodes to the
+# NEGATIVE key −p, and the decode below — identical in both engines,
+# since Spark `div` and DuckDB `//` both truncate toward zero — maps it
+# to (h=1, p=WIN_M+p), i.e. it is ATTRIBUTED to hash bucket 1 rather
+# than 0. This is cross-engine exact (the oracle shares the decode
+# verbatim) and no worse than the 32-bit truncation already merging
+# distinct k-grams into one h: at ~1e13 k-grams a few thousand grams
+# alias into h=1 alongside the ~2^-32·N grams that alias into every
+# other bucket. Do NOT "fix" via (h+1)*WIN_M − p: that overflows int64
+# at h = 2^32−1.
 WIN_M = 1 << 31
 WIN_DOC_CAP = 10  # fingerprint doc-frequency cap for the pair join
 WIN_SHARED_MIN = 2  # min shared fingerprints to report a pair

@@ -233,27 +233,31 @@ def test_streaming_repetition_gate_equals_batch_census(spark, sf_dir):
 
 def test_gopher_gate_rules_fire_individually(spark, sf_dir, tmp_path):
     # The symbol and alphabetic rules are vacuous on the all-alphabetic
-    # driver fixture, so each of the five rules is exercised here on a
-    # doc constructed to fail exactly one of them; the control doc
-    # passes all five. Cross-checked field-by-field with a Python
-    # re-implementation of the rule arithmetic.
+    # driver fixture, so each of the five text rules is exercised here
+    # on a doc constructed to fail exactly one of them; the control doc
+    # passes all eleven. Filler words are DISTINCT per position — a
+    # repeated filler would (correctly) trip the round-16 duplicate-
+    # line rules, which have their own firing test below.
     from bq_nvd_spark.plans import QUERIES
     from bq_nvd_spark.plans.curation import (
         GQ_MIN_STOP,
         GQ_MIN_WORDS,
+        GQ_RULE_NAMES,
     )
 
-    # 5-char filler words keep the mean length comfortably inside
-    # [4, 10] even with 'the'/'a' in the mix, so each doc fails ONLY
-    # its targeted rule
-    good = "the a " + " ".join(["wordy"] * (GQ_MIN_WORDS + 10))
+    def fillers(n, make=lambda i: f"wor{i:02d}y"):
+        # 5-6 char distinct words keep the mean length inside [4, 10]
+        # even with 'the'/'a' in the mix and never repeat a line
+        return " ".join(make(i) for i in range(n))
+
+    two_char = lambda i: chr(97 + i // 26) + chr(97 + i % 26)  # noqa: E731
     docs = [
-        (0, good, "pass"),                                  # all rules pass
-        (1, "the a " + " ".join(["wordy"] * 20), "f_word_count"),  # 22 < 30
-        (2, "the a " + " ".join(["xy"] * 60), "f_mean_len"),  # mean len < 4
-        (3, "the a " + " ".join(["word#"] * 60), "f_symbol"),  # 60 '#' > 62/10
-        (4, "the a " + " ".join(["12345"] * 60), "f_alpha"),  # 60/62 non-alpha
-        (5, " ".join(["wordy"] * (GQ_MIN_WORDS + 10)), "f_stopword"),
+        (0, "the a " + fillers(GQ_MIN_WORDS + 10), "pass"),
+        (1, "the a " + fillers(20), "f_word_count"),  # 22 < 30
+        (2, "the a " + fillers(60, two_char), "f_mean_len"),  # mean < 4
+        (3, "the a " + fillers(60, lambda i: f"wo#{i:02d}"), "f_symbol"),
+        (4, "the a " + fillers(60, lambda i: str(10000 + i)), "f_alpha"),
+        (5, fillers(GQ_MIN_WORDS + 10), "f_stopword"),
     ]
     assert GQ_MIN_STOP == 2  # docs above carry exactly {'the','a'}
     rows = [
@@ -273,18 +277,18 @@ def test_gopher_gate_rules_fire_individually(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert census["src_pass"]["n_kept"] == 1
-    fail_cols = [
-        "f_word_count", "f_mean_len", "f_symbol", "f_alpha", "f_stopword",
-    ]
-    assert all(census["src_pass"][c] == 0 for c in fail_cols)
+    all_fail_cols = [f"f_{n[3:]}" for n in GQ_RULE_NAMES]
+    fail_cols = all_fail_cols[:5]  # the five text rules targeted here
+    assert all(census["src_pass"][c] == 0 for c in all_fail_cols)
     for c in fail_cols:
         row = census[f"src_{c}"]
         assert row["n_kept"] == 0, c
         assert row[c] >= 1, c  # the targeted rule fired
-    # the targeted failures are disjoint where intended: word_count doc
-    # fails ONLY word_count, stopword doc ONLY stopword
-    assert [census["src_f_word_count"][c] for c in fail_cols] == [1, 0, 0, 0, 0]
-    assert [census["src_f_stopword"][c] for c in fail_cols] == [0, 0, 0, 0, 1]
+    # the targeted failures are fully disjoint across ALL eleven rules:
+    # distinct fillers mean no doc here trips a line rule
+    for c in fail_cols:
+        expect = [1 if d == c else 0 for d in all_fail_cols]
+        assert [census[f"src_{c}"][d] for d in all_fail_cols] == expect, c
 
     # driver-fixture sanity: the gate is non-degenerate (keeps some,
     # drops some) and profile keep flags aggregate to the census
@@ -298,11 +302,9 @@ def test_streaming_gopher_gate_equals_batch_census(spark, sf_dir):
     # streamed census must equal the batch census field-for-field —
     # same contract as the repetition-gate twin.
     from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.curation import GQ_RULE_NAMES
 
-    cols = [
-        "n_docs", "n_kept", "f_word_count", "f_mean_len",
-        "f_symbol", "f_alpha", "f_stopword",
-    ]
+    cols = ["n_docs", "n_kept"] + [f"f_{n[3:]}" for n in GQ_RULE_NAMES]
     batch = {
         r["source"]: tuple(r[c] for c in cols)
         for r in QUERIES["gopher_quality_census"](spark, sf_dir).collect()
@@ -312,6 +314,142 @@ def test_streaming_gopher_gate_equals_batch_census(spark, sf_dir):
         for r in QUERIES["streaming_gopher_gate"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def _gopher_newline_census(spark, docs):
+    """Run the Gopher census kernel over (doc_id, text, source) rows
+    with REAL newline segmentation — the corpus path the registered
+    fixed-width queries can't exercise on the single-line fixture."""
+    from bq_nvd_spark.plans.curation import (
+        gopher_census_kernel,
+        newline_segment_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(did, text, src) for did, text, src in docs],
+        "doc_id long, text string, source string",
+    )
+    return {
+        r["source"]: r.asDict()
+        for r in gopher_census_kernel(
+            df, newline_segment_cols
+        ).collect()
+    }
+
+
+def test_gopher_line_rules_fire_individually(spark):
+    # Each round-16 line/format rule on a newline doc built to fail it;
+    # the control passes all eleven. Duplicated-paragraph docs
+    # necessarily also duplicate their lines (a duplicate paragraph IS
+    # duplicate lines), so the para docs assert targeted firing only;
+    # the line-granularity docs additionally assert full disjointness.
+    w5 = [f"wo{i:03d}" for i in range(1000)]  # distinct 5-char fillers
+    w7 = [f"woro{i:03d}" for i in range(1000)]  # distinct 7-char
+
+    def lines5(n, k, start):  # n lines of k distinct 7-char words
+        return [
+            " ".join(w7[start + i * k : start + (i + 1) * k])
+            for i in range(n)
+        ]
+
+    doc_pass = "\n".join(
+        ["the a woro900 woro901 woro902"] + lines5(11, 5, 0)
+    )
+    # dup LINE count fires, dup chars stay under 1/20 of line mass:
+    # 4 copies of a 5-char line among 49 long distinct lines
+    doc_dline = "\n".join(
+        ["the a zz"] + lines5(49, 5, 100) + ["aa bb"] * 4
+    )
+    # ONE duplicated 40-word line among 59 short lines: 1/62 dup
+    # occurrences (under 1/20) but 239/1135 duplicated chars (over)
+    long_line = " ".join(w5[100:140])
+    doc_dchar = "\n".join(
+        ["the a cc"]
+        + [" ".join(w5[140 + 2 * i : 142 + 2 * i]) for i in range(59)]
+        + [long_line] * 2
+    )
+    para = "the a " + " ".join(w7[600:606]) + "\n" + " ".join(w7[606:614])
+    para_q = " ".join(w7[620:628]) + "\n" + " ".join(w7[628:636])
+    doc_dpara = "\n\n".join([para, para, para, para_q])
+    doc_bullet = "\n".join(
+        ["the a woro700 woro701"]
+        + ["- " + " ".join(w7[704 + 4 * i : 708 + 4 * i]) for i in range(19)]
+    )
+    doc_ell = "\n".join(
+        ["the a woro800 woro801 woro802 woro803"]
+        + [
+            " ".join(w5[300 + 6 * i : 306 + 6 * i])
+            + ("..." if i < 8 else "")
+            for i in range(19)
+        ]
+    )
+    census = _gopher_newline_census(
+        spark,
+        [
+            (0, doc_pass, "src_pass"),
+            (1, doc_dline, "src_f_dup_line"),
+            (2, doc_dchar, "src_f_dup_line_char"),
+            (3, doc_dpara, "src_para"),
+            (4, doc_bullet, "src_f_bullet"),
+            (5, doc_ell, "src_f_ellipsis"),
+        ],
+    )
+    from bq_nvd_spark.plans.curation import GQ_RULE_NAMES
+
+    all_fail_cols = [f"f_{n[3:]}" for n in GQ_RULE_NAMES]
+    assert census["src_pass"]["n_kept"] == 1
+    assert all(census["src_pass"][c] == 0 for c in all_fail_cols)
+    for c in ["f_dup_line", "f_dup_line_char", "f_bullet", "f_ellipsis"]:
+        row = census[f"src_{c}"]
+        assert row["n_kept"] == 0, c
+        expect = [1 if d == c else 0 for d in all_fail_cols]
+        assert [row[d] for d in all_fail_cols] == expect, c
+    para_row = census["src_para"]
+    assert para_row["n_kept"] == 0
+    assert para_row["f_dup_para"] == 1
+    assert para_row["f_dup_para_char"] == 1
+    # the five text rules stay clean even on the paragraph doc
+    assert all(para_row[c] == 0 for c in all_fail_cols[:5])
+
+
+def test_line_metrics_kernel_exact_on_newline_doc(spark):
+    # Hand-computed metrics for one small doc, including the empty
+    # line a '\n\n' leaves behind under line splitting and the
+    # multi-line paragraphs under paragraph splitting.
+    from bq_nvd_spark.plans.curation import (
+        line_metrics_kernel,
+        newline_segment_cols,
+    )
+
+    text = "aa bb\ncc\naa bb\n\naa bb\ncc"
+    df = spark.createDataFrame(
+        [(1, text, "s")], "doc_id long, text string, source string"
+    )
+    [m] = line_metrics_kernel(df, newline_segment_cols).collect()
+    assert (m.n_lines, m.dup_lines, m.dup_line_chars, m.line_chars) == (
+        6, 3, 12, 19,
+    )
+    assert (m.n_paras, m.dup_paras, m.dup_para_chars, m.para_chars) == (
+        2, 0, 0, 22,  # 'aa bb\ncc\naa bb' (14) + 'aa bb\ncc' (8)
+    )
+    assert (m.bullet_lines, m.ellipsis_lines) == (0, 0)
+
+
+def test_line_repetition_census_sums_profile(spark, sf_dir):
+    # The per-source mass census is exactly the per-doc profile summed
+    # — pins the census to the profile over the driver fixture.
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.curation import _LINEM_NAMES
+
+    prof = QUERIES["doc_line_repetition_profile"](spark, sf_dir).collect()
+    census = QUERIES["line_repetition_census"](spark, sf_dir).collect()
+    totals = {c: sum(r[c] for r in prof) for c in _LINEM_NAMES}
+    census_totals = {
+        c: sum(r[c] for r in census) for c in _LINEM_NAMES
+    }
+    assert census_totals == totals
+    assert sum(r["n_docs"] for r in census) == len(prof)
+    assert totals["dup_lines"] > 0  # fixture non-degeneracy
 
 
 def test_source_drift_kl_flags_the_shifted_source(spark, tmp_path):
