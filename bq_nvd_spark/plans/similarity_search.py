@@ -1550,3 +1550,153 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("key") % HN_M).cast("long").alias("neg_id"),
         (10000 - F.expr(f"key div {HN_M}")).cast("long").alias("neg_sim_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# E2 × E3 (round 16): SemDeDup — embedding-space semantic near-dedup,
+# the standard companion to MinHash for PARAPHRASE duplicates (Abbas
+# et al. 2023, arXiv:2303.09540): cluster the corpus with a coarse
+# quantizer, compare pairs only WITHIN a cluster, and keep one
+# representative per connected group of above-threshold pairs. The
+# quantizer is the same deterministic IVF assignment every other E3
+# consumer uses (_ivf_assign_and_probes / _IVF_QUANTIZER_CTE — no
+# third copy), the pair join is hard_negative_mining's shuffle
+# equi-join on cell id, the closure is operators/graph.py connected
+# components (driver loops over rounds, never rows), survivorship is
+# the min-id rule. Differs from `semantic_dedup_survivors` above by
+# design, not duplication: that one is LSH-band-bucketed with a
+# global threshold; this is the SemDeDup recipe proper —
+# cluster-scoped comparison, which misses cross-cell near-dups by
+# construction (the paper's own recall trade; IVF_CELLS is the knob).
+#
+# Exactness: similarities are e4-quantized BEFORE the threshold
+# compare (integer >=, no float in the decision); pairs are oriented
+# id_a < id_b so each unordered pair appears once.
+#
+# Scale shape (100 TB): within-cell self-join is (corpus²/cells) with
+# IVF_CELLS scaled to hold cell size ~constant (the
+# hard_negative_mining argument); the component loop touches only the
+# above-threshold EDGE set, a tiny fraction of the corpus; the
+# survivor anti-join lets AQE pick broadcast vs shuffle from the
+# observed dropped-set size. Nothing corpus-proportional is ever
+# broadcast or collected.
+SEMDEDUP_TAU_E4 = 4200  # cosine*1e4 threshold — tuned to split the
+# driver fixture non-degenerately at every SF (the REP_DUP precedent;
+# the paper's production value is ~9500 on real embedding models,
+# this corpus' random-ish vectors top out near 0.6)
+
+_SEMDEDUP_PAIRS_CTE = f"""n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings)
+    ),
+    {_IVF_QUANTIZER_CTE},
+    sd_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(FLOOR({duck_fold_dot('a.v', 'b.v')} / (a.nrm * b.nrm)
+                        * 10000 + 0.5) AS BIGINT) AS sim_e4
+      FROM assign a JOIN assign b
+        ON b.cell = a.cell AND b.vec_id > a.vec_id
+    ),
+    sd_edges AS (
+      SELECT id_a, id_b, sim_e4 FROM sd_pairs
+      WHERE sim_e4 >= {SEMDEDUP_TAU_E4}
+    )"""
+
+
+def _semdedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell above-threshold pair relation (id_a < id_b, sim_e4)
+    — shared by the pair diagnostic and the survivor transform via
+    ``shared_stage`` so the cell self-join runs once per session."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        assign, _ = _ivf_assign_and_probes(spark, sf_dir)
+        a = assign.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("an"),
+            "cell",
+        )
+        b = assign.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bn"),
+            "cell",
+        )
+        sim_e4 = F.floor(
+            fold_dot_np("av", "bv") / (F.col("an") * F.col("bn")) * 10000
+            + 0.5
+        ).cast("long")
+        return (
+            a.join(b, "cell")
+            .filter(F.col("id_b") > F.col("id_a"))
+            .select("id_a", "id_b", sim_e4.alias("sim_e4"))
+            .filter(F.col("sim_e4") >= SEMDEDUP_TAU_E4)
+        )
+
+    return shared_stage(spark, ("semdedup_edges", sf_dir), build)
+
+
+@query(
+    "semdedup_pairs",
+    oracle=f"""
+    WITH {_SEMDEDUP_PAIRS_CTE}
+    SELECT id_a, id_b, sim_e4 FROM sd_edges
+    """,
+)
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-IVF-cell cosine pairs at or above SEMDEDUP_TAU_E4 (see
+    the section note) — the audit artifact behind the survivor
+    transform: which vectors the dedup would merge, and how close
+    they actually are."""
+    return _semdedup_edges(spark, sf_dir)
+
+
+@query(
+    "semdedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SEMDEDUP_PAIRS_CTE},
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM sd_edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM sd_edges
+    ),
+    walk(id, rep) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, w.rep FROM sym s JOIN walk w ON w.id = s.b
+    ),
+    dropped AS (
+      SELECT id FROM walk GROUP BY id HAVING id != MIN(rep)
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label
+    FROM embeddings
+    WHERE vec_id >= {_QUERY_MAX_ID}
+      AND vec_id NOT IN (SELECT id FROM dropped)
+    """,
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup'd corpus: every indexed vector survives except
+    non-minimum members of within-cell cosine clusters. The spine is
+    the IVF-indexed corpus (vec_id >= _QUERY_MAX_ID) — query vectors
+    are retrieval probes, not dedup candidates."""
+    from bq_nvd_spark.operators.graph import connected_components
+
+    edges = _semdedup_edges(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    dropped = (
+        connected_components(edges, max_iter=10)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("vec_id"))
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= _QUERY_MAX_ID)
+        .select("vec_id", F.col("label").cast("long").alias("label"))
+    )
+    # No forced broadcast: the dropped set is corpus-proportional on a
+    # high-dup corpus, so let AQE pick broadcast vs shuffled anti-join
+    # from the observed build-side size.
+    return emb.join(dropped, "vec_id", "left_anti")

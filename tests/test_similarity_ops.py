@@ -565,3 +565,52 @@ def test_hard_negative_mining_geometry_and_python_reference(spark, sf_dir):
     assert got == want
     for r in rows2:
         assert vecs[r.neg_id][1] != r.label
+
+
+def test_semdedup_collapses_near_identical_within_cell(spark, tmp_path):
+    # Constructed geometry: 16 axis-aligned centroids (vec_ids 5..20),
+    # three corpus vectors orthogonal to ALL of them (cosine exactly
+    # 0.0 to every centroid, so the argmax tie-break sends all three
+    # to cell 5): 21 and 22 are near-identical (cos ~0.976, above
+    # SEMDEDUP_TAU_E4), 23 is orthogonal to both. SemDeDup must emit
+    # exactly the (21, 22) pair and drop only 22 (the non-min member);
+    # the distant 23 and every centroid survive untouched.
+    from bq_nvd_spark.operators.checkpoint import release_shared_stages
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.similarity_search import (
+        _QUERY_MAX_ID,
+        SEMDEDUP_TAU_E4,
+    )
+
+    dim = 64
+
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [(5 + j, vec((j, 1.0)), j % 3) for j in range(16)]  # centroids
+    rows += [
+        (21, vec((20, 0.9), (21, 0.1)), 0),
+        (22, vec((20, 0.9), (21, -0.1)), 1),  # cos(21,22) ~ 0.9756
+        (23, vec((22, 1.0)), 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    pairs = QUERIES["semdedup_pairs"](spark, str(tmp_path)).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(21, 22)]
+    assert pairs[0].sim_e4 >= SEMDEDUP_TAU_E4
+    survivors = {
+        r.vec_id: r.label
+        for r in QUERIES["semdedup_survivors"](spark, str(tmp_path)).collect()
+    }
+    assert set(survivors) == set(range(_QUERY_MAX_ID, 21)) | {21, 23}
+    assert survivors[21] == 0 and survivors[23] == 2
+    # this tmp corpus shares the session-scoped shared_stage cache key
+    # namespace with other tests only via its unique sf_dir, but drop
+    # it anyway so no later test can observe a stale tmp relation
+    release_shared_stages(spark)
