@@ -2398,6 +2398,83 @@ def bpe_encode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# E4j (round 16): tokenizer FERTILITY census — the metric tokenizer
+# teams actually gate a merge table on: characters of source text per
+# emitted token, per language, under the learned merges (a language
+# whose fertility stays near 1 token/word is paying more sequence
+# length per character — the standard multilingual-tokenizer
+# comparison, cf. the mT5/BLOOM tokenizer analyses). Closes the
+# train→encode→measure loop over the same _bpe_run machinery.
+#
+# Exactness: counts only — encoded token count, content characters
+# (token chars net of the '~' merge markers and the single-space
+# joins), docs, and merged-token count per language; the ratio is the
+# READER's division, never computed here (the char and token sums are
+# the integers both engines agree on exactly).
+#
+# Scale shape: BPE_ROUNDS narrow rewrites (the _bpe_run cost, shared
+# shape with bpe_encode_top_tokens), one co-keyed equi-join back to
+# the doc spine for lang (both sides keyed by doc_id), per-ROW token
+# arithmetic (no explode — size/length/replace projections), one
+# map-side-combined groupBy(lang) of |langs| rows.
+_FERTILITY_ORACLE = (
+    "WITH d0 AS (SELECT doc_id, text AS t FROM documents),"
+    + ",".join(_duck_bpe_round(r) for r in range(BPE_ROUNDS))
+    + f""",
+    enc AS (
+      SELECT d.doc_id, doc.lang, d.t,
+             list_filter(string_split(d.t, ' '), x -> x <> '') AS toks
+      FROM d{BPE_ROUNDS} d JOIN documents doc ON doc.doc_id = d.doc_id
+    ),
+    per_doc AS (
+      SELECT lang,
+             CAST(len(toks) AS BIGINT) AS ntoks,
+             CAST(length(replace(t, '~', ''))
+                  - GREATEST(len(toks) - 1, 0) AS BIGINT) AS nchars,
+             CAST(len(list_filter(toks, x -> contains(x, '~')))
+                  AS BIGINT) AS nmerged
+      FROM enc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(ntoks) AS BIGINT)   AS n_tokens,
+           CAST(SUM(nchars) AS BIGINT)  AS n_chars,
+           CAST(SUM(nmerged) AS BIGINT) AS n_merged_tokens
+    FROM per_doc GROUP BY lang
+    """
+)
+
+
+@query("tokenizer_fertility_census", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language corpus fertility under the learned BPE merge
+    table (see the section note): encoded token count vs content
+    character count, plus how many emitted tokens are merge products
+    — all integer sums; chars-per-token is the reader's division."""
+    _, encoded = _bpe_run(spark, sf_dir, rewrite_final=True)
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    toks = F.filter(F.split("t", " "), lambda x: x != "")
+    per_doc = encoded.join(lang, "doc_id").select(
+        "lang",
+        F.size(toks).cast("long").alias("ntoks"),
+        (
+            F.length(F.replace(F.col("t"), F.lit("~"), F.lit("")))
+            - F.greatest(F.size(toks) - 1, F.lit(0))
+        ).cast("long").alias("nchars"),
+        F.size(
+            F.filter(toks, lambda x: x.contains("~"))
+        ).cast("long").alias("nmerged"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntoks").cast("long").alias("n_tokens"),
+        F.sum("nchars").cast("long").alias("n_chars"),
+        F.sum("nmerged").cast("long").alias("n_merged_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # E4j: TextRank keyword extraction — PageRank over the corpus token
 # co-occurrence graph (Mihalcea & Tarau 2004), the graph-centrality

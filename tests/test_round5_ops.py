@@ -331,3 +331,50 @@ def test_temperature_quotas_flatten_the_mixture(spark, tmp_path):
     # rises (25/525 -> 25/175)
     assert got["big"]["quota"] / total_q < sizes["big"] / total_n
     assert got["tiny"]["quota"] / total_q > sizes["tiny"] / total_n
+
+
+def test_tokenizer_fertility_conservation_laws(spark, sf_dir):
+    # Two exact conservation laws pin the census to the raw corpus:
+    # (1) content characters are INVARIANT under merging — per-lang
+    # n_chars must equal the original corpus' content chars; (2) each
+    # applied merge replaces one space with one '~', so original token
+    # count = encoded n_tokens + total applied merges, and the merged-
+    # token count never exceeds either side.
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.sources.tables import load_table
+
+    census = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["tokenizer_fertility_census"](
+            spark, sf_dir
+        ).collect()
+    }
+    toks = F.split("text", " ")
+    base = {
+        r["lang"]: r.asDict()
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            (F.length("text") - (F.size(toks) - 1)).alias("chars"),
+            F.size(toks).alias("ntoks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("chars").alias("chars"),
+            F.sum("ntoks").alias("ntoks"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()
+    }
+    assert set(census) == set(base)
+    for lang, c in census.items():
+        b = base[lang]
+        assert c["n_chars"] == b["chars"], lang  # law (1)
+        assert c["n_docs"] == b["n_docs"], lang
+        applied = b["ntoks"] - c["n_tokens"]
+        assert applied >= 0, lang  # merging never adds tokens
+        # law (2): >=1 merge per merged token, so the merged-token
+        # count is bounded by the applied-merge count
+        assert 0 <= c["n_merged_tokens"] <= applied, lang
+    # fixture non-degeneracy: the learned merges actually fired
+    assert sum(c["n_merged_tokens"] for c in census.values()) > 0
