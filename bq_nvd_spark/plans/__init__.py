@@ -53,7 +53,7 @@ _DRIVER_PRIORITY = [
     # the learned BPE merge table, integer-exact, E4 in
     # plans/llm.py, VERDICT r15 task 5);
     # snapshot_dup_delta (cross-snapshot per-source duplicate-rate
-    # census, E2xE6 in plans/sampling.py, VERDICT r15 task 7).
+    # census, E2xE6 in plans/curation.py, VERDICT r15 task 7).
     # Post-r16 evidence distribution (if this window runs green):
     # 7 never-checked (the r16 additions) + 9 @r12 (the logged
     # deferrals) + 50 @r13 + 49 @r14 + 50 @r15 + 50 @r16.

@@ -147,6 +147,88 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# E2 × E6 (round 16): cross-snapshot dedup DELTA report — the
+# per-source composition of ``incremental_dedup_new_docs`` (per-doc
+# verdicts on one shard) with the drift monitor's snapshot split
+# (``source_drift_kl``'s md5-bucket prev/current convention, so the
+# two dashboard rows describe the SAME snapshot pair): for every
+# source, how many of its CURRENT-snapshot documents near-duplicate
+# the PREVIOUS snapshot. This is the ingest-quality row a 100 TB
+# crawl refresh reads first — a source whose new shards are mostly
+# already-seen content (a stuck crawler, a mirror site) shows up as a
+# dup-rate spike next to its KL drift.
+#
+# Scale shape: identical to incremental_dedup_new_docs — each side
+# pays MinHash signatures only for its own rows (pre_filter below the
+# exchange), candidate detection is a semi-join on (band_idx,
+# band_sig) with no pair materialization, and the census is one
+# map-side-combined groupBy(source). The dup rate is the reader's
+# division of two exact integers.
+@query(
+    "snapshot_dup_delta",
+    oracle=_duck_band_cte()
+    + f""",
+    bk AS (
+      SELECT doc_id, source, {_DUCK_SPLIT_BUCKET} AS bucket
+      FROM documents
+    ),
+    dup AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a
+      JOIN bk ba ON ba.doc_id = a.doc_id
+                AND ba.bucket >= {_SPLIT_TRAIN_END}
+      JOIN bands b ON b.band_idx = a.band_idx
+                  AND b.band_sig = a.band_sig
+      JOIN bk bb ON bb.doc_id = b.doc_id
+                AND bb.bucket < {_SPLIT_TRAIN_END}
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_new_docs,
+           CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs
+    FROM (SELECT doc_id, source FROM bk
+          WHERE bucket >= {_SPLIT_TRAIN_END}) d
+    LEFT JOIN dup ON dup.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def snapshot_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-rate census of the current snapshot
+    against the previous one (see the section note): new-doc count
+    and how many of them carry an LSH band collision with the
+    previous snapshot."""
+    from bq_nvd_spark.plans.sampling import _spark_bucket
+
+    cur_bands = _spark_bands(
+        spark, sf_dir, pre_filter=_spark_bucket() >= _SPLIT_TRAIN_END
+    )
+    prev_bands = _spark_bands(
+        spark, sf_dir, pre_filter=_spark_bucket() < _SPLIT_TRAIN_END
+    )
+    flagged = (
+        cur_bands.join(prev_bands, ["band_idx", "band_sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    spine = (
+        load_table(spark, sf_dir, "documents")
+        .filter(_spark_bucket() >= _SPLIT_TRAIN_END)
+        .select("doc_id", "source")
+    )
+    return (
+        spine.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new_docs"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+    )
+
+
 VOCAB_K = 500  # the frozen tokenizer's vocabulary budget
 
 

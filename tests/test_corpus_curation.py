@@ -498,3 +498,44 @@ def test_source_drift_kl_flags_the_shifted_source(spark, tmp_path):
         got["shifted"].drift_per_token_micro
         > 3 * got["stable"].drift_per_token_micro
     )
+
+
+def test_snapshot_dup_delta_flags_reingested_content(spark, tmp_path):
+    # Membership in prev/current is md5(doc_id)-bucketed, so pick doc
+    # ids on each side of the split programmatically, then plant one
+    # current doc whose text is byte-identical to a previous-snapshot
+    # doc (identical MinHash signatures -> guaranteed band collision)
+    # and one current doc with disjoint vocabulary. The census must
+    # count exactly the replanted doc as a duplicate, per source.
+    import hashlib
+
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.sampling import TRAIN_END
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+
+    prev_ids = [i for i in range(200) if bucket(i) < TRAIN_END][:2]
+    cur_ids = [i for i in range(200) if bucket(i) >= TRAIN_END][:2]
+    seen = "alpha beta gamma delta epsilon zeta eta theta"
+    fresh = "iota kappa lam mu nu xi omicron pi"
+    other = "rho sigma tau upsilon phi chi psi omega"
+    rows = [
+        (prev_ids[0], seen, "en", "src_resend", len(seen)),
+        (prev_ids[1], other, "en", "src_fresh", len(other)),
+        (cur_ids[0], seen, "en", "src_resend", len(seen)),  # re-ingested
+        (cur_ids[1], fresh, "en", "src_fresh", len(fresh)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    census = {
+        r["source"]: (r["n_new_docs"], r["n_dup_docs"])
+        for r in QUERIES["snapshot_dup_delta"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert census == {"src_resend": (1, 1), "src_fresh": (1, 0)}
