@@ -53,15 +53,18 @@ _DRIVER_PRIORITY = [
     # the learned BPE merge table, integer-exact, E4 in
     # plans/llm.py, VERDICT r15 task 5);
     # snapshot_dup_delta (cross-snapshot per-source duplicate-rate
-    # census, E2xE6 in plans/curation.py, VERDICT r15 task 7).
+    # census, E2xE6 in plans/curation.py, VERDICT r15 task 7);
+    # boilerplate_lines_census + boilerplate_excised_docs (CCNet-style
+    # corpus-wide df-thresholded boilerplate line census and the
+    # in-order removal transform, E2/E4 in plans/curation.py).
     # Post-r16 evidence distribution (if this window runs green):
-    # 7 never-checked (the r16 additions) + 9 @r12 (the logged
+    # 8 never-checked (the r16 additions) + 9 @r12 (the logged
     # deferrals) + 50 @r13 + 49 @r14 + 50 @r15 + 50 @r16.
-    # r17 rotation plan (computed at r16 close): the 7 r16 additions
-    # + the 9 r12-era deferrals + the 34 alphabetically-first
+    # r17 rotation plan (computed at r16 close): the 8 r16 additions
+    # + the 9 r12-era deferrals + the 33 alphabetically-first
     # r13-era names = 50 exactly; any r17 code change outranks
     # backlog per the standing rule. After that window no name's
-    # evidence is older than r14 except the 16 r13-era deferrals
+    # evidence is older than r14 except the 17 r13-era deferrals
     # (flag for r18 priority).
     # -- never driver-checked (r15 additions, each mirror-green x3
     #    SFs; the Gopher trio also r16-code-changed, re-mirrored) --

@@ -1375,6 +1375,163 @@ def line_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E2/E4 (round 16): CORPUS-WIDE boilerplate lines — identify WHAT the
+# repeated lines are (the CCNet recipe: hash every line, drop lines
+# whose corpus doc-frequency clears a threshold — headers, footers,
+# cookie banners, navigation chrome), and the excision transform that
+# removes them. Complements the per-document rules above: the Gopher
+# line rules drop whole documents that are internally repetitive;
+# this pair cleans the SURVIVORS of cross-document template text.
+#
+# Same segmentation seam as the rest of the line family
+# (fixture_segment_cols fixed-width lines on the registered queries;
+# a real corpus splits on '\n').
+#
+# Scale shape: one line explode into a map-side-combined
+# groupBy(line) census (two count-distincts, one count — a single
+# expand aggregate); the excision anti-joins the per-position line
+# relation against the boilerplate set on the line value (a shuffle
+# equi-join; the boilerplate relation is the df-thresholded census,
+# typically tiny, and AQE broadcasts it when it is) and rebuilds each
+# document with sort_array(struct(pos, line)) — per-doc work, never a
+# window. No driver collect, nothing corpus-proportional broadcast.
+BP_MIN_DF = 5  # min distinct-doc frequency to call a line boilerplate
+# (tuned to split the driver fixture non-degenerately at every SF —
+# the REP_DUP precedent; CCNet-scale corpora use much higher
+# absolute thresholds with the same plan)
+
+#: doc-position line relation + the df census, shared by both queries.
+_BP_CTES = f"""
+    {_GQ_SEG_CTES},
+    pos_lines AS (
+      SELECT doc_id, source, i AS pos, lines[i] AS line
+      FROM seg, UNNEST(generate_series(1, len(lines))) AS t(i)
+    ),
+    linedf AS (
+      SELECT line,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM pos_lines GROUP BY line
+    ),
+    bp AS (
+      SELECT line, df_docs, n_sources, n_occ FROM linedf
+      WHERE df_docs >= {BP_MIN_DF}
+    )"""
+
+
+def _pos_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, pos, line) — every line occurrence with its
+    1-based position, fixture segmentation."""
+    seg = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", *fixture_segment_cols()
+    )
+    return seg.select(
+        "doc_id",
+        "source",
+        F.posexplode("lines").alias("pos0", "line"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "line")
+
+
+def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-thresholded boilerplate line census — memoized via
+    ``shared_stage`` so the census query and the excision transform
+    pay the corpus line explode + aggregate once per session."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        return (
+            _pos_lines(spark, sf_dir)
+            .groupBy("line")
+            .agg(
+                F.count_distinct("doc_id").cast("long").alias("df_docs"),
+                F.count_distinct("source").cast("long").alias("n_sources"),
+                F.count(F.lit(1)).cast("long").alias("n_occ"),
+            )
+            .filter(F.col("df_docs") >= BP_MIN_DF)
+        )
+
+    return shared_stage(spark, ("boilerplate_lines", sf_dir), build)
+
+
+@query(
+    "boilerplate_lines_census",
+    oracle=f"""
+    WITH {_BP_CTES}
+    SELECT line, df_docs, n_sources, n_occ FROM bp
+    """,
+)
+def boilerplate_lines_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide boilerplate line set (see the section note):
+    every line whose distinct-doc frequency clears BP_MIN_DF, with its
+    doc frequency, source spread (n_sources > 1 = cross-source
+    template/mirror signal), and total occurrence count."""
+    return _boilerplate_lines(spark, sf_dir)
+
+
+@query(
+    "boilerplate_excised_docs",
+    oracle=f"""
+    WITH {_BP_CTES},
+    kept AS (
+      SELECT p.doc_id, p.pos, p.line
+      FROM pos_lines p
+      WHERE p.line NOT IN (SELECT line FROM bp)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    ),
+    spine AS (
+      SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines FROM seg
+    )
+    SELECT s.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+           s.n_lines - COALESCE(r.n_lines_kept, 0) AS n_lines_cut
+    FROM spine s LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+    """,
+)
+def boilerplate_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate-removal transform: each document rebuilt with
+    corpus-boilerplate lines cut, in original line order, plus the
+    kept/cut accounting. Docs whose every line is boilerplate stay on
+    the spine as empty rows (the span-excision contract)."""
+    pos = _pos_lines(spark, sf_dir)
+    bp = _boilerplate_lines(spark, sf_dir).select("line")
+    kept = pos.join(bp, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    spine = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", *fixture_segment_cols())
+        .select("doc_id", F.size("lines").cast("long").alias("n_lines"))
+    )
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+        (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_cut"),
+    )
+
+
+# --------------------------------------------------------------------------
 # E6+ (round 15): per-source DISTRIBUTION DRIFT — the ingest-monitoring
 # gate a continuously-fed corpus runs between snapshots: for every
 # source, KL(current ‖ previous) over unigram distributions, where

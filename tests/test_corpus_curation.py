@@ -539,3 +539,61 @@ def test_snapshot_dup_delta_flags_reingested_content(spark, tmp_path):
         ).collect()
     }
     assert census == {"src_resend": (1, 1), "src_fresh": (1, 0)}
+
+
+def _fw_segments(text, w):
+    toks = text.split(" ")
+    return [
+        " ".join(toks[i * w : (i + 1) * w])
+        for i in range((len(toks) + w - 1) // w)
+    ]
+
+
+def test_boilerplate_census_and_excision_agree_with_python(spark, sf_dir):
+    # Full Python cross-check on the driver fixture: recompute line
+    # doc-frequencies with the same fixed-width segmentation, pin the
+    # census set, then verify every excised doc is exactly its
+    # non-boilerplate segments rejoined in order.
+    from collections import defaultdict
+
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.curation import BP_MIN_DF, GQ_LINE_W
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    df_docs = defaultdict(set)
+    occ = defaultdict(int)
+    for did, text in docs.items():
+        for seg in _fw_segments(text, GQ_LINE_W):
+            df_docs[seg].add(did)
+            occ[seg] += 1
+    expect_bp = {l for l, d in df_docs.items() if len(d) >= BP_MIN_DF}
+    census = {
+        r["line"]: r
+        for r in QUERIES["boilerplate_lines_census"](spark, sf_dir).collect()
+    }
+    assert set(census) == expect_bp
+    for line, r in census.items():
+        assert r["df_docs"] == len(df_docs[line])
+        assert r["n_occ"] == occ[line] >= r["df_docs"]
+        assert 1 <= r["n_sources"] <= r["df_docs"]
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["boilerplate_excised_docs"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(docs)
+    n_touched = 0
+    for did, text in docs.items():
+        segs = _fw_segments(text, GQ_LINE_W)
+        kept = [s for s in segs if s not in expect_bp]
+        r = got[did]
+        assert r["clean_text"] == " ".join(kept)
+        assert r["n_lines_kept"] == len(kept)
+        assert r["n_lines_cut"] == len(segs) - len(kept)
+        if r["n_lines_cut"]:
+            n_touched += 1
+        else:
+            assert r["clean_text"] == text  # untouched docs roundtrip
+    assert 0 < n_touched < len(docs)  # fixture non-degeneracy
