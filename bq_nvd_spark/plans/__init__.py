@@ -56,15 +56,21 @@ _DRIVER_PRIORITY = [
     # census, E2xE6 in plans/curation.py, VERDICT r15 task 7);
     # boilerplate_lines_census + boilerplate_excised_docs (CCNet-style
     # corpus-wide df-thresholded boilerplate line census and the
-    # in-order removal transform, E2/E4 in plans/curation.py).
+    # in-order removal transform, E2/E4 in plans/curation.py);
+    # ivf_cell_census (per-cell population of the shared IVF
+    # quantizer — the index-balance row behind every within-cell cost
+    # argument, E3 in plans/similarity_search.py);
+    # quality_gate_agreement (per-source 2x2 contingency between the
+    # Gopher composite and the repetition gate — the filter-ensemble
+    # design artifact, E4/E6 in plans/curation.py).
     # Post-r16 evidence distribution (if this window runs green):
-    # 8 never-checked (the r16 additions) + 9 @r12 (the logged
+    # 10 never-checked (the r16 additions) + 9 @r12 (the logged
     # deferrals) + 50 @r13 + 49 @r14 + 50 @r15 + 50 @r16.
-    # r17 rotation plan (computed at r16 close): the 8 r16 additions
-    # + the 9 r12-era deferrals + the 33 alphabetically-first
+    # r17 rotation plan (computed at r16 close): the 10 r16 additions
+    # + the 9 r12-era deferrals + the 31 alphabetically-first
     # r13-era names = 50 exactly; any r17 code change outranks
     # backlog per the standing rule. After that window no name's
-    # evidence is older than r14 except the 17 r13-era deferrals
+    # evidence is older than r14 except the 19 r13-era deferrals
     # (flag for r18 priority).
     # -- never driver-checked (r15 additions, each mirror-green x3
     #    SFs; the Gopher trio also r16-code-changed, re-mirrored) --

@@ -1532,6 +1532,90 @@ def boilerplate_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E4/E6 (round 16): quality-gate AGREEMENT matrix — the ensemble-design
+# artifact curation teams read before stacking filters: for each
+# source, the 2×2 contingency between the Gopher composite gate and
+# the repetition gate (how much does the second gate add beyond the
+# first, and where do they conflict?). Both verdicts are the exact
+# integer gates defined above — no float enters either decision — so
+# the matrix is hash-exact. Scale shape: two per-doc projections
+# (the stateless Gopher kernel; the shared_stage'd repetition metric
+# relation both its own consumers already reuse), one co-keyed left
+# join on doc_id, one map-side-combined groupBy(source).
+@query(
+    "quality_gate_agreement",
+    oracle=_GQ_ORACLE_PREFIX
+    + f""",
+    rg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+               AS gram
+      FROM segd WHERE len(toks) >= 2
+    ),
+    rc AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rg GROUP BY doc_id, gram
+    ),
+    rm AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+               AS dup_occ
+      FROM rc GROUP BY doc_id
+    ),
+    verdicts AS (
+      SELECT k.source, k.keep AS g_keep,
+             CASE WHEN COALESCE(rm.dup_occ, 0) * {REP_DUP_DEN}
+                       > COALESCE(rm.n_grams, 0) * {REP_DUP_NUM}
+                  THEN 0 ELSE 1 END AS r_keep
+      FROM k LEFT JOIN rm ON rm.doc_id = k.doc_id
+    )
+    SELECT source,
+           CAST(SUM(g_keep * r_keep) AS BIGINT)             AS n_both_keep,
+           CAST(SUM(g_keep * (1 - r_keep)) AS BIGINT)       AS n_gopher_only,
+           CAST(SUM((1 - g_keep) * r_keep) AS BIGINT)       AS n_rep_only,
+           CAST(SUM((1 - g_keep) * (1 - r_keep)) AS BIGINT) AS n_both_drop
+    FROM verdicts GROUP BY source
+    """,
+)
+def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 2×2 contingency between the Gopher composite gate
+    and the repetition gate (see the section note): docs both gates
+    keep, docs only one keeps (either direction), docs both drop —
+    the integer counts an ensemble design reads."""
+    gop = gopher_rules_kernel(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "source", F.col("keep").alias("g_keep"))
+    rep = _repetition_metrics(spark, sf_dir).select(
+        "doc_id", "n_grams", "dup_occ"
+    )
+    r_keep = (
+        ~(
+            F.coalesce(F.col("dup_occ"), F.lit(0)) * REP_DUP_DEN
+            > F.coalesce(F.col("n_grams"), F.lit(0)) * REP_DUP_NUM
+        )
+    ).cast("long")
+    v = gop.join(rep, "doc_id", "left").select(
+        "source", "g_keep", r_keep.alias("r_keep")
+    )
+    return v.groupBy("source").agg(
+        F.sum(F.col("g_keep") * F.col("r_keep"))
+        .cast("long")
+        .alias("n_both_keep"),
+        F.sum(F.col("g_keep") * (1 - F.col("r_keep")))
+        .cast("long")
+        .alias("n_gopher_only"),
+        F.sum((1 - F.col("g_keep")) * F.col("r_keep"))
+        .cast("long")
+        .alias("n_rep_only"),
+        F.sum((1 - F.col("g_keep")) * (1 - F.col("r_keep")))
+        .cast("long")
+        .alias("n_both_drop"),
+    )
+
+
+# --------------------------------------------------------------------------
 # E6+ (round 15): per-source DISTRIBUTION DRIFT — the ingest-monitoring
 # gate a continuously-fed corpus runs between snapshots: for every
 # source, KL(current ‖ previous) over unigram distributions, where

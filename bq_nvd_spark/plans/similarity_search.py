@@ -1700,3 +1700,44 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # high-dup corpus, so let AQE pick broadcast vs shuffled anti-join
     # from the observed build-side size.
     return emb.join(dropped, "vec_id", "left_anti")
+
+
+# --------------------------------------------------------------------------
+# E3 (round 16): IVF index BALANCE census — the index-operations
+# diagnostic behind every within-cell cost argument in this file
+# (ivf_topk's candidate join, hard_negative_mining's and SemDeDup's
+# (corpus²/cells) self-joins): per-cell population. A cell whose
+# population is a large multiple of corpus/IVF_CELLS breaks those
+# cost models (the FAISS "imbalance factor"); at 100 TB this census
+# is the monitoring row that tells you to re-train centroids or raise
+# IVF_CELLS. One groupBy over the shared assignment — 16 rows out,
+# nothing else retained. Integer counts; the imbalance factor is the
+# reader's division against n_vecs/IVF_CELLS.
+@query(
+    "ivf_cell_census",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
+    ),
+    {_IVF_QUANTIZER_CTE}
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+    FROM assign GROUP BY cell
+    """,
+)
+def ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell population of the shared IVF coarse quantizer (see
+    the section note), with the id range as a cheap cell fingerprint
+    — the index-balance row every within-cell join's cost model
+    assumes is flat."""
+    assign, _ = _ivf_assign_and_probes(spark, sf_dir)
+    return assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.max("vec_id").cast("long").alias("max_vec_id"),
+    )

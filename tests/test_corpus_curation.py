@@ -597,3 +597,33 @@ def test_boilerplate_census_and_excision_agree_with_python(spark, sf_dir):
         else:
             assert r["clean_text"] == text  # untouched docs roundtrip
     assert 0 < n_touched < len(docs)  # fixture non-degeneracy
+
+
+def test_quality_gate_agreement_marginals(spark, sf_dir):
+    # The 2x2 matrix's marginals must equal the two gates' own
+    # censuses exactly, and its cells must account for every doc.
+    from bq_nvd_spark.plans import QUERIES
+
+    agree = {
+        r["source"]: r.asDict()
+        for r in QUERIES["quality_gate_agreement"](spark, sf_dir).collect()
+    }
+    gop = {
+        r["source"]: r.asDict()
+        for r in QUERIES["gopher_quality_census"](spark, sf_dir).collect()
+    }
+    rep = {
+        r["source"]: r.asDict()
+        for r in QUERIES["repetition_filter_census"](spark, sf_dir).collect()
+    }
+    assert set(agree) == set(gop) == set(rep)
+    cells = ["n_both_keep", "n_gopher_only", "n_rep_only", "n_both_drop"]
+    for src, a in agree.items():
+        assert sum(a[c] for c in cells) == gop[src]["n_docs"]
+        assert a["n_both_keep"] + a["n_gopher_only"] == gop[src]["n_kept"]
+        assert a["n_both_keep"] + a["n_rep_only"] == rep[src]["n_kept"]
+    # the gates genuinely disagree somewhere on the fixture — the
+    # matrix carries information beyond either census alone
+    assert sum(
+        a["n_gopher_only"] + a["n_rep_only"] for a in agree.values()
+    ) > 0
