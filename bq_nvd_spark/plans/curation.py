@@ -594,28 +594,38 @@ def cross_source_contamination_matrix(
 REP_DUP_NUM = 1  # gate: drop when dup_occ / n_grams > NUM / DEN ...
 REP_DUP_DEN = 10  # ... compared as dup_occ * DEN > n_grams * NUM (exact)
 
-_REP_ORACLE_PREFIX = """
-    WITH t AS (
+def _rep_metric_ctes(p: str = "") -> str:
+    """The repetition-metric CTE chain ((doc, source) → n_grams,
+    dup_occ) with name prefix ``p`` — ONE SQL truth for the bigram
+    gate, shared by the repetition family's own oracles (p='') and by
+    composing oracles that already bind t/g/c/m (e.g.
+    quality_gate_agreement uses p='r'). A transform-width change
+    (bigram → trigram) edits exactly this text and
+    ``_build_repetition_metrics``."""
+    return f"""{p}t AS (
       SELECT doc_id, source, string_split(text, ' ') AS toks
       FROM documents
     ),
-    g AS (
+    {p}g AS (
       SELECT doc_id, source,
              UNNEST(list_transform(range(1, len(toks)),
                                    i -> toks[i] || ' ' || toks[i + 1])) AS gram
-      FROM t WHERE len(toks) >= 2
+      FROM {p}t WHERE len(toks) >= 2
     ),
-    c AS (
+    {p}c AS (
       SELECT doc_id, source, gram, CAST(COUNT(*) AS BIGINT) AS c
-      FROM g GROUP BY doc_id, source, gram
+      FROM {p}g GROUP BY doc_id, source, gram
     ),
-    m AS (
+    {p}m AS (
       SELECT doc_id, source,
              CAST(SUM(c) AS BIGINT) AS n_grams,
              CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
                AS dup_occ
-      FROM c GROUP BY doc_id, source
+      FROM {p}c GROUP BY doc_id, source
     )"""
+
+
+_REP_ORACLE_PREFIX = "\n    WITH " + _rep_metric_ctes()
 
 
 def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,10 +945,16 @@ def _duck_dup_cols(seg: str, srt: str, n_alias: str, d_alias: str) -> str:
 #: lines/paras and their sorted copies) — ONE string, interpolated
 #: into the composite-gate oracle AND the standalone line-repetition
 #: oracles so the two never desynchronize.
+#: oracle bullet predicate generated from GQ_BULLETS — one constant,
+#: both engine halves (the GQ_STOPWORDS discipline). The markers are
+#: interpolated into LIKE patterns, so any future marker containing a
+#: LIKE metacharacter ('%', '_') must be escaped here.
+_GQ_BULLET_SQL = " OR ".join(f"l LIKE '{b}%'" for b in GQ_BULLETS)
+
 _GQ_LINEM_COLS = f"""{_duck_dup_cols('lines', 's_lines', 'lines', 'line')},
 {_duck_dup_cols('paras', 's_paras', 'paras', 'para')},
              CAST(len(list_filter(lines,
-                    l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT)
+                    l -> {_GQ_BULLET_SQL})) AS BIGINT)
                AS bullet_lines,
              CAST(len(list_filter(lines, l -> l LIKE '%...'))
                   AS BIGINT) AS ellipsis_lines"""
@@ -1104,6 +1120,25 @@ def _line_metric_exprs() -> list:
     ]
 
 
+def _segmented(
+    docs: DataFrame, segment_cols=None, with_sorted: bool = True
+) -> DataFrame:
+    """(doc_id, source, text, lines, paras[, s_lines, s_paras]) — the
+    one segmentation-frame construction every line-family kernel
+    builds on; ``segment_cols`` defaults to the fixture's fixed-width
+    splitter (pass ``newline_segment_cols`` for a real corpus)."""
+    if segment_cols is None:
+        segment_cols = fixture_segment_cols
+    seg = docs.select("doc_id", "source", "text", *segment_cols())
+    if not with_sorted:
+        return seg
+    return seg.select(
+        "*",
+        F.array_sort("lines").alias("s_lines"),
+        F.array_sort("paras").alias("s_paras"),
+    )
+
+
 def gopher_rules_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
     """The rule arithmetic as a STATELESS per-row kernel over any
     (doc_id, source, text) relation — shared by the batch queries and
@@ -1112,8 +1147,6 @@ def gopher_rules_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
     kernel streams as-is. ``segment_cols`` picks the line structure
     (default: the fixture's fixed-width segmentation; pass
     ``newline_segment_cols`` for a real newline corpus)."""
-    if segment_cols is None:
-        segment_cols = fixture_segment_cols
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("long")
     sum_chars = (F.length("text") - (F.size(toks) - 1)).cast("long")
@@ -1132,12 +1165,7 @@ def gopher_rules_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
     n_stop = F.size(
         F.filter(F.array_distinct(toks), lambda t: t.isin(*GQ_STOPWORDS))
     ).cast("long")
-    seg = docs.select("doc_id", "source", "text", *segment_cols())
-    srt = seg.select(
-        "*",
-        F.array_sort("lines").alias("s_lines"),
-        F.array_sort("paras").alias("s_paras"),
-    )
+    srt = _segmented(docs, segment_cols)
     m = srt.select(
         "doc_id",
         "source",
@@ -1311,14 +1339,7 @@ def line_metrics_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
     """The 10 line/paragraph metrics as a stateless per-row relation
     over any (doc_id, source, text) input — the line-granularity half
     of ``gopher_rules_kernel``, exposed for the diagnostics."""
-    if segment_cols is None:
-        segment_cols = fixture_segment_cols
-    seg = docs.select("doc_id", "source", *segment_cols())
-    srt = seg.select(
-        "*",
-        F.array_sort("lines").alias("s_lines"),
-        F.array_sort("paras").alias("s_paras"),
-    )
+    srt = _segmented(docs, segment_cols)
     return srt.select("doc_id", "source", *_line_metric_exprs())
 
 
@@ -1383,9 +1404,13 @@ def line_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # line rules drop whole documents that are internally repetitive;
 # this pair cleans the SURVIVORS of cross-document template text.
 #
-# Same segmentation seam as the rest of the line family
-# (fixture_segment_cols fixed-width lines on the registered queries;
-# a real corpus splits on '\n').
+# Same segmentation seam as the rest of the line family: the kernels
+# (``pos_lines_kernel`` / ``boilerplate_lines_kernel`` /
+# ``boilerplate_excise_kernel``) take ``segment_cols`` plus the
+# rebuild separator; the REGISTERED queries bind the fixture's
+# fixed-width splitter with ' ' rejoin, a real corpus passes
+# ``newline_segment_cols`` with '\n' (the newline-path pytest drives
+# exactly that).
 #
 # Scale shape: one line explode into a map-side-combined
 # groupBy(line) census (two count-distincts, one count — a single
@@ -1420,17 +1445,69 @@ _BP_CTES = f"""
     )"""
 
 
-def _pos_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pos_lines_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
     """(doc_id, source, pos, line) — every line occurrence with its
-    1-based position, fixture segmentation."""
-    seg = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text", *fixture_segment_cols()
-    )
+    1-based position, over any (doc_id, source, text) relation."""
+    seg = _segmented(docs, segment_cols, with_sorted=False)
     return seg.select(
         "doc_id",
         "source",
         F.posexplode("lines").alias("pos0", "line"),
     ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "line")
+
+
+def boilerplate_lines_kernel(pos: DataFrame) -> DataFrame:
+    """The df-thresholded census over a pos-line relation."""
+    return (
+        pos.groupBy("line")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("df_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .filter(F.col("df_docs") >= BP_MIN_DF)
+    )
+
+
+def boilerplate_excise_kernel(
+    pos: DataFrame, bp: DataFrame, sep: str = " "
+) -> DataFrame:
+    """Rebuild each document from its non-boilerplate lines in
+    original order, joined with ``sep`` (the segmentation's inverse:
+    ' ' for fixed-width token lines, '\\n' for newline lines). The doc
+    spine derives from the SAME pos relation (every split() yields at
+    least one line, so no doc can drop off it) — no second corpus
+    scan or segmentation pass."""
+    kept = pos.join(bp.select("line"), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    spine = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+        (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_cut"),
+    )
+
+
+def _pos_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered queries' pos-line relation: fixture
+    segmentation over the driver documents table."""
+    return pos_lines_kernel(load_table(spark, sf_dir, "documents"))
 
 
 def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,19 +1516,11 @@ def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay the corpus line explode + aggregate once per session."""
     from bq_nvd_spark.operators.checkpoint import shared_stage
 
-    def build() -> DataFrame:
-        return (
-            _pos_lines(spark, sf_dir)
-            .groupBy("line")
-            .agg(
-                F.count_distinct("doc_id").cast("long").alias("df_docs"),
-                F.count_distinct("source").cast("long").alias("n_sources"),
-                F.count(F.lit(1)).cast("long").alias("n_occ"),
-            )
-            .filter(F.col("df_docs") >= BP_MIN_DF)
-        )
-
-    return shared_stage(spark, ("boilerplate_lines", sf_dir), build)
+    return shared_stage(
+        spark,
+        ("boilerplate_lines", sf_dir),
+        lambda: boilerplate_lines_kernel(_pos_lines(spark, sf_dir)),
+    )
 
 
 @query(
@@ -1499,35 +1568,8 @@ def boilerplate_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-boilerplate lines cut, in original line order, plus the
     kept/cut accounting. Docs whose every line is boilerplate stay on
     the spine as empty rows (the span-excision contract)."""
-    pos = _pos_lines(spark, sf_dir)
-    bp = _boilerplate_lines(spark, sf_dir).select("line")
-    kept = pos.join(bp, "line", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("pos", "line"))
-                ),
-                lambda s: s["line"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
-    )
-    spine = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", *fixture_segment_cols())
-        .select("doc_id", F.size("lines").cast("long").alias("n_lines"))
-    )
-    return spine.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.coalesce("n_lines_kept", F.lit(0))
-        .cast("long")
-        .alias("n_lines_kept"),
-        (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_lines_cut"),
+    return boilerplate_excise_kernel(
+        _pos_lines(spark, sf_dir), _boilerplate_lines(spark, sf_dir)
     )
 
 
@@ -1545,25 +1587,9 @@ def boilerplate_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_gate_agreement",
     oracle=_GQ_ORACLE_PREFIX
+    + ",\n    "
+    + _rep_metric_ctes("r")
     + f""",
-    rg AS (
-      SELECT doc_id,
-             UNNEST(list_transform(range(1, len(toks)),
-                                   i -> toks[i] || ' ' || toks[i + 1]))
-               AS gram
-      FROM segd WHERE len(toks) >= 2
-    ),
-    rc AS (
-      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
-      FROM rg GROUP BY doc_id, gram
-    ),
-    rm AS (
-      SELECT doc_id,
-             CAST(SUM(c) AS BIGINT) AS n_grams,
-             CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
-               AS dup_occ
-      FROM rc GROUP BY doc_id
-    ),
     verdicts AS (
       SELECT k.source, k.keep AS g_keep,
              CASE WHEN COALESCE(rm.dup_occ, 0) * {REP_DUP_DEN}

@@ -627,3 +627,43 @@ def test_quality_gate_agreement_marginals(spark, sf_dir):
     assert sum(
         a["n_gopher_only"] + a["n_rep_only"] for a in agree.values()
     ) > 0
+
+
+def test_boilerplate_kernels_on_newline_corpus(spark):
+    # The advertised real-corpus path: newline segmentation with '\n'
+    # rejoin. A header line shared by BP_MIN_DF docs is identified and
+    # excised; unique lines survive with their newline structure
+    # intact (the rejoin separator is the segmentation's inverse).
+    from bq_nvd_spark.plans.curation import (
+        BP_MIN_DF,
+        boilerplate_excise_kernel,
+        boilerplate_lines_kernel,
+        newline_segment_cols,
+        pos_lines_kernel,
+    )
+
+    header = "SITE NAV home about contact"
+    rows = [
+        (i, header + f"\nunique body {i} alpha\nunique body {i} beta", "s")
+        for i in range(BP_MIN_DF)
+    ]
+    rows.append((99, "standalone doc\nwith no header", "s"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    pos = pos_lines_kernel(docs, newline_segment_cols)
+    bp = boilerplate_lines_kernel(pos)
+    assert [(r.line, r.df_docs) for r in bp.collect()] == [
+        (header, BP_MIN_DF)
+    ]
+    out = {
+        r.doc_id: r
+        for r in boilerplate_excise_kernel(pos, bp, sep="\n").collect()
+    }
+    for i in range(BP_MIN_DF):
+        assert out[i].clean_text == (
+            f"unique body {i} alpha\nunique body {i} beta"
+        )
+        assert (out[i].n_lines_kept, out[i].n_lines_cut) == (2, 1)
+    assert out[99].clean_text == "standalone doc\nwith no header"
+    assert (out[99].n_lines_kept, out[99].n_lines_cut) == (2, 0)
