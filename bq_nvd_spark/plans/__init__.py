@@ -62,15 +62,23 @@ _DRIVER_PRIORITY = [
     # argument, E3 in plans/similarity_search.py);
     # quality_gate_agreement (per-source 2x2 contingency between the
     # Gopher composite and the repetition gate — the filter-ensemble
-    # design artifact, E4/E6 in plans/curation.py).
+    # design artifact, E4/E6 in plans/curation.py);
+    # bloom_decontamination_census (Bloom membership pre-filter for
+    # eval-set decontamination under the sketch family's accuracy-
+    # bound oracle contract — relational set-bit-position filter,
+    # constant-bounded state, E6xE7 in plans/sampling.py).
+    # Code changed in r16, already inside the window:
+    # decontamination_overlaps — its gram build extracted into the
+    # shared_stage'd _decon_gram_rel (shared with the bloom census);
+    # re-mirrored x3 SFs post-refactor.
     # Post-r16 evidence distribution (if this window runs green):
-    # 10 never-checked (the r16 additions) + 9 @r12 (the logged
+    # 11 never-checked (the r16 additions) + 9 @r12 (the logged
     # deferrals) + 50 @r13 + 49 @r14 + 50 @r15 + 50 @r16.
-    # r17 rotation plan (computed at r16 close): the 10 r16 additions
-    # + the 9 r12-era deferrals + the 31 alphabetically-first
+    # r17 rotation plan (computed at r16 close): the 11 r16 additions
+    # + the 9 r12-era deferrals + the 30 alphabetically-first
     # r13-era names = 50 exactly; any r17 code change outranks
     # backlog per the standing rule. After that window no name's
-    # evidence is older than r14 except the 19 r13-era deferrals
+    # evidence is older than r14 except the 20 r13-era deferrals
     # (flag for r18 priority).
     # -- never driver-checked (r15 additions, each mirror-green x3
     #    SFs; the Gopher trio also r16-code-changed, re-mirrored) --

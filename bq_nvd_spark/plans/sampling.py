@@ -267,6 +267,35 @@ def _decon_grams_np(texts: "pd.Series") -> "pd.Series":
     return pd.Series(out)
 
 
+def _decon_gram_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram) — each exact-dup representative's distinct
+    DECON_N-gram md5 set. Gram build is the CPU-bound stage: spread
+    across cores (the toy single-file table would feed one Arrow
+    worker), run the hashlib kernel, and materialize. Memoized via
+    ``shared_stage`` so its two consumers (the pairwise overlap query
+    and the Bloom census) pay the 250k-window md5 build once per
+    session."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        reps = docs.groupBy(F.md5("text")).agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        toks = F.split("text", " ")
+        return (
+            docs.join(reps.select("doc_id"), "doc_id")
+            .filter(F.size(toks) >= DECON_N)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .select(
+                "doc_id", F.explode(_decon_grams_np("text")).alias("gram")
+            )
+        )
+
+    return shared_stage(spark, ("decon_grams", sf_dir), build)
+
+
+
 @query(
     "decontamination_overlaps",
     oracle=f"""
@@ -286,21 +315,7 @@ def _decon_grams_np(texts: "pd.Series") -> "pd.Series":
     """,
 )
 def decontamination_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    reps = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    toks = F.split("text", " ")
-    # Gram build is the CPU-bound stage: spread across cores (the toy
-    # single-file table would feed one Arrow worker), run the hashlib
-    # kernel, and checkpoint so the `rare` census and the `labeled` join
-    # don't each recompute 250k md5 windows.
-    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
-
-    grams = stage_checkpoint(
-        docs.join(reps.select("doc_id"), "doc_id")
-        .filter(F.size(toks) >= DECON_N)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(_decon_grams_np("text")).alias("gram"))
-    )
+    grams = _decon_gram_rel(spark, sf_dir)
     rare = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -892,4 +907,158 @@ def temperature_mixture_quotas(
             .cast("long")
             .alias("quota"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# E6 × E7 (round 16): BLOOM-FILTER decontamination — the membership
+# pre-filter that makes eval-set decontamination affordable at 100 TB.
+# ``decontamination_overlaps`` above joins train grams against eval
+# grams (exact, pairwise, the audit artifact); a production refresh
+# first runs THIS: fold the eval split's n-grams into a Bloom filter
+# and probe every train gram against it — only flagged docs (a tiny
+# superset of the truly contaminated; Bloom has no false negatives)
+# proceed to the exact join.
+#
+# Representation: Spark's JVM BloomFilterAggregate is not exposed in
+# the PySpark function registry, so the filter is its RELATIONAL
+# form — the DISTINCT set-bit-position relation {pmod(xxhash64(gram,
+# j), BLOOM_BITS) : eval grams, j < BLOOM_K}. Identical semantics
+# (a train gram "hits" iff ALL K of its positions are set, i.e. all
+# K probe rows survive the semi-join), and the state is CONSTANT-
+# bounded: the relation can never exceed BLOOM_BITS rows no matter
+# the corpus (a real bit array is just this relation packed dense; a
+# Scala deployment swaps in bloom_filter_agg with the same plan
+# around it). FP rate ≈ (set_bits/BLOOM_BITS)^BLOOM_K — ~1e-7 at
+# this corpus' eval-gram count.
+#
+# Oracle contract: the filter is engine-specific, so this rides the
+# sketch family's ACCURACY-BOUND contract (plans/sketches.py): the
+# hash-compared columns are the exact integers (per-source train-doc
+# and exactly-contaminated counts, which DuckDB recomputes), plus two
+# booleans the Spark side COMPUTES and the oracle emits as literal
+# TRUE — ``no_false_negatives`` (bloom-flagged ⊇ exact, the Bloom
+# guarantee; a violation means the probe and exact sides drifted) and
+# ``fp_within_bound`` (the false-positive EXCESS stays under
+# BLOOM_FP_PCT% of train docs). Deterministic: xxhash64 positions are
+# a pure function of the gram bytes, independent of partitioning.
+#
+# Scale shape: one shared_stage'd gram build (shared verbatim with
+# decontamination_overlaps), one distinct to the ≤BLOOM_BITS-row
+# position relation, one equi-join probe (AQE broadcasts the position
+# side when small), and ONE exact semi-join kept only to measure the
+# false-positive excess (the step a 100 TB run would pay only for the
+# flagged subset). Census is a map-side-combined groupBy(source).
+BLOOM_BITS = 1 << 22  # position space: 4M "bits" (relation rows cap)
+BLOOM_K = 7  # hash functions per gram
+BLOOM_FP_PCT = 5  # flagged excess must stay under 5% of train docs
+
+
+def _bloom_positions(gram_col: str = "gram") -> "F.Column":
+    """The K deterministic bit positions of a gram."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(gram_col, F.lit(j)), F.lit(BLOOM_BITS))
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+@query(
+    "bloom_decontamination_census",
+    oracle=f"""
+    WITH {_DUCK_DECON_GRAMS},
+    tg AS (
+      SELECT g.doc_id, g.gram, d.source,
+             {_DUCK_BUCKET.replace('doc_id', 'g.doc_id')} >= {VAL_END}
+               AS held
+      FROM grams g JOIN documents d ON d.doc_id = g.doc_id
+    ),
+    ev AS (SELECT DISTINCT gram FROM tg WHERE held),
+    tr AS (SELECT DISTINCT doc_id, source FROM tg WHERE NOT held),
+    ex AS (
+      SELECT DISTINCT t.doc_id
+      FROM tg t JOIN ev USING (gram)
+      WHERE NOT t.held
+    )
+    SELECT tr.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged_exact,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_within_bound
+    FROM tr LEFT JOIN ex ON ex.doc_id = tr.doc_id
+    GROUP BY tr.source
+    """,
+)
+def bloom_decontamination_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source contamination census under the Bloom pre-filter
+    (see the section note): exact integers hash-gated, the Bloom
+    no-false-negative and false-positive-excess properties asserted
+    Spark-side against the exact join."""
+    grams = _decon_gram_rel(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    held = _spark_bucket() >= VAL_END
+    labeled = grams.join(src, "doc_id").select(
+        "doc_id", "source", "gram", held.alias("held")
+    )
+    ev = labeled.filter("held").select("gram").distinct()
+    set_bits = (
+        ev.select(F.explode(_bloom_positions()).alias("p")).distinct()
+    )
+    train = labeled.filter(~F.col("held"))
+    probe = train.select(
+        "doc_id",
+        "source",
+        "gram",
+        F.explode(_bloom_positions()).alias("p"),
+    )
+    # a gram hits the filter iff every one of its K position rows
+    # survives the semi-join (two hash functions colliding on one
+    # position still yield K rows — rows are per-j, not per-position)
+    gram_hits = (
+        probe.join(set_bits, "p", "left_semi")
+        .groupBy("doc_id", "source", "gram")
+        .agg(F.count(F.lit(1)).alias("k_found"))
+        .filter(F.col("k_found") == BLOOM_K)
+    )
+    bloom_ids = gram_hits.select("doc_id").distinct().withColumn(
+        "b", F.lit(1)
+    )
+    exact_ids = (
+        train.join(ev, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("e", F.lit(1))
+    )
+    spine = train.select("doc_id", "source").distinct()
+    per_doc = (
+        spine.join(bloom_ids, "doc_id", "left")
+        .join(exact_ids, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("b", F.lit(0)).alias("b"),
+            F.coalesce("e", F.lit(0)).alias("e"),
+        )
+    )
+    census = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+        F.sum("e").cast("long").alias("n_flagged_exact"),
+        F.sum("b").cast("long").alias("n_flagged_bloom"),
+    )
+    return census.select(
+        "source",
+        "n_train_docs",
+        "n_flagged_exact",
+        (F.col("n_flagged_bloom") >= F.col("n_flagged_exact")).alias(
+            "no_false_negatives"
+        ),
+        (
+            (F.col("n_flagged_bloom") - F.col("n_flagged_exact")) * 100
+            <= F.col("n_train_docs") * BLOOM_FP_PCT
+        ).alias("fp_within_bound"),
     )

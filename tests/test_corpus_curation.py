@@ -667,3 +667,64 @@ def test_boilerplate_kernels_on_newline_corpus(spark):
         assert (out[i].n_lines_kept, out[i].n_lines_cut) == (2, 1)
     assert out[99].clean_text == "standalone doc\nwith no header"
     assert (out[99].n_lines_kept, out[99].n_lines_cut) == (2, 0)
+
+
+def test_bloom_decontamination_flags_planted_contamination(
+    spark, sf_dir, tmp_path
+):
+    # Constructed corpus: an eval-split doc shares one exact DECON_N-
+    # gram with one train doc (different overall texts, so exact-dup
+    # rep collapsing cannot merge them); a second train doc shares
+    # nothing. The census must count exactly the planted doc, with
+    # both Bloom properties holding; the fixture pass then re-checks
+    # the properties per source on real data (the exact counts
+    # themselves are hash-gated by the oracle).
+    import hashlib
+
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.sampling import DECON_N, VAL_END
+
+    assert DECON_N == 5
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+
+    eval_ids = [i for i in range(400) if bucket(i) >= VAL_END][:1]
+    train_ids = [i for i in range(400) if bucket(i) < VAL_END][:2]
+    shared = "q1 q2 q3 q4 q5"
+    pad = " ".join(f"pad{i}" for i in range(6))
+    rows = [
+        (eval_ids[0], shared + " evaltail " + pad, "en", "src_hit", 1),
+        (train_ids[0], "trainhead " + shared, "en", "src_hit", 1),
+        (train_ids[1], " ".join(f"clean{i}" for i in range(12)),
+         "en", "src_clean", 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    census = {
+        r["source"]: r.asDict()
+        for r in QUERIES["bloom_decontamination_census"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert census["src_hit"]["n_train_docs"] == 1
+    assert census["src_hit"]["n_flagged_exact"] == 1
+    assert census["src_clean"]["n_flagged_exact"] == 0
+    for row in census.values():
+        assert row["no_false_negatives"] is True
+        assert row["fp_within_bound"] is True
+
+    from bq_nvd_spark.operators.checkpoint import release_shared_stages
+
+    release_shared_stages(spark)
+    fixture = QUERIES["bloom_decontamination_census"](
+        spark, sf_dir
+    ).collect()
+    assert len(fixture) > 1
+    assert all(
+        r["no_false_negatives"] and r["fp_within_bound"] for r in fixture
+    )
