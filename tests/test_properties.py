@@ -697,3 +697,60 @@ def test_repetition_gate_kernel_matches_bruteforce(spark, docs):
         dropped = dup_occ * REP_DUP_DEN > n_grams * REP_DUP_NUM
         want.setdefault(f"src{i % 2}", [0, 0])[1 if dropped else 0] += 1
     assert got == {s: (k, d) for s, (k, d) in want.items()}
+
+
+# --------------------------------------------------------------------------
+# Line-granularity duplicate metrics: the array_sort + adjacent-equality
+# kernel must agree with a direct Counter computation of duplicate
+# occurrences (c-1 per distinct line) and their character mass, for
+# arbitrary newline documents — including empty lines, all-duplicate
+# docs, and single-line docs (the sequence/element_at edge cases).
+
+_LINE_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["x", "yy", "zzz", "", "x"]), min_size=1, max_size=10
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_LINE_DOCS)
+@_SETTINGS
+def test_line_dup_metrics_match_python_reference(spark, docs):
+    from collections import Counter
+
+    from bq_nvd_spark.plans.curation import (
+        line_metrics_kernel,
+        newline_segment_cols,
+    )
+
+    rows = [(i, "\n".join(lines), "s") for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+                StructField("source", StringType()),
+            ]
+        ),
+    )
+    got = {
+        r.doc_id: r
+        for r in line_metrics_kernel(df, newline_segment_cols).collect()
+    }
+    for i, lines in enumerate(docs):
+        # '\n'.join then re-split never preserves an empty TRAILING
+        # structure difference: splitting the joined text yields the
+        # original list exactly (join/split are inverse for any list
+        # of newline-free strings), so the reference runs on `lines`.
+        c = Counter(lines)
+        dup_occ = sum(n - 1 for n in c.values())
+        dup_chars = sum((n - 1) * len(line) for line, n in c.items())
+        tot_chars = sum(len(line) for line in lines)
+        r = got[i]
+        assert r.n_lines == len(lines), (i, lines)
+        assert r.dup_lines == dup_occ, (i, lines)
+        assert r.dup_line_chars == dup_chars, (i, lines)
+        assert r.line_chars == tot_chars, (i, lines)
