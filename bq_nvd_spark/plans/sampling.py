@@ -954,68 +954,39 @@ BLOOM_K = 7  # hash functions per gram
 BLOOM_FP_PCT = 5  # flagged excess must stay under 5% of train docs
 
 
-def _bloom_positions(gram_col: str = "gram") -> "F.Column":
-    """The K deterministic bit positions of a gram."""
+def _bloom_positions(
+    gram_col: str = "gram", bits: int = BLOOM_BITS
+) -> "F.Column":
+    """The K deterministic bit positions of a gram. ``bits`` is
+    parameterized so the false-positive pytest can drive a
+    deliberately undersized filter — at the production BLOOM_BITS the
+    fp path is (by design) never observable on fixture-sized data."""
     return F.array(
         *[
-            F.pmod(F.xxhash64(gram_col, F.lit(j)), F.lit(BLOOM_BITS))
+            F.pmod(F.xxhash64(gram_col, F.lit(j)), F.lit(bits))
             for j in range(BLOOM_K)
         ]
     )
 
 
-@query(
-    "bloom_decontamination_census",
-    oracle=f"""
-    WITH {_DUCK_DECON_GRAMS},
-    tg AS (
-      SELECT g.doc_id, g.gram, d.source,
-             {_DUCK_BUCKET.replace('doc_id', 'g.doc_id')} >= {VAL_END}
-               AS held
-      FROM grams g JOIN documents d ON d.doc_id = g.doc_id
-    ),
-    ev AS (SELECT DISTINCT gram FROM tg WHERE held),
-    tr AS (SELECT DISTINCT doc_id, source FROM tg WHERE NOT held),
-    ex AS (
-      SELECT DISTINCT t.doc_id
-      FROM tg t JOIN ev USING (gram)
-      WHERE NOT t.held
-    )
-    SELECT tr.source,
-           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
-           CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_flagged_exact,
-           TRUE AS no_false_negatives,
-           TRUE AS fp_within_bound
-    FROM tr LEFT JOIN ex ON ex.doc_id = tr.doc_id
-    GROUP BY tr.source
-    """,
-)
-def bloom_decontamination_census(
-    spark: SparkSession, sf_dir: str
+def bloom_census_kernel(
+    labeled: DataFrame, bits: int = BLOOM_BITS
 ) -> DataFrame:
-    """Per-source contamination census under the Bloom pre-filter
-    (see the section note): exact integers hash-gated, the Bloom
-    no-false-negative and false-positive-excess properties asserted
-    Spark-side against the exact join."""
-    grams = _decon_gram_rel(spark, sf_dir)
-    src = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source"
-    )
-    held = _spark_bucket() >= VAL_END
-    labeled = grams.join(src, "doc_id").select(
-        "doc_id", "source", "gram", held.alias("held")
-    )
+    """The Bloom-vs-exact census over any (doc_id, source, gram, held)
+    relation — the whole query below minus the corpus wiring, exposed
+    so tests can shrink ``bits`` and watch a real false-positive
+    excess trip ``fp_within_bound`` (proving the bound is computed,
+    not vacuously TRUE)."""
     ev = labeled.filter("held").select("gram").distinct()
-    set_bits = (
-        ev.select(F.explode(_bloom_positions()).alias("p")).distinct()
-    )
+    set_bits = ev.select(
+        F.explode(_bloom_positions(bits=bits)).alias("p")
+    ).distinct()
     train = labeled.filter(~F.col("held"))
     probe = train.select(
         "doc_id",
         "source",
         "gram",
-        F.explode(_bloom_positions()).alias("p"),
+        F.explode(_bloom_positions(bits=bits)).alias("p"),
     )
     # a gram hits the filter iff every one of its K position rows
     # survives the semi-join (two hash functions colliding on one
@@ -1062,3 +1033,48 @@ def bloom_decontamination_census(
             <= F.col("n_train_docs") * BLOOM_FP_PCT
         ).alias("fp_within_bound"),
     )
+
+
+@query(
+    "bloom_decontamination_census",
+    oracle=f"""
+    WITH {_DUCK_DECON_GRAMS},
+    tg AS (
+      SELECT g.doc_id, g.gram, d.source,
+             {_DUCK_BUCKET.replace('doc_id', 'g.doc_id')} >= {VAL_END}
+               AS held
+      FROM grams g JOIN documents d ON d.doc_id = g.doc_id
+    ),
+    ev AS (SELECT DISTINCT gram FROM tg WHERE held),
+    tr AS (SELECT DISTINCT doc_id, source FROM tg WHERE NOT held),
+    ex AS (
+      SELECT DISTINCT t.doc_id
+      FROM tg t JOIN ev USING (gram)
+      WHERE NOT t.held
+    )
+    SELECT tr.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged_exact,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_within_bound
+    FROM tr LEFT JOIN ex ON ex.doc_id = tr.doc_id
+    GROUP BY tr.source
+    """,
+)
+def bloom_decontamination_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source contamination census under the Bloom pre-filter
+    (see the section note): exact integers hash-gated, the Bloom
+    no-false-negative and false-positive-excess properties asserted
+    Spark-side against the exact join."""
+    grams = _decon_gram_rel(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    held = _spark_bucket() >= VAL_END
+    labeled = grams.join(src, "doc_id").select(
+        "doc_id", "source", "gram", held.alias("held")
+    )
+    return bloom_census_kernel(labeled)

@@ -728,3 +728,32 @@ def test_bloom_decontamination_flags_planted_contamination(
     assert all(
         r["no_false_negatives"] and r["fp_within_bound"] for r in fixture
     )
+
+
+def test_bloom_bound_actually_trips_on_an_undersized_filter(spark):
+    # The fp_within_bound boolean must be a real computation, not a
+    # vacuous TRUE: with the position space shrunk to 8 "bits", 7
+    # hashes per gram saturate the filter, every clean train gram
+    # false-positives, and the census must report
+    # no_false_negatives=True (the Bloom guarantee survives any
+    # sizing) but fp_within_bound=False (excess 100% of train docs >
+    # BLOOM_FP_PCT). The same corpus at production BLOOM_BITS passes
+    # both — pinning that the flip is driven by the filter sizing.
+    from bq_nvd_spark.plans.sampling import bloom_census_kernel
+
+    rows = (
+        [(i, "s", f"evalgram{i}", True) for i in range(10)]
+        + [(100 + i, "s", f"cleangram{i}", False) for i in range(20)]
+    )
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, source string, gram string, held boolean"
+    )
+    [tiny] = bloom_census_kernel(labeled, bits=8).collect()
+    assert tiny.n_train_docs == 20
+    assert tiny.n_flagged_exact == 0
+    assert tiny.no_false_negatives is True
+    assert tiny.fp_within_bound is False  # the bound genuinely fires
+    [prod] = bloom_census_kernel(labeled).collect()
+    assert prod.n_flagged_exact == 0
+    assert prod.no_false_negatives is True
+    assert prod.fp_within_bound is True
