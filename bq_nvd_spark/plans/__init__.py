@@ -13,127 +13,100 @@ from bq_nvd_spark.plans.registry import ORACLES, QUERIES
 # never-checked and re-oracled names, then the stalest backlog; only
 # truly-unchanged names may defer to the next round.
 _DRIVER_PRIORITY = [
-    # -- round 16 window (VERDICT r15 task 1, exactly the rotation
-    # pre-computed at r15 close): the 12 never-driver-checked r15
-    # additions + the 38 alphabetically-first r12-era names = 50
-    # exactly. The two logged r15 evictions
-    # (approx_distinct_users, bpe_encode_top_tokens) are
-    # alphabetically early in the r12 tier and so lead it
-    # automatically, closing their deferral.
-    # Post-r15 evidence distribution (from CORRECTNESS_r01-r15,
-    # recomputed at r16 open): 12 never-checked + 47 @r12 + 50 @r13
-    # + 49 @r14 + 50 @r15.
-    # Deferral note: the 9 r12-era names after the alphabetical
-    # first 38 defer to r17 with evidence age 4 rounds —
-    # sketch_distinct_accuracy, streaming_approx_daily_users,
-    # textrank_keywords, theta_overlap_users,
-    # token_length_histogram, topk_orders_by_price,
-    # vocab_growth_curve, window_running_order_total,
-    # window_top3_customers_per_nation. They are the oldest backlog
-    # and MUST lead the r17 window (all unchanged).
-    # Code changed in r16, already inside the window (per the
-    # standing code-change-outranks-backlog rule): the Gopher
-    # composite trio (doc_gopher_quality_profile,
-    # gopher_quality_census, streaming_gopher_gate) — rule 4's
-    # alphabetic-word regex widened [a-z] -> [A-Za-z] (ADVICE r15)
-    # and the kernel extended with the Gopher A1.1 line-granularity
-    # repetition + format rules (VERDICT r15 task 3); all three
-    # re-mirrored x3 SFs post-change and sit in the never-checked
-    # tier below.
-    # Added in round 16 BEYOND the window, owed to the r17 window as
-    # never-driver-checked (each mirror-green x3 SFs on add):
-    # doc_line_repetition_profile + line_repetition_census (the
-    # line/paragraph-granularity duplicate-fraction profile behind
-    # the new Gopher rules, E4 in plans/curation.py);
-    # semdedup_pairs + semdedup_survivors (embedding-space semantic
-    # near-dedup over the shared IVF quantizer -> connected
-    # components -> min-id survivors, E2xE3 in
-    # plans/similarity_search.py, VERDICT r15 task 4);
-    # tokenizer_fertility_census (per-language chars/tokens under
-    # the learned BPE merge table, integer-exact, E4 in
-    # plans/llm.py, VERDICT r15 task 5);
-    # snapshot_dup_delta (cross-snapshot per-source duplicate-rate
-    # census, E2xE6 in plans/curation.py, VERDICT r15 task 7);
-    # boilerplate_lines_census + boilerplate_excised_docs (CCNet-style
-    # corpus-wide df-thresholded boilerplate line census and the
-    # in-order removal transform, E2/E4 in plans/curation.py);
-    # ivf_cell_census (per-cell population of the shared IVF
-    # quantizer — the index-balance row behind every within-cell cost
-    # argument, E3 in plans/similarity_search.py);
-    # quality_gate_agreement (per-source 2x2 contingency between the
-    # Gopher composite and the repetition gate — the filter-ensemble
-    # design artifact, E4/E6 in plans/curation.py);
-    # bloom_decontamination_census (Bloom membership pre-filter for
-    # eval-set decontamination under the sketch family's accuracy-
-    # bound oracle contract — relational set-bit-position filter,
-    # constant-bounded state, E6xE7 in plans/sampling.py).
-    # Code changed in r16, already inside the window:
-    # decontamination_overlaps — its gram build extracted into the
-    # shared_stage'd _decon_gram_rel (shared with the bloom census);
-    # re-mirrored x3 SFs post-refactor.
-    # Post-r16 evidence distribution (if this window runs green):
-    # 11 never-checked (the r16 additions) + 9 @r12 (the logged
-    # deferrals) + 50 @r13 + 49 @r14 + 50 @r15 + 50 @r16.
-    # r17 rotation plan (computed at r16 close): the 11 r16 additions
-    # + the 9 r12-era deferrals + the 30 alphabetically-first
-    # r13-era names = 50 exactly; any r17 code change outranks
-    # backlog per the standing rule. After that window no name's
-    # evidence is older than r14 except the 20 r13-era deferrals
-    # (flag for r18 priority).
-    # -- never driver-checked (r15 additions, each mirror-green x3
-    #    SFs; the Gopher trio also r16-code-changed, re-mirrored) --
+    # -- round 17 window (VERDICT r16 task 1, the rotation
+    # pre-computed at r16 close, adjusted per the standing
+    # code-change-outranks-backlog rule): r17-code-changed names
+    # first, then the 11 never-driver-checked r16 additions, then
+    # the 9 r12-era deferrals (evidence age 4 rounds — the oldest
+    # backlog), then the 27 alphabetically-first r13-era names
+    # = 50 exactly.
+    # Post-r16 evidence distribution (from CORRECTNESS_r01-r16,
+    # recomputed at r17 open): 11 never-checked + 9 @r12 + 50 @r13
+    # + 49 @r14 + 50 @r15 + 50 @r16.
+    # Code changed in r17 (VERDICT r16 task 5): the Gopher rules
+    # relation is now shared_stage'd across its three batch
+    # consumers (doc_gopher_quality_profile, gopher_quality_census,
+    # quality_gate_agreement — the last already below in the
+    # never-checked tier) and the census kernel was split into
+    # kernel + aggregation halves; streaming_gopher_gate shares the
+    # kernel composition, so its r16 row describes a superseded
+    # code path too. All four re-mirrored x3 SFs post-change.
+    # Deferral note: the 22 r13-era names after the alphabetical
+    # first 27 defer to r18 with evidence age 5 rounds —
+    # nvd_v2_v3_score_gap, nvd_version_bounds,
+    # order_price_percentiles_exact, order_price_quantiles,
+    # orders_above_customer_avg, orders_mom_growth,
+    # range_join_clicks_after_error, regex_normalize_parts,
+    # rollup_orders_by_month, salted_distinct_users_per_type,
+    # semantic_dedup_survivors, ship_delay_by_month,
+    # simhash_signatures, sliding_window_hourly_30m,
+    # streaming_click_error_join, streaming_dedup_keys,
+    # streaming_session_counts, streaming_sliding_counts,
+    # streaming_tumbling_counts, text_quality_stats,
+    # train_val_test_split, unpivot_lineitem_measures. They are the
+    # oldest backlog after this window and MUST lead the r18 window
+    # (all unchanged).
+    # Added in round 17 BEYOND the window, owed to the r18 window as
+    # never-driver-checked (each mirror-green x3 SFs on add): see
+    # the notes appended at the bottom of this comment block as the
+    # round progresses.
+    # -- code changed in r17 (task 5 shared_stage refactor; old
+    #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",
     "gopher_quality_census",
     "streaming_gopher_gate",
-    "dsir_importance_weights",
-    "dsir_resample_topk",
-    "temperature_mixture_quotas",
-    "source_drift_kl",
-    "mmr_ann_diverse_topk",
-    "hard_negative_mining",
-    "winnow_fingerprint_census",
-    "winnow_shared_pairs",
-    "span_excised_docs",
-    # -- last driver row r12 (alphabetically first 38; leads with
-    #    the two logged r15 evictions) --
-    "approx_distinct_users",
-    "bpe_encode_top_tokens",
-    "bpe_train_merges",
-    "chunk_documents_sliding",
-    "count_nested_field",
-    "cube_status_priority_census",
-    "decontamination_overlaps",
-    "dedup_clusters",
-    "distinct_market_segments",
-    "doubly_nested_exists",
-    "embedding_similar_pairs",
-    "exact_dedup_docs",
-    "explode_unnest_roundtrip",
-    "gap_fill_daily_counts",
-    "group_agg_order_stats",
-    "hll_daily_rollup",
-    "hof_filter_transform_fold",
-    "ivf_refined_topk",
-    "jaccard_verified_pairs",
-    "kmeans_lloyd_clusters",
-    "like_filter_parts",
-    "minhash_pairs_capped",
-    "nested_exists_returned_items",
-    "nested_projection_dotted_path",
-    "nvd_count_cves",
-    "nvd_cpe_product_counts",
-    "nvd_severity_summary",
-    "pq_adc_recall_topk",
-    "q12_priority_buckets",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "quality_filtered_docs",
-    "quantized_cosine_topk",
-    "salted_join_event_weights",
-    "semi_join_customers_with_urgent_orders",
-    "set_except_custkeys",
-    "set_intersect_custkeys",
-    "set_union_keys",
+    # -- never driver-checked (r16 additions, each mirror-green x3
+    #    SFs on add; quality_gate_agreement also r17-code-changed) --
+    "bloom_decontamination_census",
+    "boilerplate_excised_docs",
+    "boilerplate_lines_census",
+    "doc_line_repetition_profile",
+    "ivf_cell_census",
+    "line_repetition_census",
+    "quality_gate_agreement",
+    "semdedup_pairs",
+    "semdedup_survivors",
+    "snapshot_dup_delta",
+    "tokenizer_fertility_census",
+    # -- last driver row r12 (the 9 logged r16 deferrals, evidence
+    #    age 4 rounds — oldest backlog) --
+    "sketch_distinct_accuracy",
+    "streaming_approx_daily_users",
+    "textrank_keywords",
+    "theta_overlap_users",
+    "token_length_histogram",
+    "topk_orders_by_price",
+    "vocab_growth_curve",
+    "window_running_order_total",
+    "window_top3_customers_per_nation",
+    # -- last driver row r13 (alphabetically first 27) --
+    "asof_last_error_per_click",
+    "bag_intersect_order_dates",
+    "bm25_multi_query_topk",
+    "bm25_topk_docs",
+    "bpe_token_stats",
+    "collocation_pmi_top",
+    "cross_source_contamination_matrix",
+    "dedup_cluster_size_histogram",
+    "dedup_survivors",
+    "dedup_survivors_by_quality",
+    "deterministic_sample_docs",
+    "doc_length_percentiles_by_lang",
+    "doc_rolling_fingerprint",
+    "edit_distance_verified_pairs",
+    "json_extract_props",
+    "lang_group_profile",
+    "langid_ngram_pred",
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_thumb",
+    "ngram_jaccard_adjacent",
+    "nvd_assigner_stats",
+    "nvd_av_severity_matrix",
+    "nvd_cwe_counts",
+    "nvd_modification_lag",
+    "nvd_reference_tag_counts",
 ]
 
 def _reorder(registry: dict) -> None:
