@@ -1044,9 +1044,24 @@ _GQ_ORACLE_PREFIX = f"""
 
 
 def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc rule relation shared by the profile and the census —
-    one corpus scan, all-projection (no joins, no windows)."""
-    return gopher_rules_kernel(load_table(spark, sf_dir, "documents"))
+    """Per-doc rule relation shared by its three batch consumers
+    (profile, census, gate-agreement matrix) — one corpus scan,
+    all-projection (no joins, no windows).
+
+    Memoized per (application, sf_dir) via ``shared_stage`` (the
+    ``_repetition_metrics`` pattern): since the eleven-rule extension
+    each row pays segmentation plus two array_sorts, and a registry
+    pass used to recompute that projection from scratch three times
+    (VERDICT r16 task 5). The streaming twin deliberately does NOT go
+    through this memo — its kernel must stay a stateless per-batch
+    projection (``gopher_census_kernel`` below)."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("gopher_rules", sf_dir),
+        lambda: gopher_rules_kernel(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def fixture_segment_cols() -> tuple:
@@ -1299,11 +1314,11 @@ GOPHER_CENSUS_ORACLE = (
 )
 
 
-def gopher_census_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
-    """Rules + ONE aggregate over any (doc_id, source, text) relation —
-    the whole gate is a stateless projection into a single groupBy, so
-    it streams unchanged (no multi-aggregation chain to break up)."""
-    return gopher_rules_kernel(docs, segment_cols).groupBy("source").agg(
+def gopher_census_agg(rules: DataFrame) -> DataFrame:
+    """The census's aggregation half over an EXISTING rules relation
+    (``gopher_rules_kernel`` output or the shared ``_gopher_rules``
+    memo) — one map-side-combined groupBy(source)."""
+    return rules.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("keep").cast("long").alias("n_kept"),
         *[
@@ -1313,13 +1328,21 @@ def gopher_census_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
     )
 
 
+def gopher_census_kernel(docs: DataFrame, segment_cols=None) -> DataFrame:
+    """Rules + ONE aggregate over any (doc_id, source, text) relation —
+    the whole gate is a stateless projection into a single groupBy, so
+    it streams unchanged (no multi-aggregation chain to break up)."""
+    return gopher_census_agg(gopher_rules_kernel(docs, segment_cols))
+
+
 @query("gopher_quality_census", oracle=GOPHER_CENSUS_ORACLE)
 def gopher_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gopher gate census: kept count plus per-rule failure
     counts (a doc can fail several rules; the columns are independent
     tallies, not a partition). One scan, one map-side-combined
-    groupBy — nothing data-proportional retained."""
-    return gopher_census_kernel(load_table(spark, sf_dir, "documents"))
+    groupBy — nothing data-proportional retained; the scan itself is
+    the shared rules memo, paid once per session pass."""
+    return gopher_census_agg(_gopher_rules(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -1362,10 +1385,13 @@ def doc_line_repetition_profile(
 ) -> DataFrame:
     """Per-document line/paragraph repetition and format metrics (see
     the section note) — integer numerators and denominators only; any
-    gate compares them by cross-multiplication downstream."""
-    return line_metrics_kernel(
-        load_table(spark, sf_dir, "documents")
-    ).drop("source")
+    gate compares them by cross-multiplication downstream.
+
+    Reads the shared ``_gopher_rules`` memo (its metric columns are a
+    strict superset of ``line_metrics_kernel``'s) rather than paying
+    the segmentation + double array_sort projection again; the kernel
+    itself stays exposed for streaming/custom-segmentation callers."""
+    return _gopher_rules(spark, sf_dir).select("doc_id", *_LINEM_NAMES)
 
 
 _LINE_CENSUS_ORACLE = f"""
@@ -1386,9 +1412,9 @@ _LINE_CENSUS_ORACLE = f"""
 def line_repetition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplicate-line MASS census: summed line/paragraph
     counts, duplicate occurrences, and character totals — the
-    corpus-level boilerplate budget per source. One scan, one
-    map-side-combined groupBy(source)."""
-    m = line_metrics_kernel(load_table(spark, sf_dir, "documents"))
+    corpus-level boilerplate budget per source. One scan (the shared
+    ``_gopher_rules`` memo), one map-side-combined groupBy(source)."""
+    m = _gopher_rules(spark, sf_dir)
     return m.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         *[F.sum(n).cast("long").alias(n) for n in _LINEM_NAMES],
@@ -1581,9 +1607,10 @@ def boilerplate_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first, and where do they conflict?). Both verdicts are the exact
 # integer gates defined above — no float enters either decision — so
 # the matrix is hash-exact. Scale shape: two per-doc projections
-# (the stateless Gopher kernel; the shared_stage'd repetition metric
-# relation both its own consumers already reuse), one co-keyed left
-# join on doc_id, one map-side-combined groupBy(source).
+# (both shared_stage'd memos — the Gopher rules relation and the
+# repetition metric relation — each paid once per session pass by
+# their respective consumer sets), one co-keyed left join on doc_id,
+# one map-side-combined groupBy(source).
 @query(
     "quality_gate_agreement",
     oracle=_GQ_ORACLE_PREFIX
@@ -1610,9 +1637,9 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the repetition gate (see the section note): docs both gates
     keep, docs only one keeps (either direction), docs both drop —
     the integer counts an ensemble design reads."""
-    gop = gopher_rules_kernel(
-        load_table(spark, sf_dir, "documents")
-    ).select("doc_id", "source", F.col("keep").alias("g_keep"))
+    gop = _gopher_rules(spark, sf_dir).select(
+        "doc_id", "source", F.col("keep").alias("g_keep")
+    )
     rep = _repetition_metrics(spark, sf_dir).select(
         "doc_id", "n_grams", "dup_occ"
     )
