@@ -47,9 +47,12 @@ _DRIVER_PRIORITY = [
     # oldest backlog after this window and MUST lead the r18 window
     # (all unchanged).
     # Added in round 17 BEYOND the window, owed to the r18 window as
-    # never-driver-checked (each mirror-green x3 SFs on add): see
-    # the notes appended at the bottom of this comment block as the
-    # round progresses.
+    # never-driver-checked (each mirror-green x3 SFs on add):
+    # doc_c4_quality_profile + c4_quality_census + c4_kept_docs +
+    # streaming_c4_gate (the C4 rule set — Raffel et al. 2020 §2.2
+    # line-drop/page-drop gate + kept-lines transform + ingest twin,
+    # E4 in plans/curation.py + streaming/micro_batch.py, VERDICT
+    # r16 task 3).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

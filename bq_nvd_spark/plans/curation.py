@@ -1600,6 +1600,277 @@ def boilerplate_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E4 (round 17): the C4 rule set (Raffel et al. 2020 §2.2, VERDICT r16
+# task 3) — the standard companion gate every production pipeline runs
+# before Gopher: C4 is a LINE-drop transform (keep only lines that end
+# in a terminal mark and clear a word floor) plus three PAGE-drop
+# rules (placeholder-text blocklist, curly-brace code leak, a minimum
+# retained-line floor — C4's three-sentence rule, counted over the
+# kept lines the transform itself produces).
+#
+# Same segmentation seam as the rest of the line family: the kernels
+# take ``segment_cols`` plus the terminal-marker set, and the
+# REGISTERED queries bind the fixture's fixed-width splitter with a
+# fixture-tuned marker set (the corpus has no punctuation at all, so
+# C4's literal ('.', '!', '?', '"') set would drop every line — the
+# GQ threshold-tuning / REP_DUP precedent: structure from the paper,
+# constants tuned to split the driver fixture non-degenerately at
+# every SF). The constructed-corpus pytest drives the REAL
+# punctuation set (C4_PUNCT_TERMINALS) and '\n' segmentation through
+# the same kernel.
+#
+# Scale shape: every rule is a per-row HOF projection (filter() over
+# the line array — no explode, no join, no window); the census is one
+# map-side-combined groupBy(source); the kept-docs rebuild is
+# filter() + array_join per row, order preserved by construction (no
+# sort needed — C4's advantage over the positional boilerplate
+# excision above). The three batch consumers share one shared_stage'd
+# relation (the _gopher_rules pattern); the streaming twin composes
+# the stateless kernel into one complete-mode census.
+C4_MIN_LINE_WORDS = 3  # C4: >= 5 words; fixture lines are 3-token
+C4_MIN_KEPT_LINES = 6  # C4: >= 3 sentences; tuned (see above)
+C4_TERMINALS = ("e", "t")  # fixture binding; real corpora use
+C4_PUNCT_TERMINALS = (".", "!", "?", '"')  # ... this set (the paper's)
+C4_BLOCKLIST = ("lorem ipsum",)  # page-drop phrases, lowercased match
+
+#: rule/verdict column order, shared by both engine halves and docs.
+C4_METRIC_NAMES = ("n_lines", "kept_lines", "bad_terminal", "bad_short")
+C4_RULE_NAMES = ("ok_blocklist", "ok_brace", "ok_min_lines")
+
+
+def _c4_term_pred(terminals, endswith_fn: str) -> str:
+    """Terminal-line predicate over a lambda var ``l`` — one string
+    per engine (``endswith_fn`` = 'endswith' Spark / 'ends_with'
+    DuckDB). Markers are interpolated into string literals, so any
+    future marker containing a single quote must be escaped here
+    (the _GQ_BULLET_SQL caveat)."""
+    return "(" + " OR ".join(
+        f"{endswith_fn}(l, '{t}')" for t in terminals
+    ) + ")"
+
+
+#: blocklist predicate over ``text`` — phrases are LIKE-interpolated
+#: (lowercased haystack), so a future phrase containing '%'/'_' must
+#: be escaped here.
+_C4_BLOCK_SQL = " AND ".join(
+    f"lower(text) NOT LIKE '%{p}%'" for p in C4_BLOCKLIST
+)
+
+_C4_TERM_DUCK = _c4_term_pred(C4_TERMINALS, "ends_with")
+_C4_SHORT_DUCK = f"len(string_split(l, ' ')) < {C4_MIN_LINE_WORDS}"
+
+#: doc-level C4 relation: line tallies + kept-line array + the three
+#: page verdicts + composite keep — shared by all three oracles.
+_C4_CTES = f"""
+    {_GQ_SEG_CTES},
+    c4m AS (
+      SELECT doc_id, source, text,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             list_filter(lines, l -> {_C4_TERM_DUCK}
+                         AND NOT ({_C4_SHORT_DUCK})) AS kept,
+             CAST(len(list_filter(lines, l -> NOT {_C4_TERM_DUCK}))
+                  AS BIGINT) AS bad_terminal,
+             CAST(len(list_filter(lines, l -> {_C4_SHORT_DUCK}))
+                  AS BIGINT) AS bad_short
+      FROM seg
+    ),
+    c4r AS (
+      SELECT doc_id, source, text, n_lines,
+             CAST(len(kept) AS BIGINT) AS kept_lines,
+             bad_terminal, bad_short, kept,
+             CASE WHEN {_C4_BLOCK_SQL} THEN 1 ELSE 0 END AS ok_blocklist,
+             CASE WHEN text NOT LIKE '%{{%' THEN 1 ELSE 0 END AS ok_brace,
+             CASE WHEN len(kept) >= {C4_MIN_KEPT_LINES} THEN 1 ELSE 0 END
+               AS ok_min_lines
+      FROM c4m
+    ),
+    c4k AS (
+      SELECT *, ok_blocklist * ok_brace * ok_min_lines AS keep
+      FROM c4r
+    )"""
+
+
+def c4_rules_kernel(
+    docs: DataFrame, segment_cols=None, terminals=None
+) -> DataFrame:
+    """The C4 rule arithmetic as a STATELESS per-row kernel over any
+    (doc_id, source, text) relation — shared by the batch queries and
+    the streaming ingest twin. ``segment_cols`` picks the line
+    structure and ``terminals`` the terminal-marker set (defaults:
+    the fixture bindings; pass ``newline_segment_cols`` +
+    ``C4_PUNCT_TERMINALS`` for a real corpus). Output keeps the
+    ``kept`` line array for the rebuild consumer."""
+    terms = C4_TERMINALS if terminals is None else terminals
+    term = _c4_term_pred(terms, "endswith")
+    short = f"size(split(l, ' ')) < {C4_MIN_LINE_WORDS}"
+    seg = _segmented(docs, segment_cols, with_sorted=False)
+    m = seg.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(f"filter(lines, l -> {term} AND NOT ({short}))")
+        .alias("kept"),
+        F.expr(f"size(filter(lines, l -> NOT {term}))")
+        .cast("long")
+        .alias("bad_terminal"),
+        F.expr(f"size(filter(lines, l -> {short}))")
+        .cast("long")
+        .alias("bad_short"),
+    )
+    r = m.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        F.size("kept").cast("long").alias("kept_lines"),
+        "bad_terminal",
+        "bad_short",
+        "kept",
+        F.expr(_C4_BLOCK_SQL).cast("long").alias("ok_blocklist"),
+        F.expr("text NOT LIKE '%{%'").cast("long").alias("ok_brace"),
+        (F.size("kept") >= C4_MIN_KEPT_LINES)
+        .cast("long")
+        .alias("ok_min_lines"),
+    )
+    keep = F.lit(1)
+    for name in C4_RULE_NAMES:
+        keep = keep * F.col(name)
+    return r.select("*", keep.cast("long").alias("keep"))
+
+
+def c4_census_agg(rules: DataFrame) -> DataFrame:
+    """The census's aggregation half over an existing C4 rules
+    relation — one map-side-combined groupBy(source): page keep
+    count, line-rule tallies, per-page-rule failure counts."""
+    return rules.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        *[
+            F.sum(n).cast("long").alias(n)
+            for n in C4_METRIC_NAMES
+        ],
+        *[
+            F.sum(1 - F.col(n)).cast("long").alias(f"f_{n[3:]}")
+            for n in C4_RULE_NAMES
+        ],
+    )
+
+
+def c4_census_kernel(
+    docs: DataFrame, segment_cols=None, terminals=None
+) -> DataFrame:
+    """Rules + ONE aggregate — stateless projection into a single
+    groupBy, so it streams unchanged (the gopher_census_kernel
+    shape)."""
+    return c4_census_agg(c4_rules_kernel(docs, segment_cols, terminals))
+
+
+def c4_kept_docs_kernel(rules: DataFrame, sep: str = " ") -> DataFrame:
+    """The C4 transform's output: pages that pass every page rule,
+    rebuilt from their kept lines in original order (filter()
+    preserves array order — no positional sort needed), joined with
+    ``sep`` (' ' for fixture token lines, '\\n' for newline lines)."""
+    return rules.filter(F.col("keep") == 1).select(
+        "doc_id",
+        "source",
+        F.array_join("kept", sep).alias("text_c4"),
+        F.col("kept_lines").alias("kept_lines"),
+    )
+
+
+def _c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered queries' rules relation — memoized per
+    (application, sf_dir) via ``shared_stage`` (the ``_gopher_rules``
+    pattern) so the profile, census, and kept-docs transform pay the
+    segmentation + rule projection once per session pass."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("c4_rules", sf_dir),
+        lambda: c4_rules_kernel(load_table(spark, sf_dir, "documents")),
+    )
+
+
+_C4_PROFILE_SELECT = (
+    "\n    SELECT doc_id, "
+    + ", ".join(C4_METRIC_NAMES)
+    + ",\n"
+    + ",\n".join(
+        f"           CAST({n} AS BIGINT) AS {n}"
+        for n in (*C4_RULE_NAMES, "keep")
+    )
+    + "\n    FROM c4k\n    "
+)
+
+
+@query(
+    "doc_c4_quality_profile",
+    oracle="\n    WITH " + _C4_CTES + _C4_PROFILE_SELECT,
+)
+def doc_c4_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4 rule evaluation (see the section note): line
+    tallies (total, kept, per-line-rule failure counts — a line can
+    fail both line rules; independent tallies), one 0/1 verdict per
+    page rule, and the composite keep flag."""
+    return _c4_rules(spark, sf_dir).drop("source", "kept")
+
+
+#: shared by the batch census and its streaming ingest-gate twin
+#: (streaming/micro_batch.py::streaming_c4_gate) — one SQL truth, two
+#: engine paths (the GOPHER_CENSUS_ORACLE pattern).
+C4_CENSUS_ORACLE = (
+    "\n    WITH "
+    + _C4_CTES
+    + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+"""
+    + ",\n".join(
+        f"           CAST(SUM({n}) AS BIGINT) AS {n}"
+        for n in C4_METRIC_NAMES
+    )
+    + ",\n"
+    + ",\n".join(
+        f"           CAST(SUM(1 - {n}) AS BIGINT) AS f_{n[3:]}"
+        for n in C4_RULE_NAMES
+    )
+    + """
+    FROM c4k GROUP BY source
+    """
+)
+
+
+@query("c4_quality_census", oracle=C4_CENSUS_ORACLE)
+def c4_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source C4 gate census: kept-page count, summed line
+    tallies, and per-page-rule failure counts (independent tallies,
+    not a partition). One scan (the shared rules memo), one
+    map-side-combined groupBy."""
+    return c4_census_agg(_c4_rules(spark, sf_dir))
+
+
+@query(
+    "c4_kept_docs",
+    oracle="\n    WITH "
+    + _C4_CTES
+    + """
+    SELECT doc_id, source,
+           array_to_string(kept, ' ') AS text_c4,
+           CAST(kept_lines AS BIGINT) AS kept_lines
+    FROM c4k WHERE keep = 1
+    """,
+)
+def c4_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 transform: surviving pages rebuilt from their kept
+    lines in original order (see the section note). Line-drop then
+    page-drop — exactly the paper's order, since the retained-line
+    floor is evaluated over the kept lines."""
+    return c4_kept_docs_kernel(_c4_rules(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
 # E4/E6 (round 16): quality-gate AGREEMENT matrix — the ensemble-design
 # artifact curation teams read before stacking filters: for each
 # source, the 2×2 contingency between the Gopher composite gate and

@@ -51,8 +51,10 @@ from pyspark.sql.types import (
 )
 
 from bq_nvd_spark.plans.curation import (
+    C4_CENSUS_ORACLE,
     GOPHER_CENSUS_ORACLE,
     REPETITION_CENSUS_ORACLE,
+    c4_census_kernel,
     gopher_census_kernel,
     repetition_gate_census,
 )
@@ -548,5 +550,22 @@ def streaming_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_census_kernel(stream_table(spark, sf_dir, "documents")),
         output_mode="complete",
         name_prefix="stream_gopher",
+        state_partitions=8,
+    )
+
+
+# --------------------------------------------------------------------------
+# T4 × E4 (round 17): the C4 gate as an INGEST stream — the fourth
+# member of the scrub-on-ingest family. Like the Gopher gate, the C4
+# census is already the streamable shape: per-row HOF rules
+# (plans/curation.py::c4_rules_kernel) into ONE complete-mode
+# per-source census (|sources| rows of state). Oracle = the batch
+# census SQL, shared verbatim.
+@query("streaming_c4_gate", oracle=C4_CENSUS_ORACLE)
+def streaming_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        c4_census_kernel(stream_table(spark, sf_dir, "documents")),
+        output_mode="complete",
+        name_prefix="stream_c4",
         state_partitions=8,
     )

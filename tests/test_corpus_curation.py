@@ -757,3 +757,121 @@ def test_bloom_bound_actually_trips_on_an_undersized_filter(spark):
     assert prod.n_flagged_exact == 0
     assert prod.no_false_negatives is True
     assert prod.fp_within_bound is True
+
+
+def test_c4_rules_fire_individually(spark):
+    # The round-17 C4 gate on the ADVERTISED real-corpus path: newline
+    # segmentation + the paper's punctuation terminal set, one doc per
+    # rule built to fail exactly it (plus one clean doc that passes).
+    from bq_nvd_spark.plans.curation import (
+        C4_PUNCT_TERMINALS,
+        c4_rules_kernel,
+        newline_segment_cols,
+    )
+
+    good_lines = [f"alpha beta gamma delta line {i}." for i in range(6)]
+    good = "\n".join(good_lines)
+    docs = [
+        (0, good, "src_pass"),
+        # every line lacks a terminal mark -> all dropped -> min-lines
+        (1, "\n".join(l.rstrip(".") for l in good_lines), "src_term"),
+        # every line ends in '.' but has < 3 words -> all dropped
+        (2, "\n".join("aa bb." for _ in range(6)), "src_short"),
+        # clean lines but the page carries placeholder text
+        (3, good + "\nSee Lorem Ipsum dolor sit amet.", "src_lorem"),
+        # clean lines but the page leaks code
+        (4, good + "\nfunction f() { return 1; }", "src_brace"),
+        # clean lines, just too few of them
+        (5, "\n".join(good_lines[:5]), "src_floor"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in c4_rules_kernel(
+            df, newline_segment_cols, C4_PUNCT_TERMINALS
+        ).collect()
+    }
+    assert rows[0].keep == 1 and rows[0].kept_lines == 6
+    assert (rows[0].bad_terminal, rows[0].bad_short) == (0, 0)
+    assert rows[1].keep == 0 and rows[1].ok_min_lines == 0
+    assert rows[1].bad_terminal == 6 and rows[1].kept_lines == 0
+    assert rows[2].keep == 0 and rows[2].bad_short == 6
+    assert rows[2].kept_lines == 0
+    assert rows[3].keep == 0 and rows[3].ok_blocklist == 0
+    # the lorem line itself ends in '.' with >= 3 words: still kept at
+    # LINE level — C4's blocklist is a PAGE rule
+    assert rows[3].kept_lines == 7 and rows[3].ok_min_lines == 1
+    assert rows[4].keep == 0 and rows[4].ok_brace == 0
+    assert rows[5].keep == 0 and rows[5].ok_min_lines == 0
+    assert rows[5].kept_lines == 5
+    assert (rows[5].ok_blocklist, rows[5].ok_brace) == (1, 1)
+
+
+def test_c4_kept_docs_rebuild_on_newline_corpus(spark):
+    # The transform half: dropped lines are excised in place, kept
+    # lines keep their original order, failing pages vanish entirely.
+    from bq_nvd_spark.plans.curation import (
+        C4_PUNCT_TERMINALS,
+        c4_kept_docs_kernel,
+        c4_rules_kernel,
+        newline_segment_cols,
+    )
+
+    keep_a = [f"first second third keeper {i}." for i in range(6)]
+    noisy = [keep_a[0], "no terminal here", keep_a[1], "hi.", *keep_a[2:]]
+    docs = [
+        (0, "\n".join(noisy), "s"),
+        (1, "too few lines to survive.", "s"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    rules = c4_rules_kernel(df, newline_segment_cols, C4_PUNCT_TERMINALS)
+    out = {r["doc_id"]: r for r in c4_kept_docs_kernel(rules, "\n").collect()}
+    assert set(out) == {0}
+    assert out[0].text_c4 == "\n".join(keep_a)
+    assert out[0].kept_lines == 6
+
+
+def test_c4_census_sums_profile(spark, sf_dir):
+    # The per-source census is exactly the per-doc profile summed, and
+    # the fixture binding splits non-degenerately (some pages kept,
+    # some dropped) — the constant-tuning contract.
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.curation import C4_METRIC_NAMES
+
+    prof = QUERIES["doc_c4_quality_profile"](spark, sf_dir).collect()
+    census = QUERIES["c4_quality_census"](spark, sf_dir).collect()
+    for c in [*C4_METRIC_NAMES, "keep"]:
+        want = sum(r[c] for r in prof)
+        got = sum(r[c if c != "keep" else "n_kept"] for r in census)
+        assert got == want, c
+    kept = sum(r["keep"] for r in prof)
+    assert 0 < kept < len(prof)
+    # kept pages are exactly the transform's output rows
+    assert QUERIES["c4_kept_docs"](spark, sf_dir).count() == kept
+
+
+def test_streaming_c4_gate_equals_batch_census(spark, sf_dir):
+    # Stateless projection into one aggregate: the streamed census
+    # must equal the batch census field-for-field (the Gopher-gate
+    # twin contract).
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.curation import C4_METRIC_NAMES, C4_RULE_NAMES
+
+    cols = (
+        ["n_docs", "n_kept"]
+        + list(C4_METRIC_NAMES)
+        + [f"f_{n[3:]}" for n in C4_RULE_NAMES]
+    )
+    batch = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in QUERIES["c4_quality_census"](spark, sf_dir).collect()
+    }
+    streamed = {
+        r["source"]: tuple(r[c] for c in cols)
+        for r in QUERIES["streaming_c4_gate"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
