@@ -52,7 +52,11 @@ _DRIVER_PRIORITY = [
     # streaming_c4_gate (the C4 rule set — Raffel et al. 2020 §2.2
     # line-drop/page-drop gate + kept-lines transform + ingest twin,
     # E4 in plans/curation.py + streaming/micro_batch.py, VERDICT
-    # r16 task 3).
+    # r16 task 3);
+    # proto_pruned_survivors + proto_pruning_census (D4-style
+    # prototypicality pruning over the shared IVF quantizer —
+    # SemDeDup's published companion stage, E3xE6 in
+    # plans/similarity_search.py, VERDICT r16 task 4).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

@@ -1741,3 +1741,171 @@ def ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").cast("long").alias("min_vec_id"),
         F.max("vec_id").cast("long").alias("max_vec_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# E3 × E6 (round 17): D4-style PROTOTYPICALITY pruning — SemDeDup's
+# published companion stage (Tirumala et al. 2023, arXiv:2308.12284,
+# which runs SemDeDup then SSL-prototype pruning; Sorscher et al.
+# 2022, arXiv:2206.14486 for the prototypicality metric): within each
+# cluster, rank members by cosine to the cluster centroid and drop
+# the most PROTOTYPICAL fraction — near-centroid examples are the
+# most redundant with the rest of their cluster, so when data is
+# abundant they contribute the least marginal signal. The cluster
+# structure is the SAME deterministic IVF assignment every other E3
+# consumer uses (_ivf_assign_and_probes / _IVF_QUANTIZER_CTE — no new
+# quantizer copy); the ranking reuses hard_negative_mining's
+# e4-integer cosine discipline with vec_id tie-breaks.
+#
+# Exactness: cosine-to-centroid is e4-quantized BEFORE ranking
+# (integer ORDER BY, ties to the smaller vec_id); the drop count per
+# cell is exact integer arithmetic, floor(n_cell * NUM / DEN) via
+# div/'//' (both engines truncate toward zero; counts are positive).
+#
+# Scale shape (100 TB): ONE broadcast join of the 16-row centroid
+# relation onto the shared assignment (per-row fold, no self-join —
+# strictly cheaper than any pair stage in this file), one window
+# partitioned BY CELL (the same corpus/IVF_CELLS partition bound as
+# the within-cell joins; IVF_CELLS is the knob that caps partition
+# width), one groupBy for the census. The ranked relation is
+# shared_stage'd across the transform and the census.
+PROTO_NUM, PROTO_DEN = 1, 4  # drop the top quarter of each cell
+
+
+def proto_rank_kernel(assign: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, cos_cent_e4, rn, n_cell) over any IVF-style
+    assignment (vec_id, v, nrm, cell) and centroid relation
+    (cent_id, cv, cnrm): e4-integer cosine to the OWN-cell centroid,
+    prototypicality rank (cos DESC, vec_id ASC), and the cell
+    population the drop quota derives from. Exposed for constructed-
+    corpus tests; the registered queries bind the shared quantizer."""
+    from pyspark.sql.window import Window
+
+    ac = assign.join(
+        F.broadcast(cents), F.col("cell") == F.col("cent_id")
+    ).select(
+        "vec_id",
+        "cell",
+        F.floor(
+            fold_dot_np("v", "cv") / (F.col("nrm") * F.col("cnrm")) * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("cos_cent_e4"),
+    )
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.desc("cos_cent_e4"), F.asc("vec_id")
+    )
+    w_cell = Window.partitionBy("cell")
+    return ac.select(
+        "*",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cell).cast("long").alias("n_cell"),
+    )
+
+
+#: the per-cell drop quota — ONE expression string, used verbatim in
+#: both engine halves (Spark `div` and DuckDB `//` truncate
+#: identically on the positive counts involved).
+_PROTO_DROP_SPARK = f"rn <= (n_cell * {PROTO_NUM}) div {PROTO_DEN}"
+_PROTO_DROP_DUCK = f"rn <= (n_cell * {PROTO_NUM}) // {PROTO_DEN}"
+
+
+def _proto_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered queries' ranked relation over the shared IVF
+    quantizer — memoized via ``shared_stage`` so the transform and
+    the census pay the centroid fold + cell window once per session."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        assign, _ = _ivf_assign_and_probes(spark, sf_dir)
+        emb = _spread_embeddings(spark, sf_dir)
+        cents = emb.filter(
+            (F.col("vec_id") >= _QUERY_MAX_ID)
+            & (F.col("vec_id") < _CENT_MAX_ID)
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.sqrt(fold_dot_np("v", "v")).alias("cnrm"),
+        )
+        return proto_rank_kernel(assign, cents)
+
+    return shared_stage(spark, ("proto_ranked", sf_dir), build)
+
+
+_PROTO_RANKED_CTE = f"""n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings)
+    ),
+    {_IVF_QUANTIZER_CTE},
+    ac AS (
+      SELECT a.vec_id, a.cell,
+             CAST(FLOOR({duck_fold_dot('a.v', 'c.cv')} / (a.nrm * c.cnrm)
+                        * 10000 + 0.5) AS BIGINT) AS cos_cent_e4
+      FROM assign a JOIN cents c ON c.cent_id = a.cell
+    ),
+    ranked AS (
+      SELECT vec_id, cell, cos_cent_e4,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY cos_cent_e4 DESC, vec_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+      FROM ac
+    )"""
+
+
+@query(
+    "proto_pruned_survivors",
+    oracle=f"""
+    WITH {_PROTO_RANKED_CTE}
+    SELECT r.vec_id, CAST(e.label AS BIGINT) AS label, r.cell,
+           r.cos_cent_e4
+    FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+    WHERE NOT ({_PROTO_DROP_DUCK})
+    """,
+)
+def proto_pruned_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prototypicality-pruned corpus (see the section note): every
+    indexed vector except the top PROTO_NUM/PROTO_DEN of its IVF cell
+    by cosine-to-centroid — the D4 diversification step a training-
+    data pipeline runs after SemDeDup."""
+    ranked = _proto_ranked(spark, sf_dir).filter(
+        ~F.expr(_PROTO_DROP_SPARK)
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    return ranked.join(labels, "vec_id").select(
+        "vec_id", "label", "cell", "cos_cent_e4"
+    )
+
+
+@query(
+    "proto_pruning_census",
+    oracle=f"""
+    WITH {_PROTO_RANKED_CTE}
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN {_PROTO_DROP_DUCK} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN {_PROTO_DROP_DUCK} THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(MAX(cos_cent_e4) AS BIGINT) AS top_cos_e4,
+           CAST(MIN(cos_cent_e4) AS BIGINT) AS min_cos_e4
+    FROM ranked GROUP BY cell
+    """,
+)
+def proto_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell pruning accounting (see the section note): population,
+    dropped/kept split under the PROTO quota, and the cell's cosine
+    envelope — the knob-tuning artifact (a quota that never bites, or
+    a cell whose envelope is flat, argues for a different PROTO_FRAC
+    or re-trained centroids)."""
+    dropped = F.expr(_PROTO_DROP_SPARK).cast("long")
+    return _proto_ranked(spark, sf_dir).groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(dropped).cast("long").alias("n_dropped"),
+        F.sum(1 - dropped).cast("long").alias("n_kept"),
+        F.max("cos_cent_e4").cast("long").alias("top_cos_e4"),
+        F.min("cos_cent_e4").cast("long").alias("min_cos_e4"),
+    )

@@ -614,3 +614,67 @@ def test_semdedup_collapses_near_identical_within_cell(spark, tmp_path):
     # namespace with other tests only via its unique sf_dir, but drop
     # it anyway so no later test can observe a stale tmp relation
     release_shared_stages(spark)
+
+
+def test_proto_rank_kernel_drops_prototype_keeps_outlier(spark):
+    # The D4 contract on a hand-built cell: with a 1/4 quota over four
+    # members, exactly the near-centroid vector drops and the outlier
+    # survives; a cell of identical vectors breaks the tie to the
+    # smallest vec_id.
+    from bq_nvd_spark.plans.similarity_search import (
+        _PROTO_DROP_SPARK,
+        proto_rank_kernel,
+    )
+
+    def unit(i, x, dim=4):
+        v = [0.0] * dim
+        v[0] = x
+        v[1] = (1 - x * x) ** 0.5
+        return v
+
+    assign_rows = [
+        # cell 100: cosines 1.0, 0.9, 0.5, 0.0 against centroid e0
+        (1, unit(0, 1.0), 1.0, 100),
+        (2, unit(0, 0.9), 1.0, 100),
+        (3, unit(0, 0.5), 1.0, 100),
+        (4, unit(0, 0.0), 1.0, 100),
+        # cell 200: four identical vectors — pure tie-break territory
+        (11, unit(0, 1.0), 1.0, 200),
+        (12, unit(0, 1.0), 1.0, 200),
+        (13, unit(0, 1.0), 1.0, 200),
+        (14, unit(0, 1.0), 1.0, 200),
+    ]
+    assign = spark.createDataFrame(
+        assign_rows,
+        "vec_id long, v array<double>, nrm double, cell long",
+    )
+    cents = spark.createDataFrame(
+        [(100, unit(0, 1.0), 1.0), (200, unit(0, 1.0), 1.0)],
+        "cent_id long, cv array<double>, cnrm double",
+    )
+    ranked = proto_rank_kernel(assign, cents)
+    rows = {r.vec_id: r for r in ranked.collect()}
+    assert rows[1].cos_cent_e4 == 10000 and rows[4].cos_cent_e4 == 0
+    assert all(r.n_cell == 4 for r in rows.values())
+    from pyspark.sql import functions as F
+
+    dropped = {
+        r.vec_id
+        for r in ranked.filter(F.expr(_PROTO_DROP_SPARK)).collect()
+    }
+    assert dropped == {1, 11}  # the prototype; the smallest-id tie
+
+
+def test_proto_pruning_census_sums_and_survivors_match(spark, sf_dir):
+    # Census arithmetic closes (kept + dropped = population, summed
+    # kept = the transform's row count), the quota actually bites on
+    # the fixture, and survivors carry no vector ranked inside it.
+    from bq_nvd_spark.plans import QUERIES
+
+    census = QUERIES["proto_pruning_census"](spark, sf_dir).collect()
+    assert all(r.n_dropped + r.n_kept == r.n_vecs for r in census)
+    assert sum(r.n_dropped for r in census) > 0
+    assert all(r.n_dropped == (r.n_vecs * 1) // 4 for r in census)
+    survivors = QUERIES["proto_pruned_survivors"](spark, sf_dir).collect()
+    assert len(survivors) == sum(r.n_kept for r in census)
+    assert all(r.top_cos_e4 >= r.min_cos_e4 for r in census)
