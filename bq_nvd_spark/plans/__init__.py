@@ -56,7 +56,12 @@ _DRIVER_PRIORITY = [
     # proto_pruned_survivors + proto_pruning_census (D4-style
     # prototypicality pruning over the shared IVF quantizer —
     # SemDeDup's published companion stage, E3xE6 in
-    # plans/similarity_search.py, VERDICT r16 task 4).
+    # plans/similarity_search.py, VERDICT r16 task 4);
+    # bloom_decontaminated_docs (the production Bloom-only
+    # decontamination transform — bloom_flagged_ids anti-join,
+    # E6xE7 in plans/sampling.py, VERDICT r16 task 6; its sibling
+    # census was re-mirrored x3 SFs after the kernel-split
+    # refactor and sits in this window's never-checked tier).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

@@ -969,14 +969,17 @@ def _bloom_positions(
     )
 
 
-def bloom_census_kernel(
+def bloom_flagged_ids(
     labeled: DataFrame, bits: int = BLOOM_BITS
 ) -> DataFrame:
-    """The Bloom-vs-exact census over any (doc_id, source, gram, held)
-    relation — the whole query below minus the corpus wiring, exposed
-    so tests can shrink ``bits`` and watch a real false-positive
-    excess trip ``fp_within_bound`` (proving the bound is computed,
-    not vacuously TRUE)."""
+    """The PRODUCTION half of the Bloom pre-filter: the distinct
+    ``doc_id``s of train docs with at least one gram hitting the
+    filter (the superset of the truly contaminated — no false
+    negatives; false positives bounded by the sizing). This is the
+    only plan a 100 TB decontamination refresh pays corpus-wide:
+    position explode → semi-join against the ≤``bits``-row set-bit
+    relation → per-gram K-count. The census below wraps it with the
+    exact join purely to VALIDATE the filter's properties."""
     ev = labeled.filter("held").select("gram").distinct()
     set_bits = ev.select(
         F.explode(_bloom_positions(bits=bits)).alias("p")
@@ -997,7 +1000,20 @@ def bloom_census_kernel(
         .agg(F.count(F.lit(1)).alias("k_found"))
         .filter(F.col("k_found") == BLOOM_K)
     )
-    bloom_ids = gram_hits.select("doc_id").distinct().withColumn(
+    return gram_hits.select("doc_id").distinct()
+
+
+def bloom_census_kernel(
+    labeled: DataFrame, bits: int = BLOOM_BITS
+) -> DataFrame:
+    """The Bloom-vs-exact census over any (doc_id, source, gram, held)
+    relation — the whole query below minus the corpus wiring, exposed
+    so tests can shrink ``bits`` and watch a real false-positive
+    excess trip ``fp_within_bound`` (proving the bound is computed,
+    not vacuously TRUE)."""
+    ev = labeled.filter("held").select("gram").distinct()
+    train = labeled.filter(~F.col("held"))
+    bloom_ids = bloom_flagged_ids(labeled, bits=bits).withColumn(
         "b", F.lit(1)
     )
     exact_ids = (
@@ -1035,10 +1051,9 @@ def bloom_census_kernel(
     )
 
 
-@query(
-    "bloom_decontamination_census",
-    oracle=f"""
-    WITH {_DUCK_DECON_GRAMS},
+#: the decon gram/eval/train/exact CTE chain, shared by the census
+#: oracle and the fast-path transform's oracle below — one SQL truth.
+_BLOOM_DECON_ORACLE_CTES = f"""{_DUCK_DECON_GRAMS},
     tg AS (
       SELECT g.doc_id, g.gram, d.source,
              {_DUCK_BUCKET.replace('doc_id', 'g.doc_id')} >= {VAL_END}
@@ -1051,7 +1066,13 @@ def bloom_census_kernel(
       SELECT DISTINCT t.doc_id
       FROM tg t JOIN ev USING (gram)
       WHERE NOT t.held
-    )
+    )"""
+
+
+@query(
+    "bloom_decontamination_census",
+    oracle=f"""
+    WITH {_BLOOM_DECON_ORACLE_CTES}
     SELECT tr.source,
            CAST(COUNT(*) AS BIGINT) AS n_train_docs,
            CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -1078,3 +1099,52 @@ def bloom_decontamination_census(
         "doc_id", "source", "gram", held.alias("held")
     )
     return bloom_census_kernel(labeled)
+
+
+@query(
+    "bloom_decontaminated_docs",
+    oracle=f"""
+    WITH {_BLOOM_DECON_ORACLE_CTES}
+    SELECT tr.doc_id, tr.source
+    FROM tr LEFT JOIN ex ON ex.doc_id = tr.doc_id
+    WHERE ex.doc_id IS NULL
+    """,
+)
+def bloom_decontaminated_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production decontamination TRANSFORM (VERDICT r16 task 6):
+    train docs surviving the Bloom-only probe — the plan a 100 TB
+    refresh actually executes (``bloom_flagged_ids``: position
+    explode, ≤BLOOM_BITS-row semi-join, per-gram K-count; the exact
+    join then runs only on the flagged subset, off this plan).
+    Distinct from the validation census above, which pays both paths
+    to certify the filter.
+
+    Oracle note (the sketch-family accuracy trade, row form): the
+    oracle emits the EXACT survivor set. Bloom survivors are a subset
+    of exact survivors (no false negatives); they are EQUAL whenever
+    the production-sized filter yields zero false positives on the
+    corpus — deterministic for fixed data and xxhash64, verified at
+    all three fixture SFs (fp rate ≈ (set_bits/2²²)^7 ≈ 1e-7 here).
+    The undersized-filter pytest drives the strict-subset case,
+    proving the equality compare is not vacuous. Spine = docs that
+    HAVE grams (≥ DECON_N tokens), identical both sides."""
+    grams = _decon_gram_rel(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    held = _spark_bucket() >= VAL_END
+    labeled = grams.join(src, "doc_id").select(
+        "doc_id", "source", "gram", held.alias("held")
+    )
+    train_docs = (
+        labeled.filter(~F.col("held"))
+        .select("doc_id", "source")
+        .distinct()
+    )
+    # No forced broadcast: flagged size tracks true contamination and
+    # can be corpus-proportional on a contaminated corpus — AQE picks.
+    return train_docs.join(
+        bloom_flagged_ids(labeled), "doc_id", "left_anti"
+    )

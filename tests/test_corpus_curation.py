@@ -875,3 +875,34 @@ def test_streaming_c4_gate_equals_batch_census(spark, sf_dir):
         for r in QUERIES["streaming_c4_gate"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_bloom_fast_path_flagged_superset_under_undersized_filter(spark):
+    # The production transform's safety property: flagged ⊇ exactly-
+    # contaminated at ANY sizing (no false negatives), so survivors
+    # can never retain a contaminated doc; an undersized filter
+    # over-flags (strict superset — the false-positive case the
+    # registered query's zero-FP equality argument rests on being
+    # driven somewhere), never under-flags.
+    from bq_nvd_spark.plans.sampling import bloom_flagged_ids
+
+    rows = (
+        [(i, "s", f"evalgram{i}", True) for i in range(10)]
+        # doc 100 is genuinely contaminated: it carries an eval gram
+        + [(100, "s", "evalgram0", False)]
+        + [(100 + i, "s", f"cleangram{i}", False) for i in range(20)]
+    )
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, source string, gram string, held boolean"
+    )
+    exact_contaminated = {100}
+    train_ids = {100 + i for i in range(20)}
+    tiny = {r.doc_id for r in bloom_flagged_ids(labeled, bits=8).collect()}
+    prod = {r.doc_id for r in bloom_flagged_ids(labeled).collect()}
+    assert exact_contaminated <= tiny <= train_ids
+    assert len(tiny) > 1  # the undersized filter really over-flags
+    assert prod == exact_contaminated  # production sizing: zero FPs
+    # survivors = train − flagged: monotone in the flagged set, so
+    # tiny-filter survivors ⊆ production survivors ⊆ exact survivors
+    assert (train_ids - tiny) <= (train_ids - prod)
+    assert 100 not in (train_ids - tiny) and 100 not in (train_ids - prod)
