@@ -61,7 +61,11 @@ _DRIVER_PRIORITY = [
     # decontamination transform — bloom_flagged_ids anti-join,
     # E6xE7 in plans/sampling.py, VERDICT r16 task 6; its sibling
     # census was re-mirrored x3 SFs after the kernel-split
-    # refactor and sits in this window's never-checked tier).
+    # refactor and sits in this window's never-checked tier);
+    # ffd_packed_docs + ffd_packing_census (first-fit-decreasing
+    # whole-document bin packing vs the concat-chunk baseline —
+    # grouped-applyInPandas trace, recursive-CTE oracle, E6 in
+    # plans/sampling.py, VERDICT r16 task 8).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

@@ -1148,3 +1148,169 @@ def bloom_decontaminated_docs(
     return train_docs.join(
         bloom_flagged_ids(labeled), "doc_id", "left_anti"
     )
+
+
+# --------------------------------------------------------------------------
+# E6 (round 17): PACKING-EFFICIENCY census — first-fit-decreasing bin
+# packing over document token lengths (VERDICT r16 task 8), the
+# no-split alternative to ``sequence_packing`` above: concat-then-
+# chunk wastes nothing but cuts documents across chunk boundaries;
+# FFD keeps every document whole inside one PACK_BUDGET-token bin and
+# pays padding waste instead. The census quantifies that trade
+# per source (FFD bins and waste vs the concat baseline's
+# ceil(total/budget)) — the artifact a pretraining-layout decision
+# reads.
+#
+# Exactness: FFD is deterministic given an order — docs sorted
+# (n_tokens DESC, doc_id ASC) per source, first FITTING bin by bin
+# index. The Spark side runs the trace in one grouped applyInPandas
+# per source (the _mmr_greedy_from_pool precedent for irreducibly
+# sequential greedy traces); the oracle walks the SAME trace in a
+# DuckDB recursive CTE whose state is the per-bin remaining-capacity
+# list. All integers; a doc longer than PACK_BUDGET opens its own
+# forever-overfull bin (negative remainder never fits a later doc) —
+# the same rule in both halves, unreachable on this fixture
+# (max 100 tokens << 512).
+#
+# Scale shape: the packing DOMAIN is the source (the same partition
+# sequence_packing uses) — each domain's (doc_id, n_tokens) list
+# must fit one executor's pandas frame, which is the published
+# production recipe anyway (packing is always sharded; extend the
+# group key with a shard id to cap domain size, exactly as the
+# sequence_packing window would). One scan, one grouped trace, one
+# map-side-combined census; nothing driver-side, nothing broadcast.
+
+
+def ffd_pack_kernel(toks: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, bin_idx) — the FFD trace over any
+    (doc_id, source, n_tokens) relation, one sequential greedy pass
+    per source group; bin ids are 1-based in placement order."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    def _ffd(pdf):
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        rem: list = []
+        placed: list = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            for i, r in enumerate(rem):
+                if r >= t:
+                    rem[i] = r - t
+                    placed.append(i + 1)
+                    break
+            else:
+                rem.append(PACK_BUDGET - t)
+                placed.append(len(rem))
+        pdf = pdf.assign(bin_idx=placed)
+        return pdf[["doc_id", "source", "n_tokens", "bin_idx"]]
+
+    return toks.groupBy("source").applyInPandas(
+        _ffd, "doc_id long, source string, n_tokens long, bin_idx long"
+    )
+
+
+def _ffd_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered queries' assignment relation — memoized via
+    ``shared_stage`` so the transform and the census pay the grouped
+    trace once per session."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        toks = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        return ffd_pack_kernel(toks)
+
+    return shared_stage(spark, ("ffd_packed", sf_dir), build)
+
+
+#: the FFD trace as DuckDB CTEs: docs ranked (tok DESC, doc_id) per
+#: source, then a recursive walk whose state is the remaining-capacity
+#: list; the first fitting index is computed by the same
+#: list_filter(...)[1] expression everywhere it is needed.
+_FFD_ORACLE_CTES = f"""d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY len(string_split(text, ' ')) DESC,
+                                         doc_id) AS rnk
+      FROM documents
+    ),
+    ffd(source, rn, rem, doc_id, tok, bin_idx) AS (
+      SELECT source, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM (SELECT DISTINCT source FROM d)
+      UNION ALL
+      SELECT f.source, f.rn + 1,
+             CASE WHEN list_filter(generate_series(1, len(f.rem)),
+                                   i -> f.rem[i] >= nd.tok)[1] IS NULL
+                  THEN list_append(f.rem, {PACK_BUDGET} - nd.tok)
+                  ELSE list_transform(generate_series(1, len(f.rem)),
+                         i -> CASE WHEN i = list_filter(
+                                      generate_series(1, len(f.rem)),
+                                      j -> f.rem[j] >= nd.tok)[1]
+                                   THEN f.rem[i] - nd.tok
+                                   ELSE f.rem[i] END)
+             END,
+             nd.doc_id, nd.tok,
+             CAST(COALESCE(list_filter(generate_series(1, len(f.rem)),
+                                       i -> f.rem[i] >= nd.tok)[1],
+                           len(f.rem) + 1) AS BIGINT)
+      FROM ffd f JOIN d nd ON nd.source = f.source AND nd.rnk = f.rn + 1
+    ),
+    assigned AS (
+      SELECT doc_id, source, tok AS n_tokens, bin_idx
+      FROM ffd WHERE doc_id IS NOT NULL
+    )"""
+
+
+@query(
+    "ffd_packed_docs",
+    oracle=f"""
+    WITH RECURSIVE {_FFD_ORACLE_CTES}
+    SELECT doc_id, source, n_tokens, bin_idx FROM assigned
+    """,
+)
+def ffd_packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document FFD bin assignment (see the section note): which
+    PACK_BUDGET-token bin each whole document lands in under
+    first-fit-decreasing, deterministically in both engines."""
+    return _ffd_packed(spark, sf_dir)
+
+
+@query(
+    "ffd_packing_census",
+    oracle=f"""
+    WITH RECURSIVE {_FFD_ORACLE_CTES}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(bin_idx) AS BIGINT) AS n_bins,
+           CAST(MAX(bin_idx) * {PACK_BUDGET} - SUM(n_tokens) AS BIGINT)
+             AS waste_tokens,
+           CAST((SUM(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET}
+                AS BIGINT) AS baseline_bins
+    FROM assigned GROUP BY source
+    """,
+)
+def ffd_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing efficiency (see the section note): FFD bin
+    count and padding waste against the concat-then-chunk baseline's
+    ceil(total/budget) — waste = capacity·bins − tokens by identity,
+    so the column is derived, not re-measured."""
+    return _ffd_packed(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("bin_idx").cast("long").alias("n_bins"),
+        (F.max("bin_idx") * PACK_BUDGET - F.sum("n_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.expr(f"(sum(n_tokens) + {PACK_BUDGET - 1}) div {PACK_BUDGET}")
+        .cast("long")
+        .alias("baseline_bins"),
+    )

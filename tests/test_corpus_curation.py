@@ -906,3 +906,31 @@ def test_bloom_fast_path_flagged_superset_under_undersized_filter(spark):
     # tiny-filter survivors ⊆ production survivors ⊆ exact survivors
     assert (train_ids - tiny) <= (train_ids - prod)
     assert 100 not in (train_ids - tiny) and 100 not in (train_ids - prod)
+
+
+def test_ffd_packing_invariants(spark, sf_dir):
+    # The FFD contract over the driver fixture: no bin exceeds its
+    # capacity, bin ids are contiguous from 1 per source, the census's
+    # waste column is the exact identity capacity*bins - tokens, and
+    # FFD never uses fewer bins than the fractional lower bound (nor
+    # more than the docs).
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.sampling import PACK_BUDGET
+
+    assigned = QUERIES["ffd_packed_docs"](spark, sf_dir).collect()
+    fills: dict = {}
+    for r in assigned:
+        key = (r.source, r.bin_idx)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+    assert all(v <= PACK_BUDGET for v in fills.values())
+    by_src: dict = {}
+    for src, b in fills:
+        by_src.setdefault(src, set()).add(b)
+    assert all(bins == set(range(1, len(bins) + 1)) for bins in by_src.values())
+    census = {r.source: r for r in QUERIES["ffd_packing_census"](spark, sf_dir).collect()}
+    for src, r in census.items():
+        assert r.n_bins == len(by_src[src])
+        assert r.waste_tokens == r.n_bins * PACK_BUDGET - r.total_tokens
+        assert r.baseline_bins <= r.n_bins <= r.n_docs
+        # FFD can't beat the fractional bound
+        assert r.n_bins * PACK_BUDGET >= r.total_tokens
