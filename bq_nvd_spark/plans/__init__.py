@@ -24,14 +24,19 @@ _DRIVER_PRIORITY = [
     # recomputed at r17 open): 11 never-checked + 9 @r12 + 50 @r13
     # + 49 @r14 + 50 @r15 + 50 @r16.
     # Code changed in r17 (VERDICT r16 task 5): the Gopher rules
-    # relation is now shared_stage'd across its three batch
-    # consumers (doc_gopher_quality_profile, gopher_quality_census,
-    # quality_gate_agreement — the last already below in the
-    # never-checked tier) and the census kernel was split into
+    # relation is now shared_stage'd across its FIVE batch
+    # consumers — doc_gopher_quality_profile, gopher_quality_census,
+    # quality_gate_agreement, doc_line_repetition_profile,
+    # line_repetition_census (the last three already below in the
+    # never-checked tier) — and the census kernel was split into
     # kernel + aggregation halves; streaming_gopher_gate shares the
     # kernel composition, so its r16 row describes a superseded
-    # code path too. All four re-mirrored x3 SFs post-change.
-    # Deferral note: the 22 r13-era names after the alphabetical
+    # code path too. All six re-mirrored x3 SFs post-change.
+    # Also code changed in r17: bloom_decontamination_census (its
+    # probe half extracted into bloom_flagged_ids for the fast-path
+    # transform; in the never-checked tier below, re-mirrored x3
+    # SFs post-refactor).
+    # Deferral note: the 23 r13-era names after the alphabetical
     # first 27 defer to r18 with evidence age 5 rounds —
     # nvd_v2_v3_score_gap, nvd_version_bounds,
     # order_price_percentiles_exact, order_price_quantiles,
@@ -43,9 +48,11 @@ _DRIVER_PRIORITY = [
     # streaming_click_error_join, streaming_dedup_keys,
     # streaming_session_counts, streaming_sliding_counts,
     # streaming_tumbling_counts, text_quality_stats,
-    # train_val_test_split, unpivot_lineitem_measures. They are the
+    # train_val_test_split, tumbling_window_hourly,
+    # unpivot_lineitem_measures. They are the
     # oldest backlog after this window and MUST lead the r18 window
-    # (all unchanged).
+    # (all unchanged; count re-verified against CORRECTNESS_r01-r16
+    # after a review catch — the set is 23, not 22).
     # Added in round 17 BEYOND the window, owed to the r18 window as
     # never-driver-checked (each mirror-green x3 SFs on add):
     # doc_c4_quality_profile + c4_quality_census + c4_kept_docs +

@@ -1044,9 +1044,10 @@ _GQ_ORACLE_PREFIX = f"""
 
 
 def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc rule relation shared by its three batch consumers
-    (profile, census, gate-agreement matrix) — one corpus scan,
-    all-projection (no joins, no windows).
+    """Per-doc rule relation shared by its five batch consumers
+    (profile, census, gate-agreement matrix, and both line-family
+    diagnostics, whose metric columns are a subset) — one corpus
+    scan, all-projection (no joins, no windows).
 
     Memoized per (application, sf_dir) via ``shared_stage`` (the
     ``_repetition_metrics`` pattern): since the eleven-rule extension

@@ -1090,15 +1090,23 @@ def bloom_decontamination_census(
     (see the section note): exact integers hash-gated, the Bloom
     no-false-negative and false-positive-excess properties asserted
     Spark-side against the exact join."""
+    return bloom_census_kernel(_decon_labeled(spark, sf_dir))
+
+
+def _decon_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, gram, held) — the shared-gram relation joined
+    to its source with the census/transform split label. ONE
+    definition of the train/eval boundary for the whole Bloom family
+    (census + fast-path transform): a future change to the bucket
+    rule or the projection cannot desynchronize them."""
     grams = _decon_gram_rel(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
     held = _spark_bucket() >= VAL_END
-    labeled = grams.join(src, "doc_id").select(
+    return grams.join(src, "doc_id").select(
         "doc_id", "source", "gram", held.alias("held")
     )
-    return bloom_census_kernel(labeled)
 
 
 @query(
@@ -1128,16 +1136,12 @@ def bloom_decontaminated_docs(
     corpus — deterministic for fixed data and xxhash64, verified at
     all three fixture SFs (fp rate ≈ (set_bits/2²²)^7 ≈ 1e-7 here).
     The undersized-filter pytest drives the strict-subset case,
-    proving the equality compare is not vacuous. Spine = docs that
+    proving the equality compare is not vacuous, and a zero-FP guard
+    pytest pins the equality fact itself at every fixture SF — a
+    fixture or sizing change that introduces an FP fails loudly in
+    CI before the driver ever sees a row diff. Spine = docs that
     HAVE grams (≥ DECON_N tokens), identical both sides."""
-    grams = _decon_gram_rel(spark, sf_dir)
-    src = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source"
-    )
-    held = _spark_bucket() >= VAL_END
-    labeled = grams.join(src, "doc_id").select(
-        "doc_id", "source", "gram", held.alias("held")
-    )
+    labeled = _decon_labeled(spark, sf_dir)
     train_docs = (
         labeled.filter(~F.col("held"))
         .select("doc_id", "source")

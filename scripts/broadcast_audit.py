@@ -150,6 +150,9 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
     ("plans/similarity_search.py", "_ivf_assign_and_probes", "cent_arr"):
         (C, "IVF centroid array: one row of K=16 structs (shared "
             "quantizer for ivf_topk + mmr_ann_diverse_topk)"),
+    ("plans/similarity_search.py", "proto_rank_kernel", "cents"):
+        (C, "IVF centroid relation: IVF_CELLS=16 rows at any SF "
+            "(the D4 cosine-to-own-centroid join)"),
     ("plans/similarity_search.py", "ivf_topk", "probes"):
         (C, "≤5 queries × IVF_NPROBE probe cells"),
     ("plans/similarity_search.py", "ivf_refined_topk", "cent_arr"):

@@ -934,3 +934,37 @@ def test_ffd_packing_invariants(spark, sf_dir):
         assert r.baseline_bins <= r.n_bins <= r.n_docs
         # FFD can't beat the fractional bound
         assert r.n_bins * PACK_BUDGET >= r.total_tokens
+
+
+def test_bloom_fast_path_zero_fp_at_every_fixture_sf(spark):
+    # The registered transform's oracle is the EXACT survivor set, so
+    # its hash equality rests on the production-sized filter yielding
+    # zero false positives on the fixture corpus — a deterministic
+    # fact for fixed data + xxhash64, pinned HERE at every SF so a
+    # fixture regeneration or a BLOOM_BITS/BLOOM_K retune that
+    # introduces an FP fails this test loudly instead of surfacing as
+    # an opaque driver row diff.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bq_nvd_spark.plans.sampling import (
+        _decon_labeled,
+        bloom_flagged_ids,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        labeled = _decon_labeled(spark, sf_dir)
+        ev = labeled.filter("held").select("gram").distinct()
+        exact = (
+            labeled.filter(~F.col("held"))
+            .join(ev, "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        flagged = bloom_flagged_ids(labeled).count()
+        assert flagged == exact, (sf, flagged, exact)
