@@ -72,7 +72,11 @@ _DRIVER_PRIORITY = [
     # ffd_packed_docs + ffd_packing_census (first-fit-decreasing
     # whole-document bin packing vs the concat-chunk baseline —
     # grouped-applyInPandas trace, recursive-CTE oracle, E6 in
-    # plans/sampling.py, VERDICT r16 task 8).
+    # plans/sampling.py, VERDICT r16 task 8);
+    # ivf_recall_census (beyond-brief: per-query recall@K of the
+    # IVF index vs the exact brute top-K — the IVF_NPROBE tuning
+    # artifact beside ivf_cell_census, E3 in
+    # plans/similarity_search.py).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

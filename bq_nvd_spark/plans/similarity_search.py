@@ -1909,3 +1909,111 @@ def proto_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cos_cent_e4").cast("long").alias("top_cos_e4"),
         F.min("cos_cent_e4").cast("long").alias("min_cos_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# E3 (round 17, beyond-brief): IVF RECALL census — the other half of
+# the index-operations dashboard next to ivf_cell_census: per query,
+# how many of the brute-force cosine top-K the IVF index actually
+# retrieved at the current IVF_NPROBE. pq_adc_recall_topk plays this
+# role for the PQ index; this is the same artifact for the coarse
+# quantizer itself — the number you read before touching IVF_NPROBE
+# or IVF_CELLS (recall too low → probe more cells; recall 1.0 with
+# fat cells → cells too few to prune anything).
+#
+# Exactness: both sides are e4-floor-quantized cosines with vec_id
+# tie-breaks (the IVF family's one discipline), so retrieved and
+# ground-truth sets are deterministic in both engines and the census
+# is pure integer counts. Scale shape: the retrieved side IS
+# ivf_topk's plan; the ground-truth side is one broadcast of the
+# ≤_QUERY_MAX_ID-row query set against the corpus (the cosine_topk
+# shape — exactly the full scan the index avoids, paid here because
+# measuring recall REQUIRES the exact answer; a production deployment
+# runs this census on a sampled query set, which is what the bounded
+# query relation models).
+@query(
+    "ivf_recall_census",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
+    ),
+    {_IVF_QUANTIZER_CTE},
+    iscored AS (
+      SELECT p.q_id, a.vec_id,
+             FLOOR({duck_fold_dot('p.qv', 'a.v')} / (p.qn * a.nrm)
+                   * 10000 + 0.5) AS sim_e4
+      FROM probes p JOIN assign a ON a.cell = p.cell
+    ),
+    itop AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim_e4 DESC, vec_id) AS rn
+        FROM iscored
+      ) WHERE rn <= {TOP_K}
+    ),
+    bscored AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             FLOOR({duck_fold_dot('q.v', 'c.v')} / (q.nrm * c.nrm)
+                   * 10000 + 0.5) AS sim_e4
+      FROM n q JOIN n c
+        ON q.vec_id < {_QUERY_MAX_ID} AND c.vec_id >= {_QUERY_MAX_ID}
+    ),
+    btop AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim_e4 DESC, vec_id) AS rn
+        FROM bscored
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT i.q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+           CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits
+    FROM itop i LEFT JOIN btop b
+      ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+    GROUP BY i.q_id
+    """,
+)
+def ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@TOP_K of the IVF index against the exact
+    brute-force top-K (see the section note) — integer counts only;
+    recall is the reader's n_hits/n_retrieved division."""
+    from pyspark.sql.window import Window
+
+    sim_e4 = lambda qv, qn, cv, cn: F.floor(  # noqa: E731 — local twin
+        fold_dot_np(qv, cv) / (F.col(qn) * F.col(cn)) * 10000 + 0.5
+    ).cast("long")
+    itop = ivf_topk(spark, sf_dir).select("q_id", "vec_id")
+    emb = _spread_embeddings(spark, sf_dir)
+    n = emb.select(
+        "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
+    )
+    q = n.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("sim_e4"), F.asc("vec_id")
+    )
+    btop = (
+        c.crossJoin(F.broadcast(q))
+        .select("q_id", "vec_id", sim_e4("qv", "qn", "v", "nrm").alias("sim_e4"))
+        .select("q_id", "vec_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        itop.join(btop, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )

@@ -678,3 +678,17 @@ def test_proto_pruning_census_sums_and_survivors_match(spark, sf_dir):
     survivors = QUERIES["proto_pruned_survivors"](spark, sf_dir).collect()
     assert len(survivors) == sum(r.n_kept for r in census)
     assert all(r.top_cos_e4 >= r.min_cos_e4 for r in census)
+
+
+def test_ivf_recall_census_bounds(spark, sf_dir):
+    # Recall accounting: every query retrieves exactly TOP_K ids, hits
+    # never exceed retrieved, and the index finds at least part of the
+    # exact answer on the fixture (the census is non-degenerate).
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.similarity_search import TOP_K
+
+    rows = QUERIES["ivf_recall_census"](spark, sf_dir).collect()
+    assert len(rows) == 5  # one per query vector
+    assert all(r.n_retrieved == TOP_K for r in rows)
+    assert all(0 <= r.n_hits <= r.n_retrieved for r in rows)
+    assert sum(r.n_hits for r in rows) > 0
