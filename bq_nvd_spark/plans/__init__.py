@@ -76,7 +76,11 @@ _DRIVER_PRIORITY = [
     # ivf_recall_census (beyond-brief: per-query recall@K of the
     # IVF index vs the exact brute top-K — the IVF_NPROBE tuning
     # artifact beside ivf_cell_census, E3 in
-    # plans/similarity_search.py).
+    # plans/similarity_search.py);
+    # curation_funnel_census (beyond-brief: per-source sequential
+    # attrition through the stacked C4 -> Gopher -> repetition
+    # gates, all verdicts from the shared memos, E4/E6 in
+    # plans/curation.py).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

@@ -1661,10 +1661,12 @@ _C4_TERM_DUCK = _c4_term_pred(C4_TERMINALS, "ends_with")
 _C4_SHORT_DUCK = f"len(string_split(l, ' ')) < {C4_MIN_LINE_WORDS}"
 
 #: doc-level C4 relation: line tallies + kept-line array + the three
-#: page verdicts + composite keep — shared by all three oracles.
-_C4_CTES = f"""
-    {_GQ_SEG_CTES},
-    c4m AS (
+#: page verdicts + composite keep — shared by all three oracles. The
+#: BODY (everything after the segmentation chain) is its own constant
+#: so composing oracles that already bind seg/srt (the funnel census
+#: below, the quality_gate_agreement precedent) can reuse it without
+#: duplicating CTE names.
+_C4_BODY_CTES = f"""c4m AS (
       SELECT doc_id, source, text,
              CAST(len(lines) AS BIGINT) AS n_lines,
              list_filter(lines, l -> {_C4_TERM_DUCK}
@@ -1689,6 +1691,10 @@ _C4_CTES = f"""
       SELECT *, ok_blocklist * ok_brace * ok_min_lines AS keep
       FROM c4r
     )"""
+
+_C4_CTES = f"""
+    {_GQ_SEG_CTES},
+    {_C4_BODY_CTES}"""
 
 
 def c4_rules_kernel(
@@ -2058,4 +2064,85 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("drift_per_token_micro"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# E4/E6 (round 17, beyond-brief): the curation FUNNEL census — the
+# attrition dashboard a production pipeline reads across its STACKED
+# gates, in the order real pipelines run them (C4's cheap heuristics
+# first, then the Gopher composite, then the repetition gate): per
+# source, how many documents survive each successive stage. Differs
+# from the per-gate censuses above (independent tallies) and from the
+# 2×2 agreement matrix (pairwise): these are SEQUENTIAL survivor
+# counts, each column a subset of the previous — the funnel rows a
+# yield forecast is built from.
+#
+# Scale shape: all three verdict relations are the existing
+# shared_stage memos (_c4_rules, _gopher_rules, the repetition
+# metrics), so the funnel's marginal cost is two co-keyed joins on
+# doc_id plus one map-side-combined groupBy(source) — the agreement
+# matrix's shape with one more join. Exactness: three integer
+# verdicts, products of 0/1 columns, hash-exact.
+@query(
+    "curation_funnel_census",
+    oracle=_GQ_ORACLE_PREFIX
+    + ",\n    "
+    + _C4_BODY_CTES
+    + ",\n    "
+    + _rep_metric_ctes("r")
+    + f""",
+    verdicts AS (
+      SELECT k.source,
+             c4k.keep AS c4_keep,
+             k.keep AS g_keep,
+             CASE WHEN COALESCE(rm.dup_occ, 0) * {REP_DUP_DEN}
+                       > COALESCE(rm.n_grams, 0) * {REP_DUP_NUM}
+                  THEN 0 ELSE 1 END AS r_keep
+      FROM k
+      JOIN c4k ON c4k.doc_id = k.doc_id
+      LEFT JOIN rm ON rm.doc_id = k.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c4_keep) AS BIGINT) AS n_after_c4,
+           CAST(SUM(c4_keep * g_keep) AS BIGINT) AS n_after_gopher,
+           CAST(SUM(c4_keep * g_keep * r_keep) AS BIGINT) AS n_survivors
+    FROM verdicts GROUP BY source
+    """,
+)
+def curation_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequential attrition through the stacked quality
+    gates, C4 → Gopher → repetition (see the section note):
+    n_docs ≥ n_after_c4 ≥ n_after_gopher ≥ n_survivors by
+    construction."""
+    c4 = _c4_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c4_keep")
+    )
+    gop = _gopher_rules(spark, sf_dir).select(
+        "doc_id", "source", F.col("keep").alias("g_keep")
+    )
+    rep = _repetition_metrics(spark, sf_dir).select(
+        "doc_id", "n_grams", "dup_occ"
+    )
+    r_keep = (
+        ~(
+            F.coalesce(F.col("dup_occ"), F.lit(0)) * REP_DUP_DEN
+            > F.coalesce(F.col("n_grams"), F.lit(0)) * REP_DUP_NUM
+        )
+    ).cast("long")
+    v = (
+        gop.join(c4, "doc_id")
+        .join(rep, "doc_id", "left")
+        .select("source", "c4_keep", "g_keep", r_keep.alias("r_keep"))
+    )
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c4_keep").cast("long").alias("n_after_c4"),
+        F.sum(F.col("c4_keep") * F.col("g_keep"))
+        .cast("long")
+        .alias("n_after_gopher"),
+        F.sum(F.col("c4_keep") * F.col("g_keep") * F.col("r_keep"))
+        .cast("long")
+        .alias("n_survivors"),
     )

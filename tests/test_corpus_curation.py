@@ -968,3 +968,29 @@ def test_bloom_fast_path_zero_fp_at_every_fixture_sf(spark):
         )
         flagged = bloom_flagged_ids(labeled).count()
         assert flagged == exact, (sf, flagged, exact)
+
+
+def test_curation_funnel_is_monotone_and_pins_to_gates(spark, sf_dir):
+    # Sequential attrition: each stage's survivor count is bounded by
+    # the previous stage's, the first column is the per-gate C4 keep
+    # count, and the funnel actually narrows somewhere on the fixture.
+    from bq_nvd_spark.plans import QUERIES
+
+    funnel = {
+        r.source: r
+        for r in QUERIES["curation_funnel_census"](spark, sf_dir).collect()
+    }
+    for r in funnel.values():
+        assert (
+            r.n_docs >= r.n_after_c4 >= r.n_after_gopher >= r.n_survivors
+        )
+    c4 = {
+        r.source: r.n_kept
+        for r in QUERIES["c4_quality_census"](spark, sf_dir).collect()
+    }
+    assert {s: r.n_after_c4 for s, r in funnel.items()} == c4
+    assert sum(r.n_after_c4 for r in funnel.values()) > sum(
+        r.n_after_gopher for r in funnel.values()
+    ) or sum(r.n_docs for r in funnel.values()) > sum(
+        r.n_after_c4 for r in funnel.values()
+    )
