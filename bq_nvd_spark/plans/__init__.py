@@ -80,7 +80,10 @@ _DRIVER_PRIORITY = [
     # curation_funnel_census (beyond-brief: per-source sequential
     # attrition through the stacked C4 -> Gopher -> repetition
     # gates, all verdicts from the shared memos, E4/E6 in
-    # plans/curation.py).
+    # plans/curation.py);
+    # ivf_nprobe_sweep (beyond-brief: the full recall-vs-probe-
+    # budget tuning curve for 1..IVF_NPROBE in one pass, E3 in
+    # plans/similarity_search.py).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

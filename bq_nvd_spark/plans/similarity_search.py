@@ -2017,3 +2017,185 @@ def ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E3 (round 17, beyond-brief): NPROBE recall SWEEP — ivf_recall_census
+# gives one point (recall at the configured IVF_NPROBE); this emits
+# the whole tuning curve, recall@K for every nprobe in 1..IVF_NPROBE,
+# in ONE pass: the artifact you actually read before spending probe
+# budget at 100 TB (the FAISS nprobe-sweep benchmark, as a query).
+#
+# Probe ranks are NOT exposed by the shared quantizer (exposing them
+# would edit _IVF_QUANTIZER_CTE and thereby the oracle text of every
+# quantizer consumer); instead the rank is RE-DERIVED on the probed
+# (query, cell) pairs themselves — the probed cells are by
+# construction the global top-IVF_NPROBE under (cos DESC, cent_id),
+# so ranking those same pairs by the same key yields their true probe
+# order. The re-rank touches only |queries|·IVF_NPROBE rows against
+# the 16-row centroid relation.
+#
+# Exactness: the rank key recomputes the identical float fold the
+# quantizer used (same expression both engines), ties to the smaller
+# cell id; sims e4-floor-quantized with vec_id tie-breaks. Scale
+# shape: the candidate relation is the ivf_topk join replicated once
+# per sweep point (nprobe ≤ IVF_NPROBE, a constant ×4 here); windows
+# partition by (nprobe, q_id); ground truth is the same bounded
+# brute pass ivf_recall_census pays.
+@query(
+    "ivf_nprobe_sweep",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm FROM e
+    ),
+    {_IVF_QUANTIZER_CTE},
+    pr AS (
+      SELECT p.q_id, p.qv, p.qn, p.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.q_id
+               ORDER BY {duck_fold_dot('p.qv', 'c.cv')} / (p.qn * c.cnrm)
+                        DESC, p.cell) AS prank
+      FROM probes p JOIN cents c ON c.cent_id = p.cell
+    ),
+    sweep AS (SELECT UNNEST(range(1, {IVF_NPROBE + 1})) AS nprobe),
+    cand AS (
+      SELECT s.nprobe, pr.q_id, a.vec_id,
+             FLOOR({duck_fold_dot('pr.qv', 'a.v')} / (pr.qn * a.nrm)
+                   * 10000 + 0.5) AS sim_e4
+      FROM pr JOIN assign a ON a.cell = pr.cell
+      JOIN sweep s ON pr.prank <= s.nprobe
+    ),
+    itop AS (
+      SELECT nprobe, q_id, vec_id FROM (
+        SELECT nprobe, q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                                  ORDER BY sim_e4 DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn <= {TOP_K}
+    ),
+    bscored AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             FLOOR({duck_fold_dot('q.v', 'c.v')} / (q.nrm * c.nrm)
+                   * 10000 + 0.5) AS sim_e4
+      FROM n q JOIN n c
+        ON q.vec_id < {_QUERY_MAX_ID} AND c.vec_id >= {_QUERY_MAX_ID}
+    ),
+    btop AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim_e4 DESC, vec_id) AS rn
+        FROM bscored
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT i.nprobe, i.q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+           CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits
+    FROM itop i LEFT JOIN btop b
+      ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+    GROUP BY i.nprobe, i.q_id
+    """,
+)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K per (nprobe, query) for nprobe = 1..IVF_NPROBE
+    (see the section note) — the index-tuning curve; the
+    nprobe = IVF_NPROBE rows coincide with ivf_recall_census by
+    construction (pinned by pytest)."""
+    from pyspark.sql.window import Window
+
+    assign, probes = _ivf_assign_and_probes(spark, sf_dir)
+    emb = _spread_embeddings(spark, sf_dir)
+    cents = emb.filter(
+        (F.col("vec_id") >= _QUERY_MAX_ID)
+        & (F.col("vec_id") < _CENT_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(fold_dot_np("v", "v")).alias("cnrm"),
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc(
+            fold_dot_np("qv", "cv") / (F.col("qn") * F.col("cnrm"))
+        ),
+        F.asc("cell"),
+    )
+    pr = (
+        probes.join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
+        .select(
+            "q_id", "qv", "qn", "cell",
+            F.row_number().over(w_rank).alias("prank"),
+        )
+    )
+    sweep = spark.range(1, IVF_NPROBE + 1).select(
+        F.col("id").cast("long").alias("nprobe")
+    )
+    cand = (
+        pr.join(
+            assign.select(
+                "vec_id", F.col("v").alias("av"), F.col("nrm").alias("an"),
+                "cell",
+            ),
+            "cell",
+        )
+        .join(F.broadcast(sweep), F.col("prank") <= F.col("nprobe"))
+        .select(
+            "nprobe",
+            "q_id",
+            "vec_id",
+            F.floor(
+                fold_dot_np("qv", "av") / (F.col("qn") * F.col("an"))
+                * 10000
+                + 0.5
+            ).cast("long").alias("sim_e4"),
+        )
+    )
+    w_top = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("sim_e4"), F.asc("vec_id")
+    )
+    itop = (
+        cand.select(
+            "nprobe", "q_id", "vec_id",
+            F.row_number().over(w_top).alias("rn"),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("nprobe", "q_id", "vec_id")
+    )
+    n = emb.select(
+        "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
+    )
+    q = n.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
+    w_b = Window.partitionBy("q_id").orderBy(
+        F.desc("sim_e4"), F.asc("vec_id")
+    )
+    btop = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            F.floor(
+                fold_dot_np("qv", "v") / (F.col("qn") * F.col("nrm"))
+                * 10000
+                + 0.5
+            ).cast("long").alias("sim_e4"),
+        )
+        .select("q_id", "vec_id", F.row_number().over(w_b).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        itop.join(btop, ["q_id", "vec_id"], "left")
+        .groupBy("nprobe", "q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )

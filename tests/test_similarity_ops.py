@@ -692,3 +692,28 @@ def test_ivf_recall_census_bounds(spark, sf_dir):
     assert all(r.n_retrieved == TOP_K for r in rows)
     assert all(0 <= r.n_hits <= r.n_retrieved for r in rows)
     assert sum(r.n_hits for r in rows) > 0
+
+
+def test_ivf_nprobe_sweep_monotone_and_pins_to_recall_census(spark, sf_dir):
+    # More probed cells can only add candidates: retrieved and hit
+    # counts are non-decreasing in nprobe per query, and the
+    # nprobe = IVF_NPROBE rows are exactly ivf_recall_census.
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.similarity_search import IVF_NPROBE, TOP_K
+
+    rows = QUERIES["ivf_nprobe_sweep"](spark, sf_dir).collect()
+    assert len(rows) == 5 * IVF_NPROBE
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, {})[r.nprobe] = (r.n_retrieved, r.n_hits)
+    for q, pts in by_q.items():
+        assert set(pts) == set(range(1, IVF_NPROBE + 1))
+        for np_ in range(2, IVF_NPROBE + 1):
+            assert pts[np_][0] >= pts[np_ - 1][0], (q, np_)
+            assert pts[np_][1] >= pts[np_ - 1][1], (q, np_)
+        assert pts[IVF_NPROBE][0] <= TOP_K
+    census = {
+        r.q_id: (r.n_retrieved, r.n_hits)
+        for r in QUERIES["ivf_recall_census"](spark, sf_dir).collect()
+    }
+    assert {q: pts[IVF_NPROBE] for q, pts in by_q.items()} == census
