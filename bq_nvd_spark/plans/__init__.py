@@ -83,7 +83,10 @@ _DRIVER_PRIORITY = [
     # plans/curation.py);
     # ivf_nprobe_sweep (beyond-brief: the full recall-vs-probe-
     # budget tuning curve for 1..IVF_NPROBE in one pass, E3 in
-    # plans/similarity_search.py).
+    # plans/similarity_search.py);
+    # zipf_rank_census (beyond-brief: power-of-two rank-bucketed
+    # token frequency census — the Zipf companion to
+    # vocab_growth_curve's Heaps curve, E4+ in plans/curation.py).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

@@ -2146,3 +2146,69 @@ def curation_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_survivors"),
     )
+
+
+# --------------------------------------------------------------------------
+# E4+ (round 17, beyond-brief): ZIPF rank-frequency census — the
+# companion corpus law to vocab_growth_curve's Heaps curve: token
+# frequency vs frequency-rank, bucketed by power-of-two rank (the
+# standard log-log view collapsed to ~log2(V) exact integer rows). A
+# corpus whose head buckets carry an anomalous occurrence share (or
+# whose tail types vanish) signals template text or a broken
+# tokenizer before any model sees it.
+#
+# Exactness: the rank tie-breaks (freq DESC, token ASC); the bucket
+# is floor(log2(rank)) computed INTEGER-EXACTLY as
+# length(bin(rank)) - 1 in both engines — no float log near
+# power-of-two boundaries. Scale shape: one tokenize explode into a
+# map-side-combined token census, then one un-partitioned window over
+# the VOCABULARY-sized relation (aggregate-bounded, the documented
+# exception class — vocabulary, not corpus, rows), then a ~log2(V)-row
+# groupBy.
+@query(
+    "zipf_rank_census",
+    oracle="""
+    WITH tok AS (
+      SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+           UNNEST(toks) AS t(tok)
+      GROUP BY t.tok
+    ),
+    ranked AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+      FROM tok
+    )
+    SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS rank_bucket,
+           CAST(MIN(rnk) AS BIGINT) AS rank_lo,
+           CAST(MAX(rnk) AS BIGINT) AS rank_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS n_occ,
+           CAST(MAX(n) AS BIGINT) AS max_freq,
+           CAST(MIN(n) AS BIGINT) AS min_freq
+    FROM ranked GROUP BY 1
+    """,
+)
+def zipf_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two rank-bucketed token frequency census (see the
+    section note): per bucket, the rank span, type count, occurrence
+    mass, and frequency envelope — the Zipf curve as exact integers."""
+    from pyspark.sql.window import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = tok.select("n", F.row_number().over(w).alias("rnk"))
+    bucket = (F.length(F.bin("rnk")) - 1).cast("long")
+    return ranked.groupBy(bucket.alias("rank_bucket")).agg(
+        F.min("rnk").cast("long").alias("rank_lo"),
+        F.max("rnk").cast("long").alias("rank_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_occ"),
+        F.max("n").cast("long").alias("max_freq"),
+        F.min("n").cast("long").alias("min_freq"),
+    )

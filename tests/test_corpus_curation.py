@@ -994,3 +994,35 @@ def test_curation_funnel_is_monotone_and_pins_to_gates(spark, sf_dir):
     ) or sum(r.n_docs for r in funnel.values()) > sum(
         r.n_after_c4 for r in funnel.values()
     )
+
+
+def test_zipf_rank_census_matches_python_reference(spark, sf_dir):
+    # Bucket arithmetic pinned to a Counter reference: every token
+    # occurrence lands in exactly one bucket, bucket spans tile
+    # [1, V] in powers of two, and the envelope is exact.
+    import math
+    from collections import Counter
+
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.sources.tables import load_table
+
+    cnt = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        cnt.update(r.text.split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    ref: dict = {}
+    for i, (_, n) in enumerate(ranked, start=1):
+        b = i.bit_length() - 1
+        lo, hi, nt, occ, mx, mn = ref.get(
+            b, (i, i, 0, 0, n, n)
+        )
+        ref[b] = (min(lo, i), max(hi, i), nt + 1, occ + n, max(mx, n), min(mn, n))
+    got = {
+        r.rank_bucket: (
+            r.rank_lo, r.rank_hi, r.n_types, r.n_occ, r.max_freq, r.min_freq
+        )
+        for r in QUERIES["zipf_rank_census"](spark, sf_dir).collect()
+    }
+    assert got == ref
+    assert sum(v[3] for v in got.values()) == sum(cnt.values())
+    assert len(got) == math.floor(math.log2(len(cnt))) + 1
