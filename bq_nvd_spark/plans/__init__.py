@@ -86,7 +86,11 @@ _DRIVER_PRIORITY = [
     # plans/similarity_search.py);
     # zipf_rank_census (beyond-brief: power-of-two rank-bucketed
     # token frequency census — the Zipf companion to
-    # vocab_growth_curve's Heaps curve, E4+ in plans/curation.py).
+    # vocab_growth_curve's Heaps curve, E4+ in plans/curation.py);
+    # streaming_c4_kept_docs (beyond-brief: the C4 transform as an
+    # append-mode zero-state ingest stream — the scrub family's
+    # first row-emitting transform twin, T4xE4 in
+    # streaming/micro_batch.py).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

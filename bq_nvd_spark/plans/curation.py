@@ -1858,17 +1858,22 @@ def c4_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_census_agg(_c4_rules(spark, sf_dir))
 
 
-@query(
-    "c4_kept_docs",
-    oracle="\n    WITH "
+#: shared by the batch transform and its streaming ingest twin
+#: (streaming/micro_batch.py::streaming_c4_kept_docs) — one SQL
+#: truth, two engine paths (the C4_CENSUS_ORACLE pattern).
+C4_KEPT_DOCS_ORACLE = (
+    "\n    WITH "
     + _C4_CTES
     + """
     SELECT doc_id, source,
            array_to_string(kept, ' ') AS text_c4,
            CAST(kept_lines AS BIGINT) AS kept_lines
     FROM c4k WHERE keep = 1
-    """,
+    """
 )
+
+
+@query("c4_kept_docs", oracle=C4_KEPT_DOCS_ORACLE)
 def c4_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 transform: surviving pages rebuilt from their kept
     lines in original order (see the section note). Line-drop then

@@ -52,9 +52,12 @@ from pyspark.sql.types import (
 
 from bq_nvd_spark.plans.curation import (
     C4_CENSUS_ORACLE,
+    C4_KEPT_DOCS_ORACLE,
     GOPHER_CENSUS_ORACLE,
     REPETITION_CENSUS_ORACLE,
     c4_census_kernel,
+    c4_kept_docs_kernel,
+    c4_rules_kernel,
     gopher_census_kernel,
     repetition_gate_census,
 )
@@ -568,4 +571,27 @@ def streaming_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
         name_prefix="stream_c4",
         state_partitions=8,
+    )
+
+
+# --------------------------------------------------------------------------
+# T4 × E4 (round 17): the C4 TRANSFORM as an ingest stream — the
+# scrub-on-ingest family so far streams CENSUSES (complete-mode
+# aggregates); this is its first row-emitting transform twin: each
+# micro-batch emits its surviving pages rebuilt from their kept
+# lines, append mode, ZERO state (every C4 decision is row-local —
+# the property that makes the batch rebuild shuffle-free makes the
+# stream stateless). At 100 TB this is the landing-zone cleaner: the
+# delta is filtered and rewritten as it arrives, never the lake.
+# Oracle = the batch transform's SQL verbatim; the memory sink's
+# union of batches equals the batch result exactly because the
+# kernel is deterministic per row.
+@query("streaming_c4_kept_docs", oracle=C4_KEPT_DOCS_ORACLE)
+def streaming_c4_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        c4_kept_docs_kernel(
+            c4_rules_kernel(stream_table(spark, sf_dir, "documents"))
+        ),
+        output_mode="append",
+        name_prefix="stream_c4kept",
     )

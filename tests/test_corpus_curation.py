@@ -1026,3 +1026,18 @@ def test_zipf_rank_census_matches_python_reference(spark, sf_dir):
     assert got == ref
     assert sum(v[3] for v in got.values()) == sum(cnt.values())
     assert len(got) == math.floor(math.log2(len(cnt))) + 1
+
+
+def test_streaming_c4_kept_docs_equals_batch_transform(spark, sf_dir):
+    # Row-local decisions make the transform stateless: the streamed
+    # append-mode output must equal the batch transform row-for-row.
+    from bq_nvd_spark.plans import QUERIES
+
+    key = lambda r: (r.doc_id, r.source, r.text_c4, r.kept_lines)  # noqa: E731
+    batch = sorted(
+        map(key, QUERIES["c4_kept_docs"](spark, sf_dir).collect())
+    )
+    streamed = sorted(
+        map(key, QUERIES["streaming_c4_kept_docs"](spark, sf_dir).collect())
+    )
+    assert streamed == batch
