@@ -90,7 +90,14 @@ _DRIVER_PRIORITY = [
     # streaming_c4_kept_docs (beyond-brief: the C4 transform as an
     # append-mode zero-state ingest stream — the scrub family's
     # first row-emitting transform twin, T4xE4 in
-    # streaming/micro_batch.py).
+    # streaming/micro_batch.py);
+    # d4_pipeline_survivors (beyond-brief: the composed
+    # SemDeDup -> prototypicality-prune recipe with the quota
+    # re-derived over the post-dedup cell population, E2xE3xE6 in
+    # plans/similarity_search.py; semdedup_survivors — in this
+    # window's never-checked tier — had its dropped-set derivation
+    # factored into _semdedup_dropped and was re-mirrored x3 SFs
+    # post-refactor).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

@@ -1638,6 +1638,23 @@ def _semdedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_stage(spark, ("semdedup_edges", sf_dir), build)
 
 
+def _semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-minimum members of the within-cell cosine clusters — the
+    vec_ids SemDeDup removes. Shared by the survivor transform and
+    the composed D4 pipeline below; the component loop touches only
+    the shared_stage'd edge relation."""
+    from bq_nvd_spark.operators.graph import connected_components
+
+    edges = _semdedup_edges(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return (
+        connected_components(edges, max_iter=10)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("vec_id"))
+    )
+
+
 @query(
     "semdedup_pairs",
     oracle=f"""
@@ -1681,16 +1698,7 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-minimum members of within-cell cosine clusters. The spine is
     the IVF-indexed corpus (vec_id >= _QUERY_MAX_ID) — query vectors
     are retrieval probes, not dedup candidates."""
-    from bq_nvd_spark.operators.graph import connected_components
-
-    edges = _semdedup_edges(spark, sf_dir).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    dropped = (
-        connected_components(edges, max_iter=10)
-        .filter(F.col("id") != F.col("cluster_id"))
-        .select(F.col("id").alias("vec_id"))
-    )
+    dropped = _semdedup_dropped(spark, sf_dir)
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") >= _QUERY_MAX_ID)
@@ -1833,17 +1841,17 @@ def _proto_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_stage(spark, ("proto_ranked", sf_dir), build)
 
 
-_PROTO_RANKED_CTE = f"""n AS MATERIALIZED (
-      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm
-      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings)
-    ),
-    {_IVF_QUANTIZER_CTE},
-    ac AS (
+def _proto_ranked_body(src_rel: str) -> str:
+    """The cosine-to-own-centroid + rank CTE pair over any assignment
+    relation ``src_rel`` (vec_id, v, nrm, cell) with ``cents`` in
+    scope — parameterized so the D4 pipeline oracle can re-rank over
+    the SemDeDup SURVIVORS while the standalone queries rank the full
+    assignment; one text, no drift."""
+    return f"""ac AS (
       SELECT a.vec_id, a.cell,
              CAST(FLOOR({duck_fold_dot('a.v', 'c.cv')} / (a.nrm * c.cnrm)
                         * 10000 + 0.5) AS BIGINT) AS cos_cent_e4
-      FROM assign a JOIN cents c ON c.cent_id = a.cell
+      FROM {src_rel} a JOIN cents c ON c.cent_id = a.cell
     ),
     ranked AS (
       SELECT vec_id, cell, cos_cent_e4,
@@ -1852,6 +1860,15 @@ _PROTO_RANKED_CTE = f"""n AS MATERIALIZED (
              CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
       FROM ac
     )"""
+
+
+_PROTO_RANKED_CTE = f"""n AS MATERIALIZED (
+      SELECT vec_id, v, SQRT({duck_fold_dot('v', 'v')}) AS nrm
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings)
+    ),
+    {_IVF_QUANTIZER_CTE},
+    {_proto_ranked_body('assign')}"""
 
 
 @query(
@@ -2198,4 +2215,73 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_retrieved"),
             F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# E2 × E3 × E6 (round 17, beyond-brief): the COMPOSED D4 pipeline —
+# the published recipe end-to-end (Tirumala et al. 2023: SemDeDup
+# first, then prototypicality pruning over what SURVIVES). Running
+# the stages independently over the full corpus (as the standalone
+# queries do) is not the same operator: the proto quota must be
+# re-derived over each cell's post-dedup population, or a cell whose
+# near-duplicates were just removed still prunes as if they were
+# there. Both stages ride their existing machinery — the
+# shared_stage'd SemDeDup edge relation + connected components for
+# stage 1, proto_rank_kernel re-ranked over the surviving assignment
+# for stage 2 — so the composition adds one anti-join between them
+# and nothing else.
+@query(
+    "d4_pipeline_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SEMDEDUP_PAIRS_CTE},
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM sd_edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM sd_edges
+    ),
+    walk(id, rep) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, w.rep FROM sym s JOIN walk w ON w.id = s.b
+    ),
+    dropped AS (
+      SELECT id FROM walk GROUP BY id HAVING id != MIN(rep)
+    ),
+    sassign AS (
+      SELECT vec_id, v, nrm, cell FROM assign
+      WHERE vec_id NOT IN (SELECT id FROM dropped)
+    ),
+    {_proto_ranked_body('sassign')}
+    SELECT r.vec_id, CAST(e.label AS BIGINT) AS label, r.cell,
+           r.cos_cent_e4
+    FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+    WHERE NOT ({_PROTO_DROP_DUCK})
+    """,
+)
+def d4_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full D4 pipeline's surviving corpus (see the section
+    note): SemDeDup's min-id survivors, then the prototypicality
+    quota re-derived per cell over THAT population."""
+    assign, _ = _ivf_assign_and_probes(spark, sf_dir)
+    sassign = assign.join(
+        _semdedup_dropped(spark, sf_dir), "vec_id", "left_anti"
+    )
+    emb = _spread_embeddings(spark, sf_dir)
+    cents = emb.filter(
+        (F.col("vec_id") >= _QUERY_MAX_ID)
+        & (F.col("vec_id") < _CENT_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(fold_dot_np("v", "v")).alias("cnrm"),
+    )
+    ranked = proto_rank_kernel(sassign, cents).filter(
+        ~F.expr(_PROTO_DROP_SPARK)
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    return ranked.join(labels, "vec_id").select(
+        "vec_id", "label", "cell", "cos_cent_e4"
     )

@@ -754,3 +754,83 @@ def test_line_dup_metrics_match_python_reference(spark, docs):
         assert r.dup_lines == dup_occ, (i, lines)
         assert r.dup_line_chars == dup_chars, (i, lines)
         assert r.line_chars == tot_chars, (i, lines)
+
+
+# --------------------------------------------------------------------------
+# C4 kernel: line and page verdicts must agree with a direct Python
+# computation for arbitrary newline documents under the paper's
+# punctuation terminal set — including empty lines, placeholder
+# phrases, braces, and documents whose every line is dropped.
+
+_C4_LINES = st.lists(
+    st.sampled_from(
+        [
+            "alpha beta gamma.",       # kept: 3 words, terminal '.'
+            "alpha beta gamma",        # dropped: no terminal
+            "hi.",                     # dropped: short
+            "",                        # dropped: short (one empty token)
+            "why not ask?",            # kept: terminal '?'
+            "lorem ipsum dolor sit.",  # kept line, but flags the PAGE
+            "code { leak } here.",     # kept line, but flags the PAGE
+        ]
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=st.lists(_C4_LINES, min_size=1, max_size=5))
+@_SETTINGS
+def test_c4_kernel_matches_python_reference(spark, docs):
+    from bq_nvd_spark.plans.curation import (
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+        C4_PUNCT_TERMINALS,
+        c4_rules_kernel,
+        newline_segment_cols,
+    )
+
+    rows = [(i, "\n".join(lines), "s") for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+                StructField("source", StringType()),
+            ]
+        ),
+    )
+    got = {
+        r.doc_id: r
+        for r in c4_rules_kernel(
+            df, newline_segment_cols, C4_PUNCT_TERMINALS
+        ).collect()
+    }
+    for i, lines in enumerate(docs):
+        text = "\n".join(lines)
+        kept = [
+            l
+            for l in lines
+            if l.endswith(tuple(C4_PUNCT_TERMINALS))
+            and len(l.split(" ")) >= C4_MIN_LINE_WORDS
+        ]
+        bad_term = sum(
+            1 for l in lines if not l.endswith(tuple(C4_PUNCT_TERMINALS))
+        )
+        bad_short = sum(
+            1 for l in lines if len(l.split(" ")) < C4_MIN_LINE_WORDS
+        )
+        ok_block = "lorem ipsum" not in text.lower()
+        ok_brace = "{" not in text
+        ok_floor = len(kept) >= C4_MIN_KEPT_LINES
+        r = got[i]
+        assert r.n_lines == len(lines), (i, lines)
+        assert r.kept_lines == len(kept), (i, lines)
+        assert r.bad_terminal == bad_term, (i, lines)
+        assert r.bad_short == bad_short, (i, lines)
+        assert r.ok_blocklist == int(ok_block), (i, lines)
+        assert r.ok_brace == int(ok_brace), (i, lines)
+        assert r.ok_min_lines == int(ok_floor), (i, lines)
+        assert r.keep == int(ok_block and ok_brace and ok_floor)
+        assert list(r.kept) == kept, (i, lines)

@@ -717,3 +717,34 @@ def test_ivf_nprobe_sweep_monotone_and_pins_to_recall_census(spark, sf_dir):
         for r in QUERIES["ivf_recall_census"](spark, sf_dir).collect()
     }
     assert {q: pts[IVF_NPROBE] for q, pts in by_q.items()} == census
+
+
+def test_d4_pipeline_rederives_quota_over_semdedup_survivors(spark, sf_dir):
+    # The composition contract: pipeline output is a subset of the
+    # SemDeDup survivors, and its size per cell is exactly
+    # n_surviving_cell_members - floor(n/4) - i.e. the proto quota
+    # re-derived over the POST-dedup population, not the full cell.
+    from collections import Counter
+
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.similarity_search import (
+        _ivf_assign_and_probes,
+        _semdedup_dropped,
+    )
+
+    pipe = QUERIES["d4_pipeline_survivors"](spark, sf_dir).collect()
+    sem = {
+        r.vec_id
+        for r in QUERIES["semdedup_survivors"](spark, sf_dir).collect()
+    }
+    assert {r.vec_id for r in pipe} <= sem
+    assign, _ = _ivf_assign_and_probes(spark, sf_dir)
+    dropped = {r.vec_id for r in _semdedup_dropped(spark, sf_dir).collect()}
+    cell_pop = Counter(
+        r.cell
+        for r in assign.select("vec_id", "cell").collect()
+        if r.vec_id not in dropped
+    )
+    expect = {c: n - (n * 1) // 4 for c, n in cell_pop.items()}
+    got = Counter(r.cell for r in pipe)
+    assert dict(got) == {c: n for c, n in expect.items() if n > 0}
