@@ -97,7 +97,10 @@ _DRIVER_PRIORITY = [
     # plans/similarity_search.py; semdedup_survivors — in this
     # window's never-checked tier — had its dropped-set derivation
     # factored into _semdedup_dropped and was re-mirrored x3 SFs
-    # post-refactor).
+    # post-refactor);
+    # gate_agreement_cube (beyond-brief: the full 2^3 three-gate
+    # contingency the pairwise matrix and the funnel marginalize,
+    # E4/E6 in plans/curation.py).
     # -- code changed in r17 (task 5 shared_stage refactor; old
     #    green rows describe code that no longer exists) --
     "doc_gopher_quality_profile",

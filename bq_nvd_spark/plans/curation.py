@@ -2217,3 +2217,70 @@ def zipf_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("max_freq"),
         F.min("n").cast("long").alias("min_freq"),
     )
+
+
+# --------------------------------------------------------------------------
+# E4/E6 (round 17, beyond-brief): the three-gate agreement CUBE — the
+# funnel above reports sequential survivors and the 2×2 matrix
+# reports one pairwise comparison; this is the complete ensemble-
+# design artifact: per source, the count of documents in EVERY
+# (c4, gopher, repetition) verdict combination (≤8 rows per source).
+# Reading it answers the questions the other two can't: which gate
+# is redundant given the other two, and which documents only ONE
+# gate catches. Same shared memos, same join spine as the funnel —
+# the groupBy just keeps the verdict columns as keys.
+@query(
+    "gate_agreement_cube",
+    oracle=_GQ_ORACLE_PREFIX
+    + ",\n    "
+    + _C4_BODY_CTES
+    + ",\n    "
+    + _rep_metric_ctes("r")
+    + f""",
+    verdicts AS (
+      SELECT k.source,
+             c4k.keep AS c4_keep,
+             k.keep AS g_keep,
+             CASE WHEN COALESCE(rm.dup_occ, 0) * {REP_DUP_DEN}
+                       > COALESCE(rm.n_grams, 0) * {REP_DUP_NUM}
+                  THEN 0 ELSE 1 END AS r_keep
+      FROM k
+      JOIN c4k ON c4k.doc_id = k.doc_id
+      LEFT JOIN rm ON rm.doc_id = k.doc_id
+    )
+    SELECT source,
+           CAST(c4_keep AS BIGINT) AS c4_keep,
+           CAST(g_keep AS BIGINT) AS g_keep,
+           CAST(r_keep AS BIGINT) AS r_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM verdicts GROUP BY source, c4_keep, g_keep, r_keep
+    """,
+)
+def gate_agreement_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document counts for every (c4, gopher, repetition)
+    verdict combination (see the section note) — the full 2³
+    contingency the pairwise matrix and the sequential funnel
+    marginalize."""
+    c4 = _c4_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c4_keep")
+    )
+    gop = _gopher_rules(spark, sf_dir).select(
+        "doc_id", "source", F.col("keep").alias("g_keep")
+    )
+    rep = _repetition_metrics(spark, sf_dir).select(
+        "doc_id", "n_grams", "dup_occ"
+    )
+    r_keep = (
+        ~(
+            F.coalesce(F.col("dup_occ"), F.lit(0)) * REP_DUP_DEN
+            > F.coalesce(F.col("n_grams"), F.lit(0)) * REP_DUP_NUM
+        )
+    ).cast("long")
+    v = (
+        gop.join(c4, "doc_id")
+        .join(rep, "doc_id", "left")
+        .select("source", "c4_keep", "g_keep", r_keep.alias("r_keep"))
+    )
+    return v.groupBy("source", "c4_keep", "g_keep", "r_keep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

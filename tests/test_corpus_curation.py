@@ -1041,3 +1041,40 @@ def test_streaming_c4_kept_docs_equals_batch_transform(spark, sf_dir):
         map(key, QUERIES["streaming_c4_kept_docs"](spark, sf_dir).collect())
     )
     assert streamed == batch
+
+
+def test_gate_agreement_cube_marginalizes_to_funnel_and_matrix(spark, sf_dir):
+    # The cube's marginals must reproduce both coarser artifacts: the
+    # sequential funnel columns and the pairwise 2x2 matrix cells.
+    from bq_nvd_spark.plans import QUERIES
+
+    cube = QUERIES["gate_agreement_cube"](spark, sf_dir).collect()
+    funnel = {
+        r.source: r
+        for r in QUERIES["curation_funnel_census"](spark, sf_dir).collect()
+    }
+    matrix = {
+        r.source: r
+        for r in QUERIES["quality_gate_agreement"](spark, sf_dir).collect()
+    }
+
+    def msum(src, pred):
+        return sum(r.n_docs for r in cube if r.source == src and pred(r))
+
+    for src, f in funnel.items():
+        assert msum(src, lambda r: True) == f.n_docs
+        assert msum(src, lambda r: r.c4_keep == 1) == f.n_after_c4
+        assert (
+            msum(src, lambda r: r.c4_keep == 1 and r.g_keep == 1)
+            == f.n_after_gopher
+        )
+        assert (
+            msum(
+                src,
+                lambda r: r.c4_keep == 1 and r.g_keep == 1 and r.r_keep == 1,
+            )
+            == f.n_survivors
+        )
+    for src, m in matrix.items():
+        assert msum(src, lambda r: r.g_keep == 1 and r.r_keep == 1) == m.n_both_keep
+        assert msum(src, lambda r: r.g_keep == 0 and r.r_keep == 0) == m.n_both_drop
