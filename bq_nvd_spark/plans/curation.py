@@ -652,6 +652,20 @@ def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rep_keep_col() -> "F.Column":
+    """The repetition gate's 0/1 keep verdict over (n_grams, dup_occ)
+    — exact integer cross-multiplication, NULL-safe for gram-less
+    docs re-entering via a left-join spine. The ONE definition the
+    2×2 agreement matrix, the funnel census, and the agreement cube
+    all share."""
+    return (
+        ~(
+            F.coalesce(F.col("dup_occ"), F.lit(0)) * REP_DUP_DEN
+            > F.coalesce(F.col("n_grams"), F.lit(0)) * REP_DUP_NUM
+        )
+    ).cast("long")
+
+
 def _build_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kernel's build pipeline (see ``_repetition_metrics``)."""
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1926,14 +1940,8 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = _repetition_metrics(spark, sf_dir).select(
         "doc_id", "n_grams", "dup_occ"
     )
-    r_keep = (
-        ~(
-            F.coalesce(F.col("dup_occ"), F.lit(0)) * REP_DUP_DEN
-            > F.coalesce(F.col("n_grams"), F.lit(0)) * REP_DUP_NUM
-        )
-    ).cast("long")
     v = gop.join(rep, "doc_id", "left").select(
-        "source", "g_keep", r_keep.alias("r_keep")
+        "source", "g_keep", _rep_keep_col().alias("r_keep")
     )
     return v.groupBy("source").agg(
         F.sum(F.col("g_keep") * F.col("r_keep"))
@@ -2072,6 +2080,46 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the three-gate per-document verdict relation as a CTE suffix
+#: (expects k / c4k / rm in scope) — ONE text for the funnel census
+#: and the agreement cube, so the stacked-gate definition cannot
+#: drift between them.
+_THREE_GATE_VERDICTS_SQL = f""",
+    verdicts AS (
+      SELECT k.source,
+             c4k.keep AS c4_keep,
+             k.keep AS g_keep,
+             CASE WHEN COALESCE(rm.dup_occ, 0) * {REP_DUP_DEN}
+                       > COALESCE(rm.n_grams, 0) * {REP_DUP_NUM}
+                  THEN 0 ELSE 1 END AS r_keep
+      FROM k
+      JOIN c4k ON c4k.doc_id = k.doc_id
+      LEFT JOIN rm ON rm.doc_id = k.doc_id
+    )"""
+
+
+def _three_gate_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, c4_keep, g_keep, r_keep) per document — the Spark twin
+    of _THREE_GATE_VERDICTS_SQL over the three shared memos; the one
+    join spine the funnel census and the agreement cube aggregate."""
+    c4 = _c4_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c4_keep")
+    )
+    gop = _gopher_rules(spark, sf_dir).select(
+        "doc_id", "source", F.col("keep").alias("g_keep")
+    )
+    rep = _repetition_metrics(spark, sf_dir).select(
+        "doc_id", "n_grams", "dup_occ"
+    )
+    return (
+        gop.join(c4, "doc_id")
+        .join(rep, "doc_id", "left")
+        .select(
+            "source", "c4_keep", "g_keep", _rep_keep_col().alias("r_keep")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # E4/E6 (round 17, beyond-brief): the curation FUNNEL census — the
 # attrition dashboard a production pipeline reads across its STACKED
@@ -2096,18 +2144,8 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _C4_BODY_CTES
     + ",\n    "
     + _rep_metric_ctes("r")
-    + f""",
-    verdicts AS (
-      SELECT k.source,
-             c4k.keep AS c4_keep,
-             k.keep AS g_keep,
-             CASE WHEN COALESCE(rm.dup_occ, 0) * {REP_DUP_DEN}
-                       > COALESCE(rm.n_grams, 0) * {REP_DUP_NUM}
-                  THEN 0 ELSE 1 END AS r_keep
-      FROM k
-      JOIN c4k ON c4k.doc_id = k.doc_id
-      LEFT JOIN rm ON rm.doc_id = k.doc_id
-    )
+    + _THREE_GATE_VERDICTS_SQL
+    + f"""
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(c4_keep) AS BIGINT) AS n_after_c4,
@@ -2121,26 +2159,7 @@ def curation_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates, C4 → Gopher → repetition (see the section note):
     n_docs ≥ n_after_c4 ≥ n_after_gopher ≥ n_survivors by
     construction."""
-    c4 = _c4_rules(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("c4_keep")
-    )
-    gop = _gopher_rules(spark, sf_dir).select(
-        "doc_id", "source", F.col("keep").alias("g_keep")
-    )
-    rep = _repetition_metrics(spark, sf_dir).select(
-        "doc_id", "n_grams", "dup_occ"
-    )
-    r_keep = (
-        ~(
-            F.coalesce(F.col("dup_occ"), F.lit(0)) * REP_DUP_DEN
-            > F.coalesce(F.col("n_grams"), F.lit(0)) * REP_DUP_NUM
-        )
-    ).cast("long")
-    v = (
-        gop.join(c4, "doc_id")
-        .join(rep, "doc_id", "left")
-        .select("source", "c4_keep", "g_keep", r_keep.alias("r_keep"))
-    )
+    v = _three_gate_verdicts(spark, sf_dir)
     return v.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("c4_keep").cast("long").alias("n_after_c4"),
@@ -2162,14 +2181,14 @@ def curation_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose tail types vanish) signals template text or a broken
 # tokenizer before any model sees it.
 #
-# Exactness: the rank tie-breaks (freq DESC, token ASC); the bucket
-# is floor(log2(rank)) computed INTEGER-EXACTLY as
-# length(bin(rank)) - 1 in both engines — no float log near
-# power-of-two boundaries. Scale shape: one tokenize explode into a
-# map-side-combined token census, then one un-partitioned window over
-# the VOCABULARY-sized relation (aggregate-bounded, the documented
-# exception class — vocabulary, not corpus, rows), then a ~log2(V)-row
-# groupBy.
+# Exactness: the bucket is floor(log2(rank)) computed INTEGER-
+# EXACTLY as length(bin(rank)) - 1 in both engines — no float log
+# near power-of-two boundaries. Scale shape: one tokenize explode
+# into a map-side-combined token census, a groupBy to the
+# frequency-CLASS relation (≤ √(2N) rows), one un-partitioned cumsum
+# over THAT (aggregate-bounded — never the vocabulary; see the
+# docstring's rank-free argument), and a ~log2(V)-slice-per-class
+# re-aggregation.
 @query(
     "zipf_rank_census",
     oracle="""
@@ -2197,7 +2216,22 @@ def curation_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zipf_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two rank-bucketed token frequency census (see the
     section note): per bucket, the rank span, type count, occurrence
-    mass, and frequency envelope — the Zipf curve as exact integers."""
+    mass, and frequency envelope — the Zipf curve as exact integers.
+
+    RANK-FREE plan (the scale invariant forbids an un-partitioned
+    window over the vocabulary): all types of one frequency occupy a
+    CONTIGUOUS rank interval, and no per-bucket output depends on
+    order within that interval — so the census needs only the
+    FREQUENCY-CLASS relation (freq → type count), whose cardinality
+    is ≤ √(2·total_tokens) (d distinct frequencies are each ≥ their
+    index when sorted, so Σ ≥ d(d+1)/2). The one un-partitioned
+    cumsum runs over THAT aggregate-bounded relation (the
+    vocab_growth_curve exception class); each class's interval is
+    then sliced at power-of-two boundaries by pure arithmetic — at
+    most log2(V)+1 slices per class — and re-aggregated. The oracle
+    keeps the direct rank formulation (single-node DuckDB has no
+    partition constraint); equality of the two formulations IS the
+    contiguity argument, pinned by the Counter-reference pytest."""
     from pyspark.sql.window import Window
 
     tok = (
@@ -2206,14 +2240,48 @@ def zipf_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = tok.select("n", F.row_number().over(w).alias("rnk"))
-    bucket = (F.length(F.bin("rnk")) - 1).cast("long")
-    return ranked.groupBy(bucket.alias("rank_bucket")).agg(
-        F.min("rnk").cast("long").alias("rank_lo"),
-        F.max("rnk").cast("long").alias("rank_hi"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum("n").cast("long").alias("n_occ"),
+    cls = tok.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("types")
+    )
+    w = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    iv = cls.select(
+        "n",
+        "types",
+        (F.sum("types").over(w) - F.col("types") + 1).alias("lo"),
+        F.sum("types").over(w).alias("hi"),
+    )
+    sliced = iv.select(
+        "n",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                (F.length(F.bin("lo")) - 1).cast("long"),
+                (F.length(F.bin("hi")) - 1).cast("long"),
+            )
+        ).alias("rank_bucket"),
+    ).select(
+        "n",
+        "rank_bucket",
+        F.greatest(
+            "lo", F.expr("shiftleft(1L, cast(rank_bucket AS int))")
+        ).alias("seg_lo"),
+        F.least(
+            "hi",
+            F.expr("shiftleft(1L, cast(rank_bucket AS int) + 1) - 1"),
+        ).alias("seg_hi"),
+    )
+    return sliced.groupBy("rank_bucket").agg(
+        F.min("seg_lo").cast("long").alias("rank_lo"),
+        F.max("seg_hi").cast("long").alias("rank_hi"),
+        F.sum(F.col("seg_hi") - F.col("seg_lo") + 1)
+        .cast("long")
+        .alias("n_types"),
+        F.sum((F.col("seg_hi") - F.col("seg_lo") + 1) * F.col("n"))
+        .cast("long")
+        .alias("n_occ"),
         F.max("n").cast("long").alias("max_freq"),
         F.min("n").cast("long").alias("min_freq"),
     )
@@ -2236,18 +2304,8 @@ def zipf_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _C4_BODY_CTES
     + ",\n    "
     + _rep_metric_ctes("r")
-    + f""",
-    verdicts AS (
-      SELECT k.source,
-             c4k.keep AS c4_keep,
-             k.keep AS g_keep,
-             CASE WHEN COALESCE(rm.dup_occ, 0) * {REP_DUP_DEN}
-                       > COALESCE(rm.n_grams, 0) * {REP_DUP_NUM}
-                  THEN 0 ELSE 1 END AS r_keep
-      FROM k
-      JOIN c4k ON c4k.doc_id = k.doc_id
-      LEFT JOIN rm ON rm.doc_id = k.doc_id
-    )
+    + _THREE_GATE_VERDICTS_SQL
+    + f"""
     SELECT source,
            CAST(c4_keep AS BIGINT) AS c4_keep,
            CAST(g_keep AS BIGINT) AS g_keep,
@@ -2261,26 +2319,7 @@ def gate_agreement_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict combination (see the section note) — the full 2³
     contingency the pairwise matrix and the sequential funnel
     marginalize."""
-    c4 = _c4_rules(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("c4_keep")
-    )
-    gop = _gopher_rules(spark, sf_dir).select(
-        "doc_id", "source", F.col("keep").alias("g_keep")
-    )
-    rep = _repetition_metrics(spark, sf_dir).select(
-        "doc_id", "n_grams", "dup_occ"
-    )
-    r_keep = (
-        ~(
-            F.coalesce(F.col("dup_occ"), F.lit(0)) * REP_DUP_DEN
-            > F.coalesce(F.col("n_grams"), F.lit(0)) * REP_DUP_NUM
-        )
-    ).cast("long")
-    v = (
-        gop.join(c4, "doc_id")
-        .join(rep, "doc_id", "left")
-        .select("source", "c4_keep", "g_keep", r_keep.alias("r_keep"))
-    )
+    v = _three_gate_verdicts(spark, sf_dir)
     return v.groupBy("source", "c4_keep", "g_keep", "r_keep").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )

@@ -1819,6 +1819,26 @@ _PROTO_DROP_SPARK = f"rn <= (n_cell * {PROTO_NUM}) div {PROTO_DEN}"
 _PROTO_DROP_DUCK = f"rn <= (n_cell * {PROTO_NUM}) // {PROTO_DEN}"
 
 
+def _centroid_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF centroid relation (cent_id, cv, cnrm) — IVF_CELLS=16
+    rows, the same fixed corpus subset the shared quantizer folds
+    into its array form. ONE definition for every consumer that
+    joins against centroids relationally (the D4 rank, the nprobe
+    sweep's probe-rank re-derivation, the composed pipeline)."""
+    return (
+        _spread_embeddings(spark, sf_dir)
+        .filter(
+            (F.col("vec_id") >= _QUERY_MAX_ID)
+            & (F.col("vec_id") < _CENT_MAX_ID)
+        )
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.sqrt(fold_dot_np("v", "v")).alias("cnrm"),
+        )
+    )
+
+
 def _proto_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered queries' ranked relation over the shared IVF
     quantizer — memoized via ``shared_stage`` so the transform and
@@ -1827,16 +1847,7 @@ def _proto_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         assign, _ = _ivf_assign_and_probes(spark, sf_dir)
-        emb = _spread_embeddings(spark, sf_dir)
-        cents = emb.filter(
-            (F.col("vec_id") >= _QUERY_MAX_ID)
-            & (F.col("vec_id") < _CENT_MAX_ID)
-        ).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.sqrt(fold_dot_np("v", "v")).alias("cnrm"),
-        )
-        return proto_rank_kernel(assign, cents)
+        return proto_rank_kernel(assign, _centroid_rel(spark, sf_dir))
 
     return shared_stage(spark, ("proto_ranked", sf_dir), build)
 
@@ -1928,6 +1939,26 @@ def proto_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the exact brute-force top-K ground truth as CTEs (expects the
+#: normalized ``n`` relation in scope) — one text for both recall
+#: oracles.
+_BRUTE_TOP_CTES = f"""bscored AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             FLOOR({duck_fold_dot('q.v', 'c.v')} / (q.nrm * c.nrm)
+                   * 10000 + 0.5) AS sim_e4
+      FROM n q JOIN n c
+        ON q.vec_id < {_QUERY_MAX_ID} AND c.vec_id >= {_QUERY_MAX_ID}
+    ),
+    btop AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim_e4 DESC, vec_id) AS rn
+        FROM bscored
+      ) WHERE rn <= {TOP_K}
+    )"""
+
+
 # --------------------------------------------------------------------------
 # E3 (round 17, beyond-brief): IVF RECALL census — the other half of
 # the index-operations dashboard next to ivf_cell_census: per query,
@@ -1972,21 +2003,7 @@ def proto_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM iscored
       ) WHERE rn <= {TOP_K}
     ),
-    bscored AS (
-      SELECT q.vec_id AS q_id, c.vec_id,
-             FLOOR({duck_fold_dot('q.v', 'c.v')} / (q.nrm * c.nrm)
-                   * 10000 + 0.5) AS sim_e4
-      FROM n q JOIN n c
-        ON q.vec_id < {_QUERY_MAX_ID} AND c.vec_id >= {_QUERY_MAX_ID}
-    ),
-    btop AS (
-      SELECT q_id, vec_id FROM (
-        SELECT q_id, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                                  ORDER BY sim_e4 DESC, vec_id) AS rn
-        FROM bscored
-      ) WHERE rn <= {TOP_K}
-    )
+    {_BRUTE_TOP_CTES}
     SELECT i.q_id,
            CAST(COUNT(*) AS BIGINT) AS n_retrieved,
            CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -2000,34 +2017,9 @@ def ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@TOP_K of the IVF index against the exact
     brute-force top-K (see the section note) — integer counts only;
     recall is the reader's n_hits/n_retrieved division."""
-    from pyspark.sql.window import Window
-
-    sim_e4 = lambda qv, qn, cv, cn: F.floor(  # noqa: E731 — local twin
-        fold_dot_np(qv, cv) / (F.col(qn) * F.col(cn)) * 10000 + 0.5
-    ).cast("long")
     itop = ivf_topk(spark, sf_dir).select("q_id", "vec_id")
-    emb = _spread_embeddings(spark, sf_dir)
-    n = emb.select(
-        "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
-    )
-    q = n.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    c = n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("sim_e4"), F.asc("vec_id")
-    )
-    btop = (
-        c.crossJoin(F.broadcast(q))
-        .select("q_id", "vec_id", sim_e4("qv", "qn", "v", "nrm").alias("sim_e4"))
-        .select("q_id", "vec_id", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "vec_id", F.lit(1).alias("hit"))
-    )
     return (
-        itop.join(btop, ["q_id", "vec_id"], "left")
+        itop.join(_brute_topk(spark, sf_dir), ["q_id", "vec_id"], "left")
         .groupBy("q_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_retrieved"),
@@ -2036,12 +2028,56 @@ def ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id, hit=1) — the exact brute-force cosine top-K per
+    query, the ground truth both recall queries compare against.
+    Memoized via ``shared_stage``: a session pass pays the full
+    corpus scan once, not per consumer (the Spark twin of
+    _BRUTE_TOP_CTES — one relation, one text, no drift)."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        from pyspark.sql.window import Window
+
+        emb = _spread_embeddings(spark, sf_dir)
+        n = emb.select(
+            "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
+        )
+        q = n.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        c = n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
+        sim_e4 = F.floor(
+            fold_dot_np("qv", "v") / (F.col("qn") * F.col("nrm")) * 10000
+            + 0.5
+        ).cast("long")
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("sim_e4"), F.asc("vec_id")
+        )
+        return (
+            c.crossJoin(F.broadcast(q))
+            .select("q_id", "vec_id", sim_e4.alias("sim_e4"))
+            .select("q_id", "vec_id", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= TOP_K)
+            .select("q_id", "vec_id", F.lit(1).alias("hit"))
+        )
+
+    return shared_stage(spark, ("brute_topk", sf_dir), build)
+
+
 # --------------------------------------------------------------------------
 # E3 (round 17, beyond-brief): NPROBE recall SWEEP — ivf_recall_census
 # gives one point (recall at the configured IVF_NPROBE); this emits
 # the whole tuning curve, recall@K for every nprobe in 1..IVF_NPROBE,
 # in ONE pass: the artifact you actually read before spending probe
 # budget at 100 TB (the FAISS nprobe-sweep benchmark, as a query).
+#
+# The exact brute-force ground truth is ONE text and ONE relation for
+# both recall queries: _BRUTE_TOP_CTES below and the shared_stage'd
+# _brute_topk (a session pass pays the full scan once, not per
+# consumer — and the two formulations cannot drift).
 #
 # Probe ranks are NOT exposed by the shared quantizer (exposing them
 # would edit _IVF_QUANTIZER_CTE and thereby the oracle text of every
@@ -2093,21 +2129,7 @@ def ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cand
       ) WHERE rn <= {TOP_K}
     ),
-    bscored AS (
-      SELECT q.vec_id AS q_id, c.vec_id,
-             FLOOR({duck_fold_dot('q.v', 'c.v')} / (q.nrm * c.nrm)
-                   * 10000 + 0.5) AS sim_e4
-      FROM n q JOIN n c
-        ON q.vec_id < {_QUERY_MAX_ID} AND c.vec_id >= {_QUERY_MAX_ID}
-    ),
-    btop AS (
-      SELECT q_id, vec_id FROM (
-        SELECT q_id, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                                  ORDER BY sim_e4 DESC, vec_id) AS rn
-        FROM bscored
-      ) WHERE rn <= {TOP_K}
-    )
+    {_BRUTE_TOP_CTES}
     SELECT i.nprobe, i.q_id,
            CAST(COUNT(*) AS BIGINT) AS n_retrieved,
            CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -2125,15 +2147,7 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     assign, probes = _ivf_assign_and_probes(spark, sf_dir)
-    emb = _spread_embeddings(spark, sf_dir)
-    cents = emb.filter(
-        (F.col("vec_id") >= _QUERY_MAX_ID)
-        & (F.col("vec_id") < _CENT_MAX_ID)
-    ).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.sqrt(fold_dot_np("v", "v")).alias("cnrm"),
-    )
+    cents = _centroid_rel(spark, sf_dir)
     w_rank = Window.partitionBy("q_id").orderBy(
         F.desc(
             fold_dot_np("qv", "cv") / (F.col("qn") * F.col("cnrm"))
@@ -2181,35 +2195,8 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("nprobe", "q_id", "vec_id")
     )
-    n = emb.select(
-        "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
-    )
-    q = n.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    c = n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
-    w_b = Window.partitionBy("q_id").orderBy(
-        F.desc("sim_e4"), F.asc("vec_id")
-    )
-    btop = (
-        c.crossJoin(F.broadcast(q))
-        .select(
-            "q_id",
-            "vec_id",
-            F.floor(
-                fold_dot_np("qv", "v") / (F.col("qn") * F.col("nrm"))
-                * 10000
-                + 0.5
-            ).cast("long").alias("sim_e4"),
-        )
-        .select("q_id", "vec_id", F.row_number().over(w_b).alias("rn"))
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "vec_id", F.lit(1).alias("hit"))
-    )
     return (
-        itop.join(btop, ["q_id", "vec_id"], "left")
+        itop.join(_brute_topk(spark, sf_dir), ["q_id", "vec_id"], "left")
         .groupBy("nprobe", "q_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_retrieved"),
@@ -2267,15 +2254,7 @@ def d4_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sassign = assign.join(
         _semdedup_dropped(spark, sf_dir), "vec_id", "left_anti"
     )
-    emb = _spread_embeddings(spark, sf_dir)
-    cents = emb.filter(
-        (F.col("vec_id") >= _QUERY_MAX_ID)
-        & (F.col("vec_id") < _CENT_MAX_ID)
-    ).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.sqrt(fold_dot_np("v", "v")).alias("cnrm"),
-    )
+    cents = _centroid_rel(spark, sf_dir)
     ranked = proto_rank_kernel(sassign, cents).filter(
         ~F.expr(_PROTO_DROP_SPARK)
     )

@@ -153,17 +153,14 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
     ("plans/similarity_search.py", "proto_rank_kernel", "cents"):
         (C, "IVF centroid relation: IVF_CELLS=16 rows at any SF "
             "(the D4 cosine-to-own-centroid join)"),
-    ("plans/similarity_search.py", "ivf_recall_census", "q"):
-        (C, "query set: vec_id < 5 by construction (the cosine_topk "
-            "ground-truth pass the recall census must pay)"),
+    ("plans/similarity_search.py", "build", "q"):
+        (C, "query set: vec_id < 5 by construction (_brute_topk, the "
+            "shared ground-truth pass both recall queries read)"),
     ("plans/similarity_search.py", "ivf_nprobe_sweep", "cents"):
         (C, "IVF centroid relation: IVF_CELLS=16 rows at any SF "
             "(probe-rank re-derivation)"),
     ("plans/similarity_search.py", "ivf_nprobe_sweep", "sweep"):
         (C, "sweep spine: IVF_NPROBE=4 rows, a constant"),
-    ("plans/similarity_search.py", "ivf_nprobe_sweep", "q"):
-        (C, "query set: vec_id < 5 by construction (shared "
-            "ground-truth pass with ivf_recall_census)"),
     ("plans/similarity_search.py", "ivf_topk", "probes"):
         (C, "≤5 queries × IVF_NPROBE probe cells"),
     ("plans/similarity_search.py", "ivf_refined_topk", "cent_arr"):
