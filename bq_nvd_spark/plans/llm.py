@@ -2303,8 +2303,22 @@ def _bpe_run(
     reflects EVERY adopted merge (the encode path pays the final
     rewrite); with ``rewrite_final=False`` the last merge is adopted in
     the winner table but never applied to the corpus — train callers
-    only consume the winners, so they skip that full corpus pass."""
-    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
+    only consume the winners, so they skip that full corpus pass.
+
+    Optimization round 17: every per-round relation (the 1-row winner
+    and the rewritten corpus) is ``shared_stage``-memoized per
+    (application, sf_dir) instead of per-query ``stage_checkpoint``-ed.
+    THREE registered consumers run this loop (bpe_train_merges,
+    bpe_encode_top_tokens, tokenizer_fertility_census); per-query
+    checkpoints are released at each top-level query entry, so each
+    consumer used to replay the full train loop — ~3× BPE_ROUNDS
+    corpus passes per session pass. The memo keys compose per stage
+    (winner r depends on corpus r, corpus r+1 on both), so a
+    rewrite_final=False consumer that runs first builds exactly the
+    prefix it needs and a later =True consumer adds only the final
+    rewrite — same session-pass semantics as the dedup chain and the
+    Gopher rules relation (operators/checkpoint.py::shared_stage)."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("t")
@@ -2312,39 +2326,50 @@ def _bpe_run(
     outs: list[DataFrame] = []
     cur = docs
     for r in range(BPE_ROUNDS):
-        census = (
-            _adjacent_pair_rel(cur, "t", lambda a, b: F.concat_ws(" ", a, b))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        # Materialize the round winner once: it feeds both the output
-        # table and the rewrite, and without truncation round r's census
-        # would replay every earlier round's rewrite (O(rounds^2) work).
-        top = stage_checkpoint(census.orderBy(F.desc("n"), F.asc("pair")).limit(1))
+        def build_top(cur: DataFrame = cur) -> DataFrame:
+            census = (
+                _adjacent_pair_rel(
+                    cur, "t", lambda a, b: F.concat_ws(" ", a, b)
+                )
+                .groupBy("pair")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            # The winner feeds both the output table and the rewrite;
+            # without materialization round r's census would replay
+            # every earlier round's rewrite (O(rounds^2) work).
+            return census.orderBy(F.desc("n"), F.asc("pair")).limit(1)
+
+        top = shared_stage(spark, ("bpe_top", r, sf_dir), build_top)
         outs.append(
             top.select(F.lit(r).alias("merge_round"), "pair", "n")
         )
         if r == BPE_ROUNDS - 1 and not rewrite_final:
             break
-        a = F.element_at(F.split("pair", " "), 1)
-        b = F.element_at(F.split("pair", " "), 2)
-        doubled = F.replace(
-            F.concat(F.lit(" "), F.col("t"), F.lit(" ")),
-            F.lit(" "),
-            F.lit("  "),
-        )
-        merged = F.replace(
-            doubled,
-            F.concat(F.lit(" "), a, F.lit("  "), b, F.lit(" ")),
-            F.concat(F.lit(" "), a, F.lit("~"), b, F.lit(" ")),
-        )
-        rewritten = F.array_join(
-            F.filter(F.split(merged, " "), lambda x: x != ""), " "
-        )
-        cur = stage_checkpoint(
-            cur.crossJoin(F.broadcast(top.select("pair"))).select(
+
+        def build_corpus(
+            cur: DataFrame = cur, top: DataFrame = top
+        ) -> DataFrame:
+            a = F.element_at(F.split("pair", " "), 1)
+            b = F.element_at(F.split("pair", " "), 2)
+            doubled = F.replace(
+                F.concat(F.lit(" "), F.col("t"), F.lit(" ")),
+                F.lit(" "),
+                F.lit("  "),
+            )
+            merged = F.replace(
+                doubled,
+                F.concat(F.lit(" "), a, F.lit("  "), b, F.lit(" ")),
+                F.concat(F.lit(" "), a, F.lit("~"), b, F.lit(" ")),
+            )
+            rewritten = F.array_join(
+                F.filter(F.split(merged, " "), lambda x: x != ""), " "
+            )
+            return cur.crossJoin(F.broadcast(top.select("pair"))).select(
                 "doc_id", rewritten.alias("t")
             )
+
+        cur = shared_stage(
+            spark, ("bpe_corpus", r + 1, sf_dir), build_corpus
         )
     return outs, cur
 

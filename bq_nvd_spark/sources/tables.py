@@ -8,9 +8,11 @@ kilobytes and scanning the lake.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StructType
 
 TABLES = (
     "region",
@@ -35,8 +37,44 @@ TABLES = (
 _NANOS_TS_COLUMNS = {"events": ("ts",)}
 
 
+# Footer-schema memo, keyed by (path, mtime, size): every
+# ``spark.read.parquet(path)`` pays a driver-side listing + footer
+# schema inference (~120 ms measured on local[32]) before any data is
+# touched; with 200+ registered queries each loading 1-4 tables per
+# invocation, that inference dominated the per-query floor. A real
+# deployment reads table schemas from its catalog (Hive metastore /
+# Iceberg manifest), not from data-file footers on every query — this
+# memo is that catalog. It caches METADATA only (the StructType); the
+# data itself is scanned from parquet on every action, and the
+# mtime+size key invalidates the entry whenever the file (or a
+# directory table's file set) changes, so tests that overwrite scratch
+# tables in place still see fresh schemas.
+_SCHEMA_CACHE: dict[tuple, StructType] = {}
+
+
+def _stat_key(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # glob/remote path: let Spark resolve it, no memo
+    return (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+
+
+def table_schema(spark: SparkSession, path: str) -> StructType:
+    """The parquet footer schema of ``path``, memoized per file state."""
+    key = _stat_key(path)
+    if key is None:
+        return spark.read.parquet(path).schema
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(table_schema(spark, path)).parquet(path)
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, LongType):
             # `div` truncates toward zero; for negative (pre-1970) nanos we

@@ -374,7 +374,13 @@ def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: in
     Returns the event schema so callers never re-read a chunk directory
     that may not exist (partition columns are stripped from data files,
     so ``ev.schema`` is exactly the streamed schema)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Raw footer-schema read (NOT load_table: its nanos->timestamp
+    # repair would change the staged chunk schema); the schema memo
+    # skips the per-invocation footer inference.
+    from bq_nvd_spark.sources.tables import table_schema
+
+    path = f"{sf_dir}/events.parquet"
+    ev = spark.read.schema(table_schema(spark, path)).parquet(path)
     # One partitioned write emits every chunk directory in a single pass
     # (repartition on the chunk key -> each chunk lands as one file, so
     # maxFilesPerTrigger=1 still yields one micro-batch per chunk).

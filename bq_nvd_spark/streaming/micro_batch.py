@@ -95,7 +95,9 @@ def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     lays tables out as single files, so glob the table file (a glob
     makes the source anchor basePath at ``sf_dir``).
     """
-    batch_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    from bq_nvd_spark.sources.tables import table_schema
+
+    batch_schema = table_schema(spark, f"{sf_dir}/{table}.parquet")
     return (
         spark.readStream.schema(batch_schema)
         .parquet(f"{sf_dir}/{table}.parquet*")
