@@ -41,12 +41,18 @@ second).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 from bq_nvd_spark.operators.similarity import (
+    DIM,
     PQ_M,
     duck_fold_dot,
     fold_dot_np,
@@ -99,26 +105,23 @@ def pq_adc_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index's retrieval quality the way the sketch queries bound estimator
     error.
     """
+    from bq_nvd_spark.plans.similarity_search import _ivf_norms
+
+    # Optimization round 17: the corpus relation is the E3-family
+    # shared (vec_id, v, nrm) — the embeddings scan + Arrow norm
+    # kernel run once per SESSION (shared with the IVF/SemDeDup/D4
+    # consumers), not once per pq invocation. The per-subspace
+    # self-dots (`aa`) moved inside the encode kernel below.
+    corpus = _ivf_norms(spark, sf_dir).filter(
+        F.col("vec_id") >= _QUERY_MAX_ID
+    )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    # Corpus relation feeds seeds, encoding, scoring, and the exact side:
-    # checkpoint it (with norms and per-subspace self-dots) so the scan +
-    # Arrow norm kernel run once, not per consumer.
-    corpus = stage_checkpoint(
-        emb.filter(F.col("vec_id") >= _QUERY_MAX_ID)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .select(
-            "vec_id",
-            "v",
-            F.sqrt(fold_dot_np("v", "v")).alias("nrm"),
-            subspace_dots_np("v", "v").alias("aa"),
-        )
     )
     queries = emb.filter(F.col("vec_id") < _QUERY_MAX_ID)
 
     # Codebook: K corpus subvector sets picked by md5(vec_id) — layout-
-    # independent, no training reduction. cc = centroid self-dots.
+    # independent, no training reduction.
     md5_key = F.md5(F.col("vec_id").cast("string"))
     w_seed = Window.orderBy("seed_key")
     seeds = (
@@ -128,31 +131,61 @@ def pq_adc_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.row_number().over(w_seed) - 1).alias("cid"),
             "cv",
-            subspace_dots_np("cv", "cv").alias("cc"),
         )
     )
 
-    # Encode: nearest centroid per subspace via d^2 = aa - 2ab + cc.
-    # Broadcast x K fan-out, argmin as a min-of-struct (deterministic
-    # tie-break on cid), map-side combined.
-    enc = corpus.crossJoin(F.broadcast(seeds)).withColumn(
-        "ab", subspace_dots_np("v", "cv")
-    )
+    # Encode: nearest centroid per subspace via d^2 = aa - 2ab + cc,
+    # tie-break to the smallest cid. Optimization round 17 (guide §4/§8):
+    # the previous shape cross-joined the corpus against the broadcast
+    # codebook (corpus × K rows) and pushed BOTH 64-dim vectors of every
+    # pair through the Arrow boundary (~130 MB per run at sf0.1), then
+    # shuffled a groupBy(vec_id) argmin. The codebook is a CONSTANT
+    # K_CENTROIDS×DIM matrix (32 KB), so it rides a broadcast variable —
+    # the guide §3.2 pattern, same bounded-driver-materialization class
+    # as the rank-select histograms (operators/rank_select.py) — and each
+    # corpus vector crosses the Arrow boundary exactly ONCE; the kernel
+    # computes all K distances per subspace and the argmin in C loops.
+    # Exchange count for the encode: 1 → 0 (no fan-out, no groupBy).
+    # Bit-identity with the previous path: aa/ab/cc use the same
+    # cumsum-left-fold reduction as subspace_dots_np, the distance is
+    # evaluated as ((aa - 2·ab) + cc) in IEEE order like the Catalyst
+    # expression was, and np.argmin keeps the FIRST minimum — exactly
+    # the min-of-struct (d, cid) tie-break (pinned by the code-parity
+    # test in tests/test_similarity_ops.py).
+    seed_rows = seeds.collect()  # bounded: ≤ K_CENTROIDS = 64 rows
+    cb = np.array(
+        [r["cv"] for r in sorted(seed_rows, key=lambda r: r["cid"])],
+        dtype="float64",
+    ).reshape(-1, PQ_M, DIM // PQ_M)
+    # centroid self-dots, same cumsum fold as subspace_dots_np
+    cc_mat = np.cumsum(cb * cb, axis=2)[:, :, -1]  # (K, PQ_M)
+    bc = spark.sparkContext.broadcast((cb, cc_mat))
 
-    def _dist(m: int) -> F.Column:
-        return (
-            F.element_at("aa", m + 1)
-            - 2 * F.element_at("ab", m + 1)
-            + F.element_at("cc", m + 1)
-        )
+    @pandas_udf(ArrayType(LongType()))
+    def pq_encode_np(vs: "pd.Series") -> "pd.Series":
+        cb_m, cc_m = bc.value  # (K, PQ_M, SUB), (K, PQ_M)
+        mv = np.vstack(vs.to_numpy()).reshape(-1, PQ_M, cb_m.shape[2])
+        aa = np.cumsum(mv * mv, axis=2)[:, :, -1]  # (n, PQ_M)
+        # ab[i, k, m] — cumsum fold over the subspace axis
+        ab = np.cumsum(
+            mv[:, None, :, :] * cb_m[None, :, :, :], axis=3
+        )[:, :, :, -1]  # (n, K, PQ_M)
+        d = (aa[:, None, :] - 2 * ab) + cc_m[None, :, :]  # (n, K, PQ_M)
+        codes = np.argmin(d, axis=1)  # first min == smallest cid
+        return pd.Series(list(codes.astype("int64")))
 
-    codes = enc.groupBy("vec_id").agg(
+    # nrm rides along so the ADC scorer needs no join back to the
+    # corpus (one fewer exchange); the kernel runs ONCE per row (single
+    # projection), elements split in a follow-up narrow select.
+    codes = corpus.select(
+        "vec_id", "nrm", pq_encode_np("v").alias("codes")
+    ).select(
+        "vec_id",
+        "nrm",
         *[
-            F.min(F.struct(_dist(m).alias("d"), F.col("cid").alias("cid")))
-            .getField("cid")
-            .alias(f"code_{m}")
+            F.element_at("codes", m + 1).cast("int").alias(f"code_{m}")
             for m in range(PQ_M)
-        ]
+        ],
     )
 
     # Per-query ADC lookup tables: PQ_M arrays of K query·centroid dots,
@@ -180,9 +213,7 @@ def pq_adc_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the stored corpus norm (query norm is constant per query — it
     # cannot change the ranking). The shortlist keeps the best
     # max(SHORTLIST_MIN, corpus/10) per query.
-    scored = codes.join(corpus.select("vec_id", "nrm"), "vec_id").crossJoin(
-        F.broadcast(luts)
-    )
+    scored = codes.crossJoin(F.broadcast(luts))
     adc = (
         sum(
             F.element_at(f"lut_{m}", F.col(f"code_{m}") + 1)

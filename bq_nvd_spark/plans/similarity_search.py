@@ -93,15 +93,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — and only bucket-sharing pairs pay the exact cosine."""
     from pyspark.sql.window import Window
 
-    emb = _spread_embeddings(spark, sf_dir)
     # Signatures + norms via the Arrow/numpy twins: one matmul (and one
     # cumsum fold) per batch instead of ~4k interpreted HOF lambda
     # evaluations per row (HOFs never codegen; fold_dot_np reproduces
     # the sequential fold bit-for-bit — see operators/similarity.py).
-    sig = emb.select(
+    # Optimization round 17: (vec_id, v, nrm) comes from the E3-shared
+    # _ivf_norms relation (scan + repartition + norm kernel once per
+    # session); only the band projection stays per-query.
+    sig = _ivf_norms(spark, sf_dir).select(
         "vec_id",
         "v",
-        F.sqrt(fold_dot_np("v", "v")).alias("nrm"),
+        "nrm",
         band_buckets_np("v").alias("bands"),
     )
     buckets = sig.select(
@@ -191,6 +193,26 @@ _IVF_QUANTIZER_CTE = f"""cents AS (
 
 
 
+def _ivf_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm) — the normalized embedding relation every IVF
+    consumer reads. Optimization round 17: ``shared_stage``-memoized
+    per (application, sf_dir). It was a per-query ``stage_checkpoint``
+    inside ``_ivf_assign_and_probes``, so each of the EIGHT registered
+    consumers re-paid the embeddings scan + repartition + Arrow norm
+    kernel every invocation; the registry releases per-query
+    checkpoints at each top-level entry, which is exactly the replay
+    ``shared_stage`` exists to cut (the dedup-chain precedent)."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        emb = _spread_embeddings(spark, sf_dir)
+        return emb.select(
+            "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
+        )
+
+    return shared_stage(spark, ("ivf_norms", sf_dir), build)
+
+
 def _ivf_assign_and_probes(spark: SparkSession, sf_dir: str):
     """The deterministic IVF coarse quantizer, shared VERBATIM by
     ivf_topk and mmr_ann_diverse_topk (its oracle twin is
@@ -201,16 +223,19 @@ def _ivf_assign_and_probes(spark: SparkSession, sf_dir: str):
     onto its IVF_NPROBE best cells. ivf_refined_topk keeps its own
     variant — its centroid relation is the refined (re-trained) set,
     not this fixed corpus subset.
-    """
-    from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
-    emb = _spread_embeddings(spark, sf_dir)
-    # Three consumers (centroid fold, corpus assign, query probes) read
-    # the normalized corpus; checkpoint it so the scan + norm kernel run
-    # once (same slim as ivf_refined_topk).
-    n = stage_checkpoint(
-        emb.select("vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm"))
-    )
+    Optimization round 17: ``assign`` and ``probes`` are
+    ``shared_stage``-memoized per (application, sf_dir). Eight
+    registered queries consume this quantizer; each used to recompute
+    the per-row HOF argmax over the 16-centroid array (16 interpreted
+    64-dim folds per corpus row — HOFs never codegen) on every
+    invocation. The relations are content-identical to the previous
+    per-query build; plan audits bypass the memo and still see the
+    full pipeline (AUDIT_BYPASS_SHARED).
+    """
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    n = _ivf_norms(spark, sf_dir)
     # One row: every centroid in an array sorted by cent_id
     # (collect_list order is nondeterministic; sort_array on the leading
     # struct field restores it — the argmax tie-break relies on it).
@@ -261,21 +286,29 @@ def _ivf_assign_and_probes(spark: SparkSession, sf_dir: str):
         IVF_NPROBE,
     )
 
-    assign = (
-        n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
-        .crossJoin(F.broadcast(cent_arr))
-        .select("vec_id", "v", "nrm", best_cell.alias("cell"))
+    assign = shared_stage(
+        spark,
+        ("ivf_assign", sf_dir),
+        lambda: (
+            n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
+            .crossJoin(F.broadcast(cent_arr))
+            .select("vec_id", "v", "nrm", best_cell.alias("cell"))
+        ),
     )
-    probes = (
-        n.filter(F.col("vec_id") < _QUERY_MAX_ID)
-        .crossJoin(F.broadcast(cent_arr))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            F.explode(probe_cells).alias("p"),
-        )
-        .select("q_id", "qv", "qn", F.col("p.cell").alias("cell"))
+    probes = shared_stage(
+        spark,
+        ("ivf_probes", sf_dir),
+        lambda: (
+            n.filter(F.col("vec_id") < _QUERY_MAX_ID)
+            .crossJoin(F.broadcast(cent_arr))
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+                F.explode(probe_cells).alias("p"),
+            )
+            .select("q_id", "qv", "qn", F.col("p.cell").alias("cell"))
+        ),
     )
     return assign, probes
 
@@ -622,11 +655,10 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_similar_pairs_build(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = _spread_embeddings(spark, sf_dir)
-    sig = emb.select(
+    sig = _ivf_norms(spark, sf_dir).select(
         "vec_id",
         "v",
-        F.sqrt(fold_dot_np("v", "v")).alias("nrm"),
+        "nrm",
         band_buckets_np("v").alias("bands"),
     )
     cand = _emb_bucket_pairs(sig)
@@ -806,16 +838,14 @@ def ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
-    emb = _spread_embeddings(spark, sf_dir)
     # The normalized corpus feeds FIVE consumers (seed centroids, coarse
     # assign, refined-centroid lookup, re-assign, query probes); without
     # materialization each one replays the scan + norm kernel and the
-    # whole plan balloons to 34 shuffles / 26 broadcasts. One checkpoint
-    # here and one on `assign` (anchors + member scoring) collapse the
-    # repeated subplans; values are untouched.
-    n = stage_checkpoint(
-        emb.select("vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm"))
-    )
+    # whole plan balloons to 34 shuffles / 26 broadcasts. Optimization
+    # round 17: the materialized relation is the E3-shared _ivf_norms
+    # (session-memoized) instead of a per-query checkpoint; values are
+    # untouched.
+    n = _ivf_norms(spark, sf_dir)
     corpus = n.filter(F.col("vec_id") >= _QUERY_MAX_ID)
 
     def argmax_cell(arr_col: str, id_field: str, vec_field: str, nrm_field: str):
@@ -1252,10 +1282,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 
-    emb = _spread_embeddings(spark, sf_dir)
-    normed = emb.select(
-        "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
-    )
+    normed = _ivf_norms(spark, sf_dir)
     q = normed.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
@@ -1641,18 +1668,26 @@ def _semdedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-minimum members of the within-cell cosine clusters — the
     vec_ids SemDeDup removes. Shared by the survivor transform and
-    the composed D4 pipeline below; the component loop touches only
-    the shared_stage'd edge relation."""
+    the composed D4 pipeline below. Optimization round 17: the
+    connected-components CLOSURE is itself ``shared_stage``-memoized —
+    the edge relation already was, but both consumers re-ran the CC
+    driver loop (one join + agg job per iteration) on every
+    invocation; the dropped set is exactly as immutable as the edges
+    it derives from."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
     from bq_nvd_spark.operators.graph import connected_components
 
-    edges = _semdedup_edges(spark, sf_dir).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    return (
-        connected_components(edges, max_iter=10)
-        .filter(F.col("id") != F.col("cluster_id"))
-        .select(F.col("id").alias("vec_id"))
-    )
+    def build() -> DataFrame:
+        edges = _semdedup_edges(spark, sf_dir).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        return (
+            connected_components(edges, max_iter=10)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias("vec_id"))
+        )
+
+    return shared_stage(spark, ("semdedup_dropped", sf_dir), build)
 
 
 @query(
@@ -1824,9 +1859,13 @@ def _centroid_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, the same fixed corpus subset the shared quantizer folds
     into its array form. ONE definition for every consumer that
     joins against centroids relationally (the D4 rank, the nprobe
-    sweep's probe-rank re-derivation, the composed pipeline)."""
+    sweep's probe-rank re-derivation, the composed pipeline).
+
+    Optimization round 17: sliced from the shared ``_ivf_norms``
+    relation instead of re-running the embeddings scan + Arrow norm
+    kernel per consumer — same rows, same kernel, same values."""
     return (
-        _spread_embeddings(spark, sf_dir)
+        _ivf_norms(spark, sf_dir)
         .filter(
             (F.col("vec_id") >= _QUERY_MAX_ID)
             & (F.col("vec_id") < _CENT_MAX_ID)
@@ -1834,7 +1873,7 @@ def _centroid_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),
-            F.sqrt(fold_dot_np("v", "v")).alias("cnrm"),
+            F.col("nrm").alias("cnrm"),
         )
     )
 
@@ -2039,10 +2078,7 @@ def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         from pyspark.sql.window import Window
 
-        emb = _spread_embeddings(spark, sf_dir)
-        n = emb.select(
-            "vec_id", "v", F.sqrt(fold_dot_np("v", "v")).alias("nrm")
-        )
+        n = _ivf_norms(spark, sf_dir)
         q = n.filter(F.col("vec_id") < _QUERY_MAX_ID).select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),

