@@ -1547,8 +1547,17 @@ def boilerplate_excise_kernel(
 
 def _pos_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered queries' pos-line relation: fixture
-    segmentation over the driver documents table."""
-    return pos_lines_kernel(load_table(spark, sf_dir, "documents"))
+    segmentation over the driver documents table. Optimization round
+    17: ``shared_stage``-memoized — its two consumers (the boilerplate
+    census build and the excision transform) each re-exploded the
+    corpus into lines per invocation."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("pos_lines", sf_dir),
+        lambda: pos_lines_kernel(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,6 +47,24 @@ def _spread_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERY_MAX_ID = 5  # vec_id < 5 are the query set, the rest the corpus
 
 
+def _emb_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm, bands) — the sign-LSH signature relation over
+    the shared normalized corpus. Optimization round 17:
+    ``shared_stage``-memoized per (application, sf_dir); its two
+    registered consumers (ann_lsh_topk and the
+    embedding_similar_pairs chain) each ran the band-projection Arrow
+    kernel twice per invocation (query side + corpus side of their
+    joins). Values identical: same kernel over the same shared norms."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        return _ivf_norms(spark, sf_dir).select(
+            "vec_id", "v", "nrm", band_buckets_np("v").alias("bands")
+        )
+
+    return shared_stage(spark, ("emb_sig", sf_dir), build)
+
+
 @query(
     "ann_lsh_topk",
     oracle=f"""
@@ -97,15 +115,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumsum fold) per batch instead of ~4k interpreted HOF lambda
     # evaluations per row (HOFs never codegen; fold_dot_np reproduces
     # the sequential fold bit-for-bit — see operators/similarity.py).
-    # Optimization round 17: (vec_id, v, nrm) comes from the E3-shared
-    # _ivf_norms relation (scan + repartition + norm kernel once per
-    # session); only the band projection stays per-query.
-    sig = _ivf_norms(spark, sf_dir).select(
-        "vec_id",
-        "v",
-        "nrm",
-        band_buckets_np("v").alias("bands"),
-    )
+    # Optimization round 17: the whole signature relation is the shared
+    # _emb_sig stage (norm + band kernels once per session; this plan's
+    # query and corpus sides previously each re-ran them per run).
+    sig = _emb_sig(spark, sf_dir)
     buckets = sig.select(
         "vec_id", "v", "nrm", F.posexplode("bands").alias("band_idx", "bucket")
     )
@@ -655,12 +668,7 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_similar_pairs_build(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sig = _ivf_norms(spark, sf_dir).select(
-        "vec_id",
-        "v",
-        "nrm",
-        band_buckets_np("v").alias("bands"),
-    )
+    sig = _emb_sig(spark, sf_dir)
     cand = _emb_bucket_pairs(sig)
     return cand.select(
         "id_a",

@@ -95,7 +95,23 @@ class ParquetUpsertStore:
             vacuum_slack = 0
         self.vacuum_slack = min(max(int(vacuum_slack), 0),
                                 self.max_history - 1)
+        # Data-file schema memo (optimization round 17): the merge
+        # contract fixes the row schema for the store's lifetime, yet
+        # every per-batch touched-bucket read and every current()/
+        # read_at() scan re-ran parquet footer inference (~120 ms of
+        # driver time each). Captured from the first read; explicit
+        # schema reads skip the inference thereafter. Metadata only —
+        # the data itself is re-scanned on every action.
+        self._data_schema = None
         os.makedirs(root, exist_ok=True)
+
+    def _read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        """Scan bucket-version dirs with the memoized data schema."""
+        if self._data_schema is not None:
+            return spark.read.schema(self._data_schema).parquet(*paths)
+        df = spark.read.parquet(*paths)
+        self._data_schema = df.schema
+        return df
 
     def _manifest(self) -> dict:
         path = os.path.join(self.root, "manifest.json")
@@ -132,7 +148,7 @@ class ParquetUpsertStore:
         m = self._manifest()
         if not m["buckets"]:
             return None
-        return spark.read.parquet(*self._bucket_paths(m["buckets"]))
+        return self._read(spark, self._bucket_paths(m["buckets"]))
 
     def read_at(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
         """Snapshot read: the store AS OF the commit for ``batch_id``
@@ -159,7 +175,7 @@ class ParquetUpsertStore:
                 f"snapshot for batch_id<={batch_id} was vacuumed "
                 f"(missing {len(missing)} bucket versions)"
             )
-        return spark.read.parquet(*paths) if paths else None
+        return self._read(spark, paths) if paths else None
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete bucket-version directories referenced ONLY by commits
@@ -302,7 +318,7 @@ class ParquetUpsertStore:
             # partitionBy strips __bucket from data files; recompute it
             # from the key (it is derivable — that is why hash-bucketing
             # needs no stored column).
-            old = spark.read.parquet(*old_paths).withColumn("__bucket", bucket_of)
+            old = self._read(spark, old_paths).withColumn("__bucket", bucket_of)
             # Null-safe equality: a NULL merge key (streaming groupBy
             # emits a NULL group when the raw key is NULL) must replace /
             # delete the store's NULL row — plain `on=key` would never
