@@ -298,6 +298,34 @@ def refine_sigs_np(texts: "pd.Series") -> "pd.Series":
     return _banded_minhash_kernel(texts, N_HASHES)
 
 
+def _bands_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-corpus (band_idx, band_sig, doc_id) relation, memoized
+    via ``shared_stage`` (optimization round 17): the signature kernel
+    is the CPU-bound stage of the whole MinHash family, and five
+    registered consumers (bucket census, capped-candidate chain,
+    incremental dedup, snapshot dup delta, sampled pairs) each re-ran
+    it per session pass — in aggregate ~4 full corpus passes for one
+    relation's worth of content. Built once per (app, sf_dir); every
+    consumer slices the memoized frame.
+
+    The repartition exists for the same reason as the ANN corpus
+    spread: signature computation is the CPU-bound stage, and a toy
+    single-file table would otherwise feed exactly one Arrow worker;
+    real inputs arrive already partitioned."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        return docs.select(
+            "doc_id",
+            F.posexplode(band_sigs_np("text")).alias("band_idx", "band_sig"),
+        ).select("band_idx", "band_sig", "doc_id")
+
+    return shared_stage(spark, ("llm.bands", sf_dir), build)
+
+
 def _spark_bands(
     spark: SparkSession, sf_dir: str, pre_filter: Column | None = None
 ) -> DataFrame:
@@ -305,19 +333,22 @@ def _spark_bands(
     minhashes fold into an array of 4 band signatures which posexplode
     unrolls — the signature subtree is scanned once, not once per band.
 
-    The repartition exists for the same reason as the ANN corpus spread:
-    signature computation is the CPU-bound stage, and a toy single-file
-    table would otherwise feed exactly one Arrow worker; real inputs
-    arrive already partitioned. ``pre_filter`` applies BEFORE the
-    exchange — a caller's row filter would otherwise sit above the
-    repartition and pay signatures for rows it then drops."""
-    docs = load_table(spark, sf_dir, "documents")
+    Backed by the session-shared full-corpus relation (``_bands_rel``);
+    ``pre_filter`` — every registered caller's is a pure function of
+    ``doc_id``, which the band relation carries — now slices the
+    memoized frame instead of re-running the signature kernel over its
+    shard. (Pre-memo, the filter was pushed below the signature stage
+    so each shard paid hashes only for its own rows; with the session
+    memo the full relation is built exactly once and the post-filter
+    is a free scan of checkpointed rows. Under ``AUDIT_BYPASS_SHARED``
+    the filter sits above the signature kernel — the audit plan shows
+    the true pipeline shape but pays full-corpus hashes; a sharded
+    deployment that cannot hold the session memo should pass its shard
+    predicate to ``_bands_rel``'s underlying build instead.)"""
+    bands = _bands_rel(spark, sf_dir)
     if pre_filter is not None:
-        docs = docs.filter(pre_filter)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return docs.select(
-        "doc_id", F.posexplode(band_sigs_np("text")).alias("band_idx", "band_sig")
-    ).select("band_idx", "band_sig", "doc_id")
+        bands = bands.filter(pre_filter)
+    return bands
 
 
 @query(

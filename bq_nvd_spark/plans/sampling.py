@@ -1004,18 +1004,23 @@ def bloom_flagged_ids(
 
 
 def bloom_census_kernel(
-    labeled: DataFrame, bits: int = BLOOM_BITS
+    labeled: DataFrame,
+    bits: int = BLOOM_BITS,
+    flagged: DataFrame | None = None,
 ) -> DataFrame:
     """The Bloom-vs-exact census over any (doc_id, source, gram, held)
     relation — the whole query below minus the corpus wiring, exposed
     so tests can shrink ``bits`` and watch a real false-positive
     excess trip ``fp_within_bound`` (proving the bound is computed,
-    not vacuously TRUE)."""
+    not vacuously TRUE). ``flagged`` lets a caller hand in an
+    already-materialized ``bloom_flagged_ids`` relation (the shared
+    stage below); when None the kernel derives it itself — the test
+    paths with custom ``bits`` stay self-contained."""
     ev = labeled.filter("held").select("gram").distinct()
     train = labeled.filter(~F.col("held"))
-    bloom_ids = bloom_flagged_ids(labeled, bits=bits).withColumn(
-        "b", F.lit(1)
-    )
+    if flagged is None:
+        flagged = bloom_flagged_ids(labeled, bits=bits)
+    bloom_ids = flagged.withColumn("b", F.lit(1))
     exact_ids = (
         train.join(ev, "gram", "left_semi")
         .select("doc_id")
@@ -1090,7 +1095,29 @@ def bloom_decontamination_census(
     (see the section note): exact integers hash-gated, the Bloom
     no-false-negative and false-positive-excess properties asserted
     Spark-side against the exact join."""
-    return bloom_census_kernel(_decon_labeled(spark, sf_dir))
+    return bloom_census_kernel(
+        _decon_labeled(spark, sf_dir),
+        flagged=_bloom_flagged_rel(spark, sf_dir),
+    )
+
+
+def _bloom_flagged_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-sized Bloom flagged-ids relation, memoized via
+    ``shared_stage`` (optimization round 17): the probe explode
+    (K=7 position rows per train gram) → semi-join → per-gram K-count
+    is the Bloom family's dominant stage, and BOTH registered
+    consumers (the validation census and the fast-path transform) ran
+    it from scratch per session pass. One bigint doc_id per flagged
+    train doc — bounded by the train corpus' distinct docs. Test
+    paths with custom ``bits``/``labeled`` keep calling
+    ``bloom_flagged_ids`` directly and never touch this memo."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("bloom_flagged", sf_dir),
+        lambda: bloom_flagged_ids(_decon_labeled(spark, sf_dir)),
+    )
 
 
 def _decon_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,7 +1177,7 @@ def bloom_decontaminated_docs(
     # No forced broadcast: flagged size tracks true contamination and
     # can be corpus-proportional on a contaminated corpus — AQE picks.
     return train_docs.join(
-        bloom_flagged_ids(labeled), "doc_id", "left_anti"
+        _bloom_flagged_rel(spark, sf_dir), "doc_id", "left_anti"
     )
 
 

@@ -95,6 +95,22 @@ def _span_keys(docs: DataFrame, with_pos: bool = False) -> DataFrame:
     )
 
 
+def _span_grams_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus (doc_id, span_key) relation, memoized via
+    ``shared_stage`` (optimization round 17): three consumers — the
+    duplicated-key build below, ``duplicate_span_docs``'s join-back
+    side, and ``span_contamination_census`` — each re-ran the token
+    split + rolling-window explode per session pass. Fixed-width
+    (long, long) rows, one per SPAN_N-token window."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    return shared_stage(
+        spark,
+        ("span_grams", sf_dir),
+        lambda: _span_keys(load_table(spark, sf_dir, "documents")),
+    )
+
+
 def _dup_span_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-wide duplicated-span key relation (span_key occurring
     in >= 2 distinct documents) — memoized via ``shared_stage`` so its
@@ -106,7 +122,7 @@ def _dup_span_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bq_nvd_spark.operators.checkpoint import shared_stage
 
     def build() -> DataFrame:
-        grams = _span_keys(load_table(spark, sf_dir, "documents"))
+        grams = _span_grams_rel(spark, sf_dir)
         return (
             grams.groupBy("span_key")
             .agg(F.count_distinct("doc_id").alias("nd"))
@@ -134,7 +150,7 @@ def duplicate_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, span_key) longs, hash-agg for the duplicated key set,
     equi-join back, count per doc — three shuffles, all on longs.
     """
-    grams = _span_keys(load_table(spark, sf_dir, "documents"))
+    grams = _span_grams_rel(spark, sf_dir)
     return (
         grams.join(_dup_span_keys(spark, sf_dir), "span_key")
         .groupBy("doc_id")
@@ -163,7 +179,7 @@ def span_contamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation. Distinct-doc counting per span is exact — the span-key
     relation is (long, long) rows, so even the Zipfian head is cheap.
     """
-    grams = _span_keys(load_table(spark, sf_dir, "documents"))
+    grams = _span_grams_rel(spark, sf_dir)
     per_span = (
         grams.groupBy("span_key")
         .agg(
