@@ -173,9 +173,9 @@ _CENT_MAX_ID = _QUERY_MAX_ID + IVF_CELLS
 #: interpolated into ivf_topk's oracle AND _MMR_IVF_REL below, so a
 #: tie-break or quantization fix cannot drift between the two (the
 #: Spark twin is _ivf_assign_and_probes). Expects an ``n`` CTE of
-#: (vec_id, v, nrm) in scope. ivf_refined_topk keeps its own variant:
-#: its centroid relation is the refined (re-trained) set, not this
-#: fixed corpus subset.
+#: (vec_id, v, nrm) in scope. ivf_refined_topk's FINAL quantizer is its
+#: own (the refined, re-trained centroid set), but its seed pass is
+#: this fixed quantizer and consumes the shared ``assign`` relation.
 _IVF_QUANTIZER_CTE = f"""cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
       FROM n WHERE vec_id >= {_QUERY_MAX_ID} AND vec_id < {_CENT_MAX_ID}
@@ -233,9 +233,10 @@ def _ivf_assign_and_probes(spark: SparkSession, sf_dir: str):
     quantization fix cannot drift between consumers). Returns
     ``(assign, probes)``: every corpus vector with its argmax-cosine
     cell (ties to the smallest cent_id), and each query replicated
-    onto its IVF_NPROBE best cells. ivf_refined_topk keeps its own
-    variant — its centroid relation is the refined (re-trained) set,
-    not this fixed corpus subset.
+    onto its IVF_NPROBE best cells. ivf_refined_topk's FINAL quantizer
+    stays its own (the refined, re-trained centroid set), but its seed
+    coarse-assign pass is content-identical to ``assign`` and consumes
+    it (optimization round 17).
 
     Optimization round 17: ``assign`` and ``probes`` are
     ``shared_stage``-memoized per (application, sf_dir). Eight
@@ -872,28 +873,13 @@ def ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(acc),
         )["cell"]
 
-    # Seeds → one broadcast row, sorted by cent_id (argmax tie-break).
-    cent_arr = (
-        n.filter(
-            (F.col("vec_id") >= _QUERY_MAX_ID) & (F.col("vec_id") < _CENT_MAX_ID)
-        )
-        .select(
-            F.struct(
-                F.col("vec_id").alias("cent_id"),
-                F.col("v").alias("cv"),
-                F.col("nrm").alias("cnrm"),
-            ).alias("c")
-        )
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
-    assign = stage_checkpoint(
-        corpus.crossJoin(F.broadcast(cent_arr)).select(
-            "vec_id",
-            "v",
-            "nrm",
-            argmax_cell("cents", "cent_id", "cv", "cnrm").alias("cell"),
-        )
-    )
+    # Seed (coarse) assignment: content-identical to the session-shared
+    # fixed-seed quantizer — same centroid subset, same sorted array,
+    # same strictly-greater argmax fold — so consume the shared
+    # relation instead of re-running the corpus × 16-centroid HOF pass
+    # per invocation (optimization round 17). Only the RE-assign below
+    # is refined-specific.
+    assign, _ = _ivf_assign_and_probes(spark, sf_dir)
 
     # Per-cell anchor sample: the N_ANCHORS lowest-id members, folded to
     # one array per cell and broadcast back onto the members.
@@ -2208,26 +2194,31 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = spark.range(1, IVF_NPROBE + 1).select(
         F.col("id").cast("long").alias("nprobe")
     )
-    cand = (
-        pr.join(
-            assign.select(
-                "vec_id", F.col("v").alias("av"), F.col("nrm").alias("an"),
-                "cell",
-            ),
+    # Score each (query, candidate) pair ONCE, below the sweep
+    # replication: sim_e4 is a pure function of (qv, av), so computing
+    # it above the prank<=nprobe join re-ran the Arrow dot kernel up to
+    # IVF_NPROBE times per pair (and shipped the 64-double vectors into
+    # the replicated rows). The sweep join now fans out scalar rows
+    # only (optimization round 17; guide §4.1).
+    pair_scored = pr.join(
+        assign.select(
+            "vec_id", F.col("v").alias("av"), F.col("nrm").alias("an"),
             "cell",
-        )
-        .join(F.broadcast(sweep), F.col("prank") <= F.col("nprobe"))
-        .select(
-            "nprobe",
-            "q_id",
-            "vec_id",
-            F.floor(
-                fold_dot_np("qv", "av") / (F.col("qn") * F.col("an"))
-                * 10000
-                + 0.5
-            ).cast("long").alias("sim_e4"),
-        )
+        ),
+        "cell",
+    ).select(
+        "q_id",
+        "vec_id",
+        "prank",
+        F.floor(
+            fold_dot_np("qv", "av") / (F.col("qn") * F.col("an"))
+            * 10000
+            + 0.5
+        ).cast("long").alias("sim_e4"),
     )
+    cand = pair_scored.join(
+        F.broadcast(sweep), F.col("prank") <= F.col("nprobe")
+    ).select("nprobe", "q_id", "vec_id", "sim_e4")
     w_top = Window.partitionBy("nprobe", "q_id").orderBy(
         F.desc("sim_e4"), F.asc("vec_id")
     )
