@@ -337,10 +337,16 @@ def decontamination_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = labeled.filter(~F.col("held_out")).select(
         F.col("doc_id").alias("train_doc"), "gram"
     )
+    # (doc_id, gram) is UNIQUE by construction (_decon_grams_np emits
+    # each document's distinct gram SET), so every (eval_doc,
+    # train_doc, gram) join row is unique and COUNT(*) == COUNT
+    # (DISTINCT gram) exactly — the plain count drops the distinct
+    # aggregate's extra phase (optimization round 17; the oracle keeps
+    # COUNT(DISTINCT) as the spec and the hash compare pins equality).
     return (
         h.join(t, "gram")
         .groupBy("eval_doc", "train_doc")
-        .agg(F.countDistinct("gram").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= MIN_SHARED)
     )
 

@@ -410,6 +410,35 @@ def _staged_event_chunks(spark: SparkSession, sf_dir: str, stage_dir: str, n: in
     return ev.schema
 
 
+#: process-scoped staged-chunk memo (optimization round 17): the chunk
+#: layout is a pure function of (sf_dir, n) — pmod(event_id, n) over an
+#: immutable fixture — yet BOTH registered merge streams re-ran the
+#: stage write inside every invocation. The stage is read-only once
+#: written (each invocation's store/checkpoint stay private and fresh),
+#: so one write per process serves every later stream start. Same
+#: session-memo class as operators/checkpoint.py::shared_stage; dirs
+#: ride the _durable_workdir lifecycle (dead-owner GC + atexit wipe).
+_STAGE_BASE: str | None = None
+_STAGE_MEMO: dict = {}
+
+
+def _shared_event_stage(spark: SparkSession, sf_dir: str, n: int):
+    """(stage_dir, schema) for the n-chunk staged events table,
+    written at most once per (process, sf_dir, n)."""
+    global _STAGE_BASE
+    if _STAGE_BASE is None:
+        _STAGE_BASE = _durable_workdir("stage")
+    key = (sf_dir, n)
+    hit = _STAGE_MEMO.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    d = os.path.join(_STAGE_BASE, f"c{len(_STAGE_MEMO)}")
+    schema = _staged_event_chunks(spark, sf_dir, d, n=n)
+    hit = (d, schema)
+    _STAGE_MEMO[key] = hit
+    return hit
+
+
 def _proc_start_token(pid: int) -> str | None:
     """The process's kernel start time (clock ticks since boot, field 22
     of /proc/<pid>/stat) — a token that distinguishes two processes
@@ -504,8 +533,7 @@ def run_upsert_totals_stream(
     per micro-batch (the engine's own durationMs decomposition) —
     scripts/streaming_floor_profile.py uses it to attribute the
     per-batch floor to planning / WAL / state / sink."""
-    stage = os.path.join(work, "stage")
-    schema = _staged_event_chunks(spark, sf_dir, stage, n=n_chunks)
+    stage, schema = _shared_event_stage(spark, sf_dir, n_chunks)
     store = ParquetUpsertStore(
         os.path.join(work, "store"),
         # long-lived stream: amortize the at-cap vacuum scan, trading
@@ -607,8 +635,7 @@ def streaming_cdc_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     process's scratch store, which the NEXT in-process invocation of
     this query wipes — collect the result before re-invoking."""
     work = _durable_workdir("cdc")
-    stage = os.path.join(work, "stage")
-    schema = _staged_event_chunks(spark, sf_dir, stage, n=4)
+    stage, schema = _shared_event_stage(spark, sf_dir, 4)
     store = ParquetUpsertStore(
         os.path.join(work, "store"),
         # long-lived stream: amortize the at-cap vacuum scan, trading
