@@ -88,7 +88,7 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (A, "one-row total"),
     ("plans/llm.py", "unigram_surprisal_scores", "tot"):
         (A, "one-row token total"),
-    ("plans/llm.py", "_bpe_run", "top.select('pair')"):
+    ("plans/llm.py", "build_corpus", "top.select('pair')"):
         (L, "round winner: .limit(1)"),
     ("plans/llm.py", "collocation_pmi_top", "tot"):
         (A, "one-row pair total"),
@@ -163,8 +163,6 @@ CLASSIFIED: dict[tuple[str, str, str], tuple[str, str]] = {
         (C, "sweep spine: IVF_NPROBE=4 rows, a constant"),
     ("plans/similarity_search.py", "ivf_topk", "probes"):
         (C, "≤5 queries × IVF_NPROBE probe cells"),
-    ("plans/similarity_search.py", "ivf_refined_topk", "cent_arr"):
-        (C, "IVF centroid array: one row of K=16 structs"),
     ("plans/similarity_search.py", "ivf_refined_topk", "anchors"):
         (C, "per-cell anchor arrays: ≤16 cells × N_ANCHORS structs"),
     ("plans/similarity_search.py", "ivf_refined_topk", "rcent_arr"):
