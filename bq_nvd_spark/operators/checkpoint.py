@@ -295,6 +295,38 @@ def shared_stage_count(spark: SparkSession) -> int:
         return len(_SHARED.get(spark.sparkContext.applicationId, ()))
 
 
+def shared_stage_peek(spark: SparkSession, key: tuple):
+    """The memoized frame for ``key`` if this application already built
+    it, else None — NEVER builds. Lets a chain owner short-circuit past
+    intermediate stages whose entries it released (see
+    ``release_shared_stage``) once the chain's terminal relations
+    exist."""
+    with _TRACKED_LOCK:
+        cached = _SHARED.get(spark.sparkContext.applicationId, {}).get(key)
+    return cached[0] if cached is not None else None
+
+
+def release_shared_stage(spark: SparkSession, key: tuple) -> int:
+    """Unpersist ONE shared stage's blocks and drop its memo entry.
+
+    For chain INTERMEDIATES that are provably dead once a later stage
+    materializes (the BPE per-round corpora: every downstream read goes
+    through the memoized winner/final-corpus frames, which are
+    lineage-truncated checkpoints that never re-touch their inputs).
+    Same hazard as the blanket release, scoped to one key: the entry's
+    frame must never have been RETURNED to a consumer — only consumed
+    inside later builds — or a held reference dies. A later
+    ``shared_stage`` call with this key rebuilds from scratch, so the
+    owner must short-circuit re-derivation via ``shared_stage_peek`` on
+    the terminal keys before stepping the chain."""
+    sc = spark.sparkContext
+    with _TRACKED_LOCK:
+        entry = _SHARED.get(sc.applicationId, {}).pop(key, None)
+    if entry is None:
+        return 0
+    return _unpersist_ids(sc, set(entry[1]))
+
+
 def release_shared_stages(spark: SparkSession) -> int:
     """Unpersist every ``shared_stage`` block of the current application
     and forget the memo. For tests, benchmarks that want cold runs, and

@@ -278,3 +278,54 @@ def subspace_dots_np(a: pd.Series, b: pd.Series) -> pd.Series:
     mb = np.vstack(b.to_numpy()).reshape(-1, PQ_M, PQ_SUB)
     dots = np.cumsum(ma * mb, axis=2)[:, :, -1]  # (n, PQ_M)
     return pd.Series(list(dots))
+
+
+def pq_codebook_matrices(seed_rows, pq_m: int = PQ_M):
+    """(cb, cc_mat) numpy pair from collected (cid, cv) codebook rows:
+    the (K, PQ_M, SUB) centroid subvector tensor sorted by cid, and its
+    per-subspace self-dots under the same cumsum left-fold as
+    ``subspace_dots_np``. Pure math — shared by the production encoder
+    below and the code-parity test, so the two cannot drift."""
+    cb = np.array(
+        [r["cv"] for r in sorted(seed_rows, key=lambda r: r["cid"])],
+        dtype="float64",
+    ).reshape(-1, pq_m, DIM // pq_m)
+    cc_mat = np.cumsum(cb * cb, axis=2)[:, :, -1]  # (K, PQ_M)
+    return cb, cc_mat
+
+
+def pq_encode_codes(mv: "np.ndarray", cb_m: "np.ndarray", cc_m: "np.ndarray"):
+    """PQ codes for a stacked (n, PQ_M, SUB) vector tensor: nearest
+    centroid per subspace via d² = (aa − 2·ab) + cc with every dot a
+    cumsum left-fold and ``np.argmin`` keeping the FIRST minimum —
+    exactly the min-of-struct (d, cid) tie-break of the crossJoin
+    formulation this kernel replaced (pinned by the parity test)."""
+    aa = np.cumsum(mv * mv, axis=2)[:, :, -1]  # (n, PQ_M)
+    # ab[i, k, m] — cumsum fold over the subspace axis
+    ab = np.cumsum(
+        mv[:, None, :, :] * cb_m[None, :, :, :], axis=3
+    )[:, :, :, -1]  # (n, K, PQ_M)
+    d = (aa[:, None, :] - 2 * ab) + cc_m[None, :, :]  # (n, K, PQ_M)
+    return np.argmin(d, axis=1).astype("int64")  # first min == smallest cid
+
+
+def make_pq_encoder(spark, seeds):
+    """The single-pass PQ encode kernel: collect the bounded codebook
+    (≤ K_CENTROIDS = 64 rows — a documented bounded-collect site, the
+    same driver-materialization class as the rank-select histograms in
+    ``operators/rank_select.py``), ship it as a broadcast variable, and
+    return an Arrow kernel that encodes each corpus vector in ONE pass
+    (guide §3.2/§4 — the crossJoin + groupBy-argmin it replaced pushed
+    ~130 MB of vector pairs through the Arrow boundary per run)."""
+    from pyspark.sql.types import LongType
+
+    seed_rows = seeds.collect()  # bounded: ≤ K_CENTROIDS rows
+    bc = spark.sparkContext.broadcast(pq_codebook_matrices(seed_rows))
+
+    @pandas_udf(ArrayType(LongType()))
+    def pq_encode_np(vs: "pd.Series") -> "pd.Series":
+        cb_m, cc_m = bc.value  # (K, PQ_M, SUB), (K, PQ_M)
+        mv = np.vstack(vs.to_numpy()).reshape(-1, PQ_M, cb_m.shape[2])
+        return pd.Series(list(pq_encode_codes(mv, cb_m, cc_m)))
+
+    return pq_encode_np

@@ -2348,8 +2348,44 @@ def _bpe_run(
     rewrite_final=False consumer that runs first builds exactly the
     prefix it needs and a later =True consumer adds only the final
     rewrite — same session-pass semantics as the dedup chain and the
-    Gopher rules relation (operators/checkpoint.py::shared_stage)."""
-    from bq_nvd_spark.operators.checkpoint import shared_stage
+    Gopher rules relation (operators/checkpoint.py::shared_stage).
+
+    Storage discipline (review finding, this round): the INTERMEDIATE
+    corpora (rounds 1..R−1) are dead once the final rewrite
+    materializes — every downstream read goes through the memoized
+    winner/final frames, which are lineage-truncated checkpoints. They
+    are released eagerly at that point (corpus-text blocks, the
+    chain's only corpus-scale × rounds footprint), and later consumers
+    short-circuit via the terminal memo entries instead of stepping
+    the released chain."""
+    from bq_nvd_spark.operators.checkpoint import (
+        release_shared_stage,
+        shared_stage,
+        shared_stage_peek,
+    )
+
+    # Short-circuit: when every terminal relation this caller needs is
+    # already memoized, serve them directly — the per-round loop below
+    # would otherwise REBUILD the released intermediate corpora.
+    tops = [
+        shared_stage_peek(spark, ("bpe_top", r, sf_dir))
+        for r in range(BPE_ROUNDS)
+    ]
+    final = shared_stage_peek(spark, ("bpe_corpus", BPE_ROUNDS, sf_dir))
+    if all(t is not None for t in tops) and (
+        not rewrite_final or final is not None
+    ):
+        outs = [
+            t.select(F.lit(r).alias("merge_round"), "pair", "n")
+            for r, t in enumerate(tops)
+        ]
+        if rewrite_final:
+            return outs, final
+        # train callers ignore the corpus; hand back the raw docs
+        # frame so the return stays corpus-shaped and lazy
+        return outs, load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("t")
+        )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("t")
@@ -2402,6 +2438,14 @@ def _bpe_run(
         cur = shared_stage(
             spark, ("bpe_corpus", r + 1, sf_dir), build_corpus
         )
+    if rewrite_final:
+        # The final corpus (key BPE_ROUNDS) is materialized: rounds
+        # 1..R−1 are now dead weight (never returned to a consumer,
+        # only consumed inside later builds) — release their
+        # corpus-text blocks; the short-circuit above keeps later
+        # consumers off the released chain.
+        for r in range(1, BPE_ROUNDS):
+            release_shared_stage(spark, ("bpe_corpus", r, sf_dir))
     return outs, cur
 
 

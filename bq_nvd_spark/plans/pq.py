@@ -41,21 +41,16 @@ second).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 from bq_nvd_spark.operators.checkpoint import stage_checkpoint
 from bq_nvd_spark.operators.similarity import (
-    DIM,
     PQ_M,
     duck_fold_dot,
     fold_dot_np,
+    make_pq_encoder,
     subspace_dots_np,
 )
 from bq_nvd_spark.plans.registry import query
@@ -140,39 +135,15 @@ def pq_adc_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebook (corpus × K rows) and pushed BOTH 64-dim vectors of every
     # pair through the Arrow boundary (~130 MB per run at sf0.1), then
     # shuffled a groupBy(vec_id) argmin. The codebook is a CONSTANT
-    # K_CENTROIDS×DIM matrix (32 KB), so it rides a broadcast variable —
-    # the guide §3.2 pattern, same bounded-driver-materialization class
-    # as the rank-select histograms (operators/rank_select.py) — and each
-    # corpus vector crosses the Arrow boundary exactly ONCE; the kernel
-    # computes all K distances per subspace and the argmin in C loops.
-    # Exchange count for the encode: 1 → 0 (no fan-out, no groupBy).
-    # Bit-identity with the previous path: aa/ab/cc use the same
-    # cumsum-left-fold reduction as subspace_dots_np, the distance is
-    # evaluated as ((aa - 2·ab) + cc) in IEEE order like the Catalyst
-    # expression was, and np.argmin keeps the FIRST minimum — exactly
-    # the min-of-struct (d, cid) tie-break (pinned by the code-parity
-    # test in tests/test_similarity_ops.py).
-    seed_rows = seeds.collect()  # bounded: ≤ K_CENTROIDS = 64 rows
-    cb = np.array(
-        [r["cv"] for r in sorted(seed_rows, key=lambda r: r["cid"])],
-        dtype="float64",
-    ).reshape(-1, PQ_M, DIM // PQ_M)
-    # centroid self-dots, same cumsum fold as subspace_dots_np
-    cc_mat = np.cumsum(cb * cb, axis=2)[:, :, -1]  # (K, PQ_M)
-    bc = spark.sparkContext.broadcast((cb, cc_mat))
-
-    @pandas_udf(ArrayType(LongType()))
-    def pq_encode_np(vs: "pd.Series") -> "pd.Series":
-        cb_m, cc_m = bc.value  # (K, PQ_M, SUB), (K, PQ_M)
-        mv = np.vstack(vs.to_numpy()).reshape(-1, PQ_M, cb_m.shape[2])
-        aa = np.cumsum(mv * mv, axis=2)[:, :, -1]  # (n, PQ_M)
-        # ab[i, k, m] — cumsum fold over the subspace axis
-        ab = np.cumsum(
-            mv[:, None, :, :] * cb_m[None, :, :, :], axis=3
-        )[:, :, :, -1]  # (n, K, PQ_M)
-        d = (aa[:, None, :] - 2 * ab) + cc_m[None, :, :]  # (n, K, PQ_M)
-        codes = np.argmin(d, axis=1)  # first min == smallest cid
-        return pd.Series(list(codes.astype("int64")))
+    # K_CENTROIDS×DIM matrix (32 KB), so the encoder ships it as a
+    # broadcast variable and each corpus vector crosses the Arrow
+    # boundary exactly ONCE (encode exchanges 1 → 0). The bounded
+    # codebook collect, the broadcast, and the kernel live in
+    # operators/similarity.py::make_pq_encoder — the operators tree is
+    # where the repo's documented bounded-collect sites belong, and its
+    # pure encode math (pq_encode_codes, bit-identical to the crossJoin
+    # formulation) is exercised directly by the code-parity test.
+    pq_encode_np = make_pq_encoder(spark, seeds)
 
     # nrm rides along so the ADC scorer needs no join back to the
     # corpus (one fewer exchange); the kernel runs ONCE per row (single

@@ -61,10 +61,22 @@ def _stat_key(path: str) -> tuple | None:
 
 
 def table_schema(spark: SparkSession, path: str) -> StructType:
-    """The parquet footer schema of ``path``, memoized per file state."""
+    """The parquet footer schema of ``path``, memoized per file state.
+
+    The session's ``nanosAsLong`` conf joins the key: inference under
+    the legacy flag reads TIMESTAMP(NANOS) as LongType, and serving
+    that cached schema to a session WITHOUT the flag would silently
+    defer the type error from plan time to scan time (and vice versa
+    would mask the loud plan-time failure a mis-configured plain
+    session is supposed to get)."""
+    try:
+        nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        nanos = "false"
     key = _stat_key(path)
     if key is None:
         return spark.read.parquet(path).schema
+    key = key + (nanos,)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema

@@ -432,7 +432,14 @@ def _shared_event_stage(spark: SparkSession, sf_dir: str, n: int):
     hit = _STAGE_MEMO.get(key)
     if hit is not None and os.path.isdir(hit[0]):
         return hit
-    d = os.path.join(_STAGE_BASE, f"c{len(_STAGE_MEMO)}")
+    # Dir name derived from the KEY (not dict size): a dict-length name
+    # collides after the missing-dir recovery path above bumps one
+    # entry, and mode("overwrite") would then silently wipe another
+    # key's staged chunks.
+    import hashlib
+
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    d = os.path.join(_STAGE_BASE, f"c{tag}")
     schema = _staged_event_chunks(spark, sf_dir, d, n=n)
     hit = (d, schema)
     _STAGE_MEMO[key] = hit

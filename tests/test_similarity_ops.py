@@ -815,27 +815,27 @@ def test_pq_encode_kernel_matches_crossjoin_argmin(spark, sf_dir):
         .collect()
     }
 
-    # the new kernel's codes, extracted from the registered plan's own
-    # wiring (rebuild the same closure the query builds)
     out = pq_mod.pq_adc_recall_topk(spark, sf_dir)
-    assert out.count() > 0  # plan sanity; codes compared below
+    assert out.count() > 0  # the registered plan still runs end-to-end
 
+    # The new kernel's codes via the PRODUCTION math itself — the same
+    # pq_codebook_matrices + pq_encode_codes the registered query's
+    # make_pq_encoder closure executes per Arrow batch — so a bug in
+    # the production encode (wrong argmin axis, transposed reshape)
+    # fails THIS assert, not just the recall bound.
     import numpy as np
 
+    from bq_nvd_spark.operators.similarity import (
+        pq_codebook_matrices,
+        pq_encode_codes,
+    )
+
     seed_rows = seeds.select("cid", "cv").collect()
-    cb = np.array(
-        [r["cv"] for r in sorted(seed_rows, key=lambda r: r["cid"])],
-        dtype="float64",
-    ).reshape(-1, PQ_M, 64 // PQ_M)
-    cc_mat = np.cumsum(cb * cb, axis=2)[:, :, -1]
+    cb, cc_mat = pq_codebook_matrices(seed_rows)
     new = {}
     for r in corpus.select("vec_id", "v").collect():
         mv = np.asarray(r["v"], dtype="float64").reshape(1, PQ_M, -1)
-        aa = np.cumsum(mv * mv, axis=2)[:, :, -1]
-        ab = np.cumsum(mv[:, None, :, :] * cb[None, :, :, :], axis=3)[
-            :, :, :, -1
-        ]
-        d = (aa[:, None, :] - 2 * ab) + cc_mat[None, :, :]
-        new[r["vec_id"]] = tuple(int(x) for x in np.argmin(d, axis=1)[0])
+        codes = pq_encode_codes(mv, cb, cc_mat)
+        new[r["vec_id"]] = tuple(int(x) for x in codes[0])
 
     assert old == new
