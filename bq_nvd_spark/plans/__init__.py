@@ -16,10 +16,11 @@ _DRIVER_PRIORITY = [
     # -- round 17 window (VERDICT r16 task 1, the rotation
     # pre-computed at r16 close, adjusted per the standing
     # code-change-outranks-backlog rule): r17-code-changed names
-    # first, then the 11 never-driver-checked r16 additions, then
-    # the 9 r12-era deferrals (evidence age 4 rounds — the oldest
-    # backlog), then the 27 alphabetically-first r13-era names
-    # = 50 exactly.
+    # first (3 from the build round's task-5 refactor + 3 from
+    # optimization batch 8), then the 11 never-driver-checked r16
+    # additions, then the 9 r12-era deferrals (evidence age 4
+    # rounds — the oldest backlog), then the 24 alphabetically-first
+    # r13-era names = 50 exactly.
     # Post-r16 evidence distribution (from CORRECTNESS_r01-r16,
     # recomputed at r17 open): 11 never-checked + 9 @r12 + 50 @r13
     # + 49 @r14 + 50 @r15 + 50 @r16.
@@ -36,23 +37,28 @@ _DRIVER_PRIORITY = [
     # probe half extracted into bloom_flagged_ids for the fast-path
     # transform; in the never-checked tier below, re-mirrored x3
     # SFs post-refactor).
-    # Deferral note: the 23 r13-era names after the alphabetical
-    # first 27 defer to r18 with evidence age 5 rounds —
-    # nvd_v2_v3_score_gap, nvd_version_bounds,
+    # Deferral note: the 25 r13-era names outside this window defer
+    # to r18 with evidence age 5 rounds —
+    # nvd_cwe_counts, nvd_modification_lag, nvd_reference_tag_counts
+    # (evicted by optimization batch 8's three code-changed entrants;
+    # unchanged code), nvd_v2_v3_score_gap, nvd_version_bounds,
     # order_price_percentiles_exact, order_price_quantiles,
     # orders_above_customer_avg, orders_mom_growth,
     # range_join_clicks_after_error, regex_normalize_parts,
     # rollup_orders_by_month, salted_distinct_users_per_type,
     # semantic_dedup_survivors, ship_delay_by_month,
-    # simhash_signatures, sliding_window_hourly_30m,
+    # sliding_window_hourly_30m,
     # streaming_click_error_join, streaming_dedup_keys,
     # streaming_session_counts, streaming_sliding_counts,
     # streaming_tumbling_counts, text_quality_stats,
     # train_val_test_split, tumbling_window_hourly,
-    # unpivot_lineitem_measures. They are the
-    # oldest backlog after this window and MUST lead the r18 window
-    # (all unchanged; count re-verified against CORRECTNESS_r01-r16
-    # after a review catch — the set is 23, not 22).
+    # unpivot_lineitem_measures. (simhash_signatures left this list
+    # for the window's code-changed tier — batch 8 rebased it onto
+    # the shared signature relation.) They are the oldest backlog
+    # after this window and MUST lead the r18 window (all unchanged;
+    # the pre-batch-8 set was re-verified against CORRECTNESS_r01-r16
+    # after a review catch — 23 names, now 25 with the eviction and
+    # simhash_signatures' departure).
     # Added in round 17 BEYOND the window, owed to the r18 window as
     # never-driver-checked (each mirror-green x3 SFs on add):
     # doc_c4_quality_profile + c4_quality_census + c4_kept_docs +
@@ -106,6 +112,20 @@ _DRIVER_PRIORITY = [
     "doc_gopher_quality_profile",
     "gopher_quality_census",
     "streaming_gopher_gate",
+    # -- code changed in r17 optimization batch 8 (shared simhash
+    #    signature relation; shared BM25-MQ contrib relation): their
+    #    pre-r17 green rows describe superseded plans. The other two
+    #    batch-8-changed names (bm25_multi_query_topk,
+    #    cross_source_contamination_matrix) already sit in this
+    #    window's r13-backlog tier below. To keep the window at 50
+    #    these three evict the alphabetical tail of the r13 tier
+    #    (nvd_cwe_counts, nvd_modification_lag,
+    #    nvd_reference_tag_counts — unchanged code), which joins the
+    #    r18-owed deferral list in the note above. All five
+    #    batch-8-changed names re-mirrored x3 SFs post-change. --
+    "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "rrf_fusion_topk",
     # -- never driver-checked (r16 additions, each mirror-green x3
     #    SFs on add; quality_gate_agreement also r17-code-changed) --
     "bloom_decontamination_census",
@@ -155,9 +175,6 @@ _DRIVER_PRIORITY = [
     "ngram_jaccard_adjacent",
     "nvd_assigner_stats",
     "nvd_av_severity_matrix",
-    "nvd_cwe_counts",
-    "nvd_modification_lag",
-    "nvd_reference_tag_counts",
 ]
 
 def _reorder(registry: dict) -> None:

@@ -445,18 +445,20 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: the whole matrix is computed over the CAPPED gram
 # universe — grams in more than MATRIX_GRAM_DOC_CAP distinct documents
 # (boilerplate: licence headers, navigation chrome) are dropped by the
-# same document-frequency census decontamination_overlaps runs, so the
-# (source, gram) relation entering the self-join is bounded by the
-# rare-gram vocabulary rather than the corpus. The join on gram then
-# fans out at most (#sources sharing the gram)² per gram; #sources is
-# the provenance cardinality (dozens, not millions), so the join is
-# sources²-bounded per gram. The df census itself is one map-side-
-# combined aggregate over the exploded gram relation (linear, the
-# accepted decontamination shape), and the 5-gram construction is
-# O(tokens) per doc (array slices over a projected attribute — see
-# _adjacent_pair_rel's rationale in llm.py). The cap sits far above
-# the sf0.01/sf0.1 maximum document frequency (3–4), so test-scale
-# output is identical to the uncapped form.
+# same document-frequency census decontamination_overlaps runs, so
+# everything past the per-gram aggregate is bounded by the rare-gram
+# vocabulary rather than the corpus. ONE exchange carries gram rows
+# (optimization round 17): the per-gram aggregate computes the document
+# frequency and the distinct source set together, and source PAIRS are
+# generated per gram from the sorted set — at most (#sources sharing
+# the gram)² rows per gram, #sources being the provenance cardinality
+# (dozens, not millions). The old form shuffled the exploded relation
+# four more times (global distinct, df census semi-join, a second
+# distinct, and a self-join on gram) for the same rows. The 5-gram
+# construction is O(tokens) per doc (array slices over a projected
+# attribute — see _adjacent_pair_rel's rationale in llm.py). The cap
+# sits far above the sf0.01/sf0.1 maximum document frequency (3–4), so
+# test-scale output is identical to the uncapped form.
 GRAM_N = 5
 MATRIX_GRAM_DOC_CAP = 50
 
@@ -508,27 +510,56 @@ def cross_source_contamination_matrix(
         F.sequence(F.lit(1), F.size("toks") - (GRAM_N - 1)),
         lambda i: F.array_join(F.slice("toks", i, GRAM_N), " "),
     )
-    # materialized once: the df census and the capped (source, gram)
-    # projection both read it (same pattern as decontamination_overlaps)
-    dg = stage_checkpoint(
-        tok_rel.select(
-            "doc_id", "source", F.explode(grams).alias("gram")
-        ).distinct()
+    # Per-document distinct grams via array_distinct BEFORE the explode:
+    # (doc_id, gram) is then unique by construction, replacing the old
+    # corpus-wide .distinct() exchange with per-row array work
+    # (optimization round 17, guide §2.3/§2.4 — the oracle's DISTINCT
+    # spec is unchanged; the hash compare pins equality).
+    dg = tok_rel.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(grams)).alias("gram"),
     )
-    rare = (
-        dg.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") <= MATRIX_GRAM_DOC_CAP)
-        .select("gram")
+    # ONE exchange carries gram rows: the per-gram document frequency
+    # and the source set come out of the same map-side-combined
+    # aggregate. count(*) == count(DISTINCT doc_id) because rows are
+    # unique per (doc_id, gram) and doc_id -> source is functional
+    # (one row per document in `documents`); collect_set(source) is the
+    # distinct (source, gram) projection the old semi-join + second
+    # .distinct() rebuilt. The sorted set is provenance-bounded
+    # (#sources is dozens), so every downstream relation is tiny.
+    per_gram = dg.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.array_sort(F.collect_set("source")).alias("srcs"),
     )
-    g = (
-        dg.join(rare, "gram", "left_semi")
-        .select("source", "gram")
-        .distinct()
+    # materialized once: the per-source totals and the pair census both
+    # read it (the checkpoint moved from the exploded gram relation to
+    # this compact post-aggregate projection)
+    capped = stage_checkpoint(
+        per_gram.filter(F.col("nd") <= MATRIX_GRAM_DOC_CAP).select("srcs")
     )
-    per_src = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = g.select(F.col("source").alias("source_a"), "gram")
-    b = g.select(F.col("source").alias("source_b"), "gram")
+    per_src = (
+        capped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    # all (a, b) with a < b from the sorted source set — the same rows
+    # the old self-join on gram produced, without shuffling the gram
+    # relation twice
+    pair_structs = F.flatten(
+        F.transform(
+            "srcs",
+            lambda a, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                lambda b: F.struct(
+                    a.alias("source_a"), b.alias("source_b")
+                ),
+            ),
+        )
+    )
+    pairs = capped.select(F.explode(pair_structs).alias("p")).select(
+        "p.source_a", "p.source_b"
+    )
     pa = per_src.select(
         F.col("source").alias("source_a"), F.col("n_grams").alias("na")
     )
@@ -536,9 +567,7 @@ def cross_source_contamination_matrix(
         F.col("source").alias("source_b"), F.col("n_grams").alias("nb")
     )
     return (
-        a.join(b, "gram")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        pairs.groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .join(F.broadcast(pa), "source_a")
         .join(F.broadcast(pb), "source_b")

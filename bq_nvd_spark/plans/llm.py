@@ -678,6 +678,27 @@ def simhash_hof() -> Column:
     )
 
 
+def _simhash_sig_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) through the Arrow kernel (``_simhash_np``),
+    memoized per session via ``shared_stage`` (optimization round 17):
+    both registered consumers (``simhash_signatures``,
+    ``simhash_near_dup_pairs``) need the identical full-corpus
+    signature relation, and the pairs query's plan consumes it twice
+    (bucket-size census + capped band join) — without the memo the md5
+    kernel ran ~3× per session pass. The corpus is spread across cores
+    first — the signature stage is CPU-bound and a single-file toy
+    input would otherwise feed one Arrow worker."""
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        return docs.select("doc_id", _simhash_np("text").alias("simhash"))
+
+    return shared_stage(spark, ("simhash_sigs", sf_dir), build)
+
+
 @query(
     "simhash_signatures",
     oracle="""
@@ -701,16 +722,11 @@ def simhash_hof() -> Column:
     """,
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signature census through the Arrow kernel (``_simhash_np``),
-    spread across cores first — the signature stage is CPU-bound and a
-    single-file toy input would otherwise feed one worker. The HOF twin
-    ``simhash_hof`` is the semantic spec; a pytest pins them bit-equal
-    and this query's oracle checks the kernel against the SQL
-    formulation besides."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    return docs.select("doc_id", _simhash_np("text").alias("simhash"))
+    """Signature census through the shared Arrow-kernel relation
+    (``_simhash_sig_rel``). The HOF twin ``simhash_hof`` is the
+    semantic spec; a pytest pins them bit-equal and this query's
+    oracle checks the kernel against the SQL formulation besides."""
+    return _simhash_sig_rel(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -1042,8 +1058,21 @@ def _bm25_mq_scored(spark: SparkSession, sf_dir: str, *aggs) -> DataFrame:
     aggregates with the caller's column list — the one place the
     query-set fan-out and its join key live, shared by every
     multi-query retrieval consumer.
+
+    The contrib relation is memoized per session via ``shared_stage``
+    (optimization round 17): its two registered consumers
+    (``bm25_multi_query_topk``, ``rrf_fusion_topk``) each re-ran the
+    corpus token explode + postings aggregation for the identical
+    per-(doc_id, term) relation; the memoized frame is postings-sized
+    (query terms only), never corpus-sized.
     """
-    contrib = _bm25_contrib(spark, sf_dir, _BM25_MQ_TERMS)
+    from bq_nvd_spark.operators.checkpoint import shared_stage
+
+    contrib = shared_stage(
+        spark,
+        ("bm25_mq_contrib", sf_dir),
+        lambda: _bm25_contrib(spark, sf_dir, _BM25_MQ_TERMS),
+    )
     qrel = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25_QUERY_SET for t in ts],
         "query_id string, term string",
@@ -1546,10 +1575,7 @@ _DUCK_SIMHASH = """
     """,
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    sigs = docs.select("doc_id", _simhash_np("text").alias("simhash"))
+    sigs = _simhash_sig_rel(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         "simhash",

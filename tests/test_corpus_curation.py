@@ -1078,3 +1078,84 @@ def test_gate_agreement_cube_marginalizes_to_funnel_and_matrix(spark, sf_dir):
     for src, m in matrix.items():
         assert msum(src, lambda r: r.g_keep == 1 and r.r_keep == 1) == m.n_both_keep
         assert msum(src, lambda r: r.g_keep == 0 and r.r_keep == 0) == m.n_both_drop
+
+
+def test_cross_source_matrix_matches_itertools_reference(spark, tmp_path):
+    # The round-17 one-exchange rewrite (per-gram source-set aggregate +
+    # pair generation from the sorted set) must produce exactly the
+    # rows of the specification: pairwise shared capped-gram counts and
+    # the floor-fixed containment against the smaller side. Reference
+    # computed independently with set algebra + itertools over a
+    # constructed corpus that exercises a three-way overlap, a
+    # no-overlap source, and a boilerplate gram past the doc-frequency
+    # cap (which must not contribute anywhere).
+    import itertools
+
+    from bq_nvd_spark.plans import QUERIES
+    from bq_nvd_spark.plans.curation import GRAM_N, MATRIX_GRAM_DOC_CAP
+
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6", "en", "srcA", 1),
+        (2, "w1 w2 w3 w4 w5 xx", "en", "srcB", 1),
+        (3, "zz w2 w3 w4 w5 w6", "en", "srcC", 1),
+        (4, "only unique tokens live here now", "en", "srcD", 1),
+        (5, "too short", "en", "srcD", 1),
+    ]
+    # one gram shared by CAP+1 docs across srcA/srcB: over the cap,
+    # must be dropped from counts and containment denominators alike
+    for i in range(MATRIX_GRAM_DOC_CAP + 1):
+        rows.append(
+            (
+                100 + i,
+                f"b1 b2 b3 b4 b5 pad{i}",
+                "en",
+                "srcA" if i % 2 == 0 else "srcB",
+                1,
+            )
+        )
+
+    gram_docs: dict[str, set] = {}
+    gram_srcs: dict[str, set] = {}
+    for doc_id, text, _lang, src, _n in rows:
+        ts = text.split(" ")
+        grams = {
+            " ".join(ts[i : i + GRAM_N])
+            for i in range(len(ts) - GRAM_N + 1)
+        }
+        for g in grams:
+            gram_docs.setdefault(g, set()).add(doc_id)
+            gram_srcs.setdefault(g, set()).add(src)
+    capped = [
+        g for g, d in gram_docs.items() if len(d) <= MATRIX_GRAM_DOC_CAP
+    ]
+    assert any(len(gram_docs[g]) > MATRIX_GRAM_DOC_CAP for g in gram_docs)
+    per_src: Counter = Counter()
+    pair_n: Counter = Counter()
+    for g in capped:
+        for s in gram_srcs[g]:
+            per_src[s] += 1
+        for a, b in itertools.combinations(sorted(gram_srcs[g]), 2):
+            pair_n[(a, b)] += 1
+    expected = {
+        (a, b): (
+            n,
+            math.floor(n / min(per_src[a], per_src[b]) * 10000 + 0.5)
+            / 10000,
+        )
+        for (a, b), n in pair_n.items()
+    }
+    assert expected, "constructed corpus must produce overlap pairs"
+
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_shared, r.containment)
+        for r in QUERIES["cross_source_contamination_matrix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expected

@@ -82,3 +82,32 @@ def test_rrf_consensus_outranks_single_ranker(spark, sf_dir):
     # consensus doc; if this ever flips the fixture changed, not the op
     for qid, score in top_by_q.items():
         assert score > best_single_only, (qid, score)
+
+
+def test_bm25_mq_contrib_memo_matches_bypass(spark, sf_dir):
+    # The round-17 shared contrib relation must leave both consumers'
+    # outputs bit-identical to the unshared pipeline: the memo changes
+    # when the postings kernel runs, never its rows.
+    from bq_nvd_spark.operators import checkpoint as cp
+
+    def rowsets():
+        mq = {
+            tuple(r)
+            for r in bm25_multi_query_topk(spark, sf_dir).collect()
+        }
+        rrf = {tuple(r) for r in rrf_fusion_topk(spark, sf_dir).collect()}
+        return mq, rrf
+
+    cp.release_shared_stages(spark)
+    try:
+        memo_mq, memo_rrf = rowsets()
+        flag = cp.AUDIT_BYPASS_SHARED
+        cp.AUDIT_BYPASS_SHARED = True
+        try:
+            direct_mq, direct_rrf = rowsets()
+        finally:
+            cp.AUDIT_BYPASS_SHARED = flag
+        assert memo_mq and memo_mq == direct_mq
+        assert memo_rrf and memo_rrf == direct_rrf
+    finally:
+        cp.release_shared_stages(spark)

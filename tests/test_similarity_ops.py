@@ -839,3 +839,31 @@ def test_pq_encode_kernel_matches_crossjoin_argmin(spark, sf_dir):
         new[r["vec_id"]] = tuple(int(x) for x in codes[0])
 
     assert old == new
+
+
+def test_simhash_shared_sig_memo_matches_bypass(spark, sf_dir):
+    # The round-17 shared signature relation must be content-identical
+    # to the direct kernel run (the memo changes WHEN the kernel runs,
+    # never what it computes) — and non-empty, so the equality is not
+    # vacuous.
+    from bq_nvd_spark.operators import checkpoint as cp
+    from bq_nvd_spark.plans.llm import _simhash_sig_rel
+
+    cp.release_shared_stages(spark)
+    try:
+        memo = {
+            (r.doc_id, r.simhash)
+            for r in _simhash_sig_rel(spark, sf_dir).collect()
+        }
+        flag = cp.AUDIT_BYPASS_SHARED
+        cp.AUDIT_BYPASS_SHARED = True
+        try:
+            direct = {
+                (r.doc_id, r.simhash)
+                for r in _simhash_sig_rel(spark, sf_dir).collect()
+            }
+        finally:
+            cp.AUDIT_BYPASS_SHARED = flag
+        assert memo and memo == direct
+    finally:
+        cp.release_shared_stages(spark)
