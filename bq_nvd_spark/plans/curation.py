@@ -522,14 +522,15 @@ def cross_source_contamination_matrix(
     )
     # ONE exchange carries gram rows: the per-gram document frequency
     # and the source set come out of the same map-side-combined
-    # aggregate. count(*) == count(DISTINCT doc_id) because rows are
-    # unique per (doc_id, gram) and doc_id -> source is functional
-    # (one row per document in `documents`); collect_set(source) is the
-    # distinct (source, gram) projection the old semi-join + second
-    # .distinct() rebuilt. The sorted set is provenance-bounded
-    # (#sources is dozens), so every downstream relation is tiny.
+    # aggregate. count_distinct(doc_id) — not count(*) — keeps the cap
+    # the oracle's COUNT(DISTINCT doc_id) even if an input ever carries
+    # duplicate doc_id rows (the old plan's .distinct() tolerated
+    # that); collect_set(source) is the distinct (source, gram)
+    # projection the old semi-join + second .distinct() rebuilt. The
+    # sorted set is provenance-bounded (#sources is dozens), so every
+    # downstream relation is tiny.
     per_gram = dg.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("nd"),
+        F.count_distinct("doc_id").alias("nd"),
         F.array_sort(F.collect_set("source")).alias("srcs"),
     )
     # materialized once: the per-source totals and the pair census both

@@ -1113,6 +1113,21 @@ def test_cross_source_matrix_matches_itertools_reference(spark, tmp_path):
                 1,
             )
         )
+    # a gram in exactly CAP DISTINCT docs, one of them ingested twice:
+    # the cap must count distinct documents (the oracle's
+    # COUNT(DISTINCT doc_id)), not rows — a row-count census would read
+    # CAP+1 and wrongly drop it
+    for i in range(MATRIX_GRAM_DOC_CAP):
+        rows.append(
+            (
+                500 + i,
+                f"c1 c2 c3 c4 c5 cpad{i}",
+                "en",
+                "srcC" if i % 2 == 0 else "srcD",
+                1,
+            )
+        )
+    rows.append(rows[-1])
 
     gram_docs: dict[str, set] = {}
     gram_srcs: dict[str, set] = {}
