@@ -17,10 +17,11 @@ _DRIVER_PRIORITY = [
     # pre-computed at r16 close, adjusted per the standing
     # code-change-outranks-backlog rule): r17-code-changed names
     # first (3 from the build round's task-5 refactor + 3 from
-    # optimization batch 8), then the 11 never-driver-checked r16
-    # additions, then the 9 r12-era deferrals (evidence age 4
-    # rounds — the oldest backlog), then the 24 alphabetically-first
-    # r13-era names = 50 exactly.
+    # optimization batch 8 + 1 from the continuation-2 HOF
+    # pre-filter), then the 11 never-driver-checked r16 additions,
+    # then the 9 r12-era deferrals (evidence age 4 rounds — the
+    # oldest backlog), then the 23 alphabetically-first r13-era
+    # names = 50 exactly.
     # Post-r16 evidence distribution (from CORRECTNESS_r01-r16,
     # recomputed at r17 open): 11 never-checked + 9 @r12 + 50 @r13
     # + 49 @r14 + 50 @r15 + 50 @r16.
@@ -37,8 +38,10 @@ _DRIVER_PRIORITY = [
     # probe half extracted into bloom_flagged_ids for the fast-path
     # transform; in the never-checked tier below, re-mirrored x3
     # SFs post-refactor).
-    # Deferral note: the 25 r13-era names outside this window defer
+    # Deferral note: the 26 r13-era names outside this window defer
     # to r18 with evidence age 5 rounds —
+    # nvd_av_severity_matrix (evicted by the continuation-2
+    # code-changed entrant hof_filter_transform_fold; unchanged code),
     # nvd_cwe_counts, nvd_modification_lag, nvd_reference_tag_counts
     # (evicted by optimization batch 8's three code-changed entrants;
     # unchanged code), nvd_v2_v3_score_gap, nvd_version_bounds,
@@ -57,8 +60,9 @@ _DRIVER_PRIORITY = [
     # the shared signature relation.) They are the oldest backlog
     # after this window and MUST lead the r18 window (all unchanged;
     # the pre-batch-8 set was re-verified against CORRECTNESS_r01-r16
-    # after a review catch — 23 names, now 25 with the eviction and
-    # simhash_signatures' departure).
+    # after a review catch — 23 names, then 25 with batch 8's
+    # evictions and simhash_signatures' departure, now 26 with
+    # nvd_av_severity_matrix).
     # Added in round 17 BEYOND the window, owed to the r18 window as
     # never-driver-checked (each mirror-green x3 SFs on add):
     # doc_c4_quality_profile + c4_quality_census + c4_kept_docs +
@@ -126,6 +130,12 @@ _DRIVER_PRIORITY = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "rrf_fusion_topk",
+    # -- code changed in r17 optimization continuation-2 (q > 25
+    #    pre-filter pushed below the array build — plan now scans
+    #    with PushedFilters on l_quantity; mirror-green x3 SFs
+    #    post-change; evicts nvd_av_severity_matrix to the r18
+    #    deferral list above) --
+    "hof_filter_transform_fold",
     # -- never driver-checked (r16 additions, each mirror-green x3
     #    SFs on add; quality_gate_agreement also r17-code-changed) --
     "bloom_decontamination_census",
@@ -150,7 +160,8 @@ _DRIVER_PRIORITY = [
     "vocab_growth_curve",
     "window_running_order_total",
     "window_top3_customers_per_nation",
-    # -- last driver row r13 (alphabetically first 27) --
+    # -- last driver row r13 (alphabetically first 23 after the
+    #    code-changed tiers' four evictions) --
     "asof_last_error_per_click",
     "bag_intersect_order_dates",
     "bm25_multi_query_topk",
@@ -174,7 +185,6 @@ _DRIVER_PRIORITY = [
     "multimodal_resize_thumb",
     "ngram_jaccard_adjacent",
     "nvd_assigner_stats",
-    "nvd_av_severity_matrix",
 ]
 
 def _reorder(registry: dict) -> None:

@@ -197,17 +197,30 @@ def explode_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hof_filter_transform_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    arrays = li.groupBy("l_orderkey").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct("l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
-            )
-        ).alias("items")
+    # The q > 25 predicate commutes with the group/sort: filtering ROWS
+    # before the groupBy yields the same qualifying-struct multiset per
+    # order, and sort_array applies the same full-struct comparator to
+    # it, so the array VALUE (hence the order-sensitive fold) is
+    # identical to filtering inside the built array — while the
+    # exchange ships only the ~50% qualifying rows. The struct keeps
+    # all four fields: (l_orderkey, l_linenumber) is NOT unique in this
+    # corpus, so the remaining fields are live sort tie-breaks.
+    # No size > 0 guard needed: a group exists iff it has at least one
+    # qualifying row, so the array is never empty (the oracle's
+    # len(vals) > 0 serves ITS full-array-then-filter formulation).
+    filtered = (
+        li.filter(F.col("l_quantity") > 25)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+                    )
+                )
+            ).alias("high_items")
+        )
     )
-    filtered = arrays.select(
-        "l_orderkey",
-        F.filter("items", lambda it: it["l_quantity"] > 25).alias("high_items"),
-    ).filter(F.size("high_items") > 0)
     # transform -> per-item discounted price; aggregate -> sequential fold;
     # floor(x*100+0.5)/100 is the cross-engine-deterministic 2-dp rounding.
     fold = F.aggregate(
