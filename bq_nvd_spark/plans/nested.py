@@ -163,8 +163,13 @@ def explode_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# F7 HOFs: filter + transform + aggregate (fold) over a sorted array —
-# per-row computation with no shuffle beyond the array build.
+# F7 HOFs: transform + aggregate (fold) over a sorted array — per-row
+# computation with no shuffle beyond the array build. The filter stage
+# became a ROW predicate in the r17 optimization round (it commutes with
+# the group/sort, halves the exchange, and reaches the scan as a pushed
+# filter); the filter-HOF form is pinned equivalent in
+# tests/test_nested_plans.py, and F.filter itself stays exercised by the
+# Gopher kernel and token-stat queries.
 # Oracle mirrors the Spark plan EXACTLY: same linenumber sort, same
 # filter, same sequential left-fold with 0.0 init (list_reduce over the
 # 0.0-prepended list), and the same *rounding algorithm* —
